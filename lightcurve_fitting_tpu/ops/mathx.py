@@ -1,0 +1,37 @@
+"""Small numerics helpers shared by the model kernels.
+
+These encode the reference's NaN-avoidance semantics (``models.py:42-48``:
+power() returns 0 for nonpositive base) in a form that is also gradient-safe
+under JAX (double-where pattern), enabling future HMC/NUTS samplers the
+reference cannot support.
+"""
+
+import jax.numpy as jnp
+
+__all__ = ["power", "safe_reciprocal", "planck_denom_inv"]
+
+
+def power(base, exp):
+    """``base ** exp`` that returns 0 where ``base <= 0`` (reference
+    models.py:42-48) without NaN gradients."""
+    positive = base > 0.0
+    safe_base = jnp.where(positive, base, 1.0)
+    return jnp.where(positive, safe_base ** exp, 0.0)
+
+
+def safe_reciprocal(x):
+    """1/x that returns 0 where ``x <= 0`` (matches reference
+    ``power(x, -1.)`` semantics)."""
+    positive = x > 0.0
+    return jnp.where(positive, 1.0 / jnp.where(positive, x, 1.0), 0.0)
+
+
+def planck_denom_inv(x):
+    """``1 / (exp(x) - 1)`` with the reference's convention that x <= 0 maps
+    to 0 (reference models.py:1128 composes exp with safe power; a nonpositive
+    temperature yields x = 0 there and hence zero luminosity).
+
+    Uses expm1 so that float32 stays accurate in the Rayleigh-Jeans limit and
+    overflows gracefully to 0 (1/inf) in the Wien tail instead of producing NaN.
+    """
+    return safe_reciprocal(jnp.expm1(x))

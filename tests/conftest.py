@@ -1,0 +1,12 @@
+import os
+
+# 8 virtual CPU devices so multi-chip sharding paths are testable without TPUs
+os.environ["JAX_PLATFORMS"] = "cpu"
+flags = os.environ.get("XLA_FLAGS", "")
+if "host_platform_device_count" not in flags:
+    os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
+
+import jax  # noqa: E402
+
+jax.config.update("jax_platforms", "cpu")  # the axon env pins JAX_PLATFORMS=tpu-tunnel
+jax.config.update("jax_enable_x64", True)
