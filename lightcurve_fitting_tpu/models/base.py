@@ -1,0 +1,177 @@
+"""Model base class: metadata, host evaluation API (reference-compatible
+broadcasting), and the device-side pure-function contract used by the sampler.
+
+Design (SURVEY.md §7): every concrete model implements one pure jax function,
+
+    _eval_points(self, t, quad, *params) -> y (N,)
+
+with *scalar* parameters, per-point times ``t`` (N,), and a ``quad`` pytree of
+static per-point quadrature arrays built by :meth:`prepare_quad`. Batching over
+walkers / posterior draws / epochs is ``jax.vmap`` around that single function —
+the replacement for the reference's numpy outer-product broadcasting
+(models.py:260,403,589,752) — and sharding wraps the vmap (see
+``lightcurve_fitting_tpu.parallel``).
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+from ..core.constants import M0_OFFSET
+from ..ops.filterbank import FilterBank
+from ..utils import units as u
+
+__all__ = ["Model", "format_unit"]
+
+
+def format_unit(unit):
+    """LaTeX-format a unit or an order-of-magnitude quantity
+    (reference models.py:15-39)."""
+    if isinstance(unit, u.Quantity):
+        value = np.log10(unit.value)
+        unit = unit.unit
+        if value % 1.0:
+            unit_str = "$10^{{{value:.1f}}}$ {unit:latex_inline}"
+        else:
+            unit_str = "$10^{{{value:.0f}}}$ {unit:latex_inline}"
+    else:
+        value = None
+        unit_str = "{unit:latex_inline}"
+    return unit_str.format(value=value, unit=unit)
+
+
+class Model:
+    """An analytical light-curve model (reference models.py:51-136)."""
+
+    input_names = []
+    units = []
+    output_quantity = "lum"
+    n_nodes = None  # FilterBank mode: None = exact native quadrature
+
+    @property
+    def nparams(self):
+        return len(self.input_names)
+
+    @property
+    def axis_labels(self):
+        return ["${}$ ({})".format(var, format_unit(unit))
+                if unit is not u.dimensionless_unscaled else "${}$".format(var)
+                for var, unit in zip(self.input_names, self.units)]
+
+    def __init__(self, lc=None, redshift=0.0):
+        if redshift:
+            self.z = redshift
+        elif lc is not None and "redshift" in lc.meta:
+            self.z = lc.meta["redshift"]
+        else:
+            self.z = 0.0
+        self._bank_cache = {}
+
+    def __repr__(self):
+        return f"<{self.__class__.__name__}: z={self.z:.3f}>"
+
+    def __call__(self, *args, **kwargs):
+        return self.evaluate(*args, **kwargs)
+
+    # ------------------------------------------------------------ device side
+    def bank_for(self, filters):
+        key = tuple(filters)
+        if key not in self._bank_cache:
+            self._bank_cache[key] = FilterBank(key, n_nodes=self.n_nodes)
+        return self._bank_cache[key]
+
+    def prepare_quad(self, filters, bank=None):
+        """Build the static per-point quadrature pytree for an array of Filter
+        objects (one entry per photometry point). Subclasses may extend."""
+        bank = bank or self.bank_for(sorted(set(filters)))
+        ids = bank.band_ids(filters)
+        nodes, weights, k_ext = bank.gather(ids, z=self.z)
+        return {"nodes": nodes, "weights": weights, "k_ext": k_ext,
+                "band_ids": jnp.asarray(ids)}
+
+    def _eval_points(self, t, quad, *params):
+        raise NotImplementedError
+
+    # -------------------------------------------------------------- host side
+    def evaluate(self, t_in, f, *params):
+        """Reference-compatible evaluation: per-point when ``len(f) == len(t)``
+        and parameters are scalars; otherwise an outer product over filters,
+        times, and (optionally) parameter vectors, shaped (B, N[, W]) like the
+        reference's broadcasting (fitting.py:350-352 relies on this)."""
+        t_arr = np.atleast_1d(np.asarray(t_in, float))
+        f_arr = np.atleast_1d(f)
+        params = [np.asarray(p, float) for p in params]
+        vector = any(p.ndim > 0 for p in params)
+
+        if not vector and f_arr.shape == t_arr.shape and f_arr.ndim == 1 \
+                and len(f_arr) == len(t_arr) and self._is_pointwise(t_arr, f_arr):
+            quad = self.prepare_quad(f_arr)
+            y = self._eval_points(jnp.asarray(t_arr), quad, *[jnp.asarray(p) for p in params])
+            out = np.asarray(y)
+            return out if np.ndim(t_in) else float(out[0])
+
+        # outer mode: tile the time grid over bands
+        B, N = len(f_arr), len(t_arr)
+        f_tiled = np.repeat(f_arr, N)
+        t_tiled = np.tile(t_arr, B)
+        quad = self.prepare_quad(f_tiled)
+        t_dev = jnp.asarray(t_tiled)
+        if vector:
+            W = max(p.shape[0] for p in params if p.ndim > 0)
+            pcols = [jnp.asarray(np.broadcast_to(p, (W,))) for p in params]
+            y = jax.vmap(lambda *pw: self._eval_points(t_dev, quad, *pw))(*pcols)  # (W, B*N)
+            y = np.asarray(y).reshape(W, B, N).transpose(1, 2, 0)  # (B, N, W)
+        else:
+            y = np.asarray(self._eval_points(t_dev, quad, *[jnp.asarray(p) for p in params]))
+            y = y.reshape(B, N)
+        return np.squeeze(y) if np.ndim(t_in) == 0 else y
+
+    def _is_pointwise(self, t_arr, f_arr):
+        """Heuristic matching the reference's pointwise-vs-outer dispatch
+        (models.py:1161): same length and scalar params means pointwise."""
+        return True
+
+    # -------------------------------------------------------------- likelihood
+    def log_likelihood(self, lc, p, use_sigma=False, sigma_type="relative"):
+        """Host-side log-likelihood, identical formula to reference
+        models.py:93-136 (Gaussian with optional intrinsic-scatter parameter)."""
+        f = np.asarray(lc["filter"])
+        t = np.asarray(lc["MJD"], float)
+        y = np.asarray(lc[self.output_quantity], float)
+        dy = np.asarray(lc["d" + self.output_quantity], float)
+        ll_fn = self.make_log_likelihood_arrays(t, f, y, dy, use_sigma, sigma_type)
+        return float(ll_fn(jnp.asarray(np.asarray(p, float))))
+
+    def make_log_likelihood_arrays(self, t, f, y, dy, use_sigma=False, sigma_type="relative"):
+        """Build a pure jax ``fn(p_vector) -> scalar`` log-likelihood over the
+        given photometry arrays. This is the function the sampler vmaps over
+        walkers (the reference evaluates it serially 2e5 times, fitting.py:133)."""
+        if sigma_type == "relative":
+            sigma_units = jnp.asarray(np.asarray(dy, float))
+        elif sigma_type == "absolute":
+            sigma_units = jnp.asarray(float(np.median(dy)))
+        else:
+            raise Exception('sigma_type must either be "relative" or "absolute"')
+
+        quad = self.prepare_quad(f)
+        t_dev = jnp.asarray(np.asarray(t, float))
+        y_dev = jnp.asarray(np.asarray(y, float))
+        dy_dev = jnp.asarray(np.asarray(dy, float))
+
+        def ll(p):
+            n_model = p.shape[0] - (1 if use_sigma else 0)  # static under jit
+            y_fit = self._eval_points(t_dev, quad, *[p[i] for i in range(n_model)])
+            if use_sigma:
+                sigma2 = dy_dev ** 2.0 + (p[-1] * sigma_units) ** 2.0
+            else:
+                sigma2 = dy_dev ** 2.0
+            return -0.5 * jnp.sum(jnp.log(2 * jnp.pi * sigma2) + (y_dev - y_fit) ** 2.0 / sigma2)
+
+        return ll
+
+    def make_log_likelihood(self, lc, use_sigma=False, sigma_type="relative"):
+        f = np.asarray(lc["filter"])
+        t = np.asarray(lc["MJD"], float)
+        y = np.asarray(lc[self.output_quantity], float)
+        dy = np.asarray(lc["d" + self.output_quantity], float)
+        return self.make_log_likelihood_arrays(t, f, y, dy, use_sigma, sigma_type)

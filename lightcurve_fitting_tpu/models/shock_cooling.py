@@ -1,0 +1,247 @@
+"""Shock-cooling models: Sapir & Waxman (2017) in three parametrizations and
+Morag, Sapir & Waxman (2023). Reference: models.py:139-657.
+
+All model math is pure jax over scalar parameters and a per-point time vector;
+see :class:`~lightcurve_fitting_tpu.models.base.Model` for the batching contract.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.constants import k_B, c3, c4
+from ..ops.mathx import power
+from ..utils import units as u
+from .base import Model
+from .blackbody import bandflux_pointwise
+
+__all__ = ["BaseShockCooling", "ShockCooling", "ShockCooling2", "ShockCooling3",
+           "ShockCooling4"]
+
+
+class BaseShockCooling(Model):
+    """Sapir & Waxman (2017) shock cooling (reference models.py:139-298).
+
+    T(t) = (T_col/T_ph) T_0 (v_s^2 t^2 / (f_rho M kappa))^eps1 R^(1/4) kappa^(-1/4) t^(-1/2)
+    L(t) = A exp[-(a t / t_tr)^alpha] L_0 (v_s t^2/(f_rho M kappa))^(-eps2) v_s^2 R / kappa
+    t_tr = 19.5 d sqrt(kappa M_env / v_s)
+    """
+
+    def __init__(self, lc=None, redshift=0.0, n=1.5, RW=False):
+        super().__init__(lc, redshift=redshift)
+        if n == 1.5:
+            self.n = 1.5
+            self.A = 0.94
+            self.a = 1.67
+            self.alpha = 0.8
+            self.epsilon_1 = 0.027
+            self.epsilon_2 = 0.086
+            self.L_0 = 2.0e42   # erg/s
+            self.T_0 = 1.61     # eV
+            self.Tph_to_Tcol = 1.1
+        elif n == 3.0:
+            self.n = 3.0
+            self.A = 0.79
+            self.a = 4.57
+            self.alpha = 0.73
+            self.epsilon_1 = 0.016
+            self.epsilon_2 = 0.175
+            self.L_0 = 2.1e42
+            self.T_0 = 1.69
+            self.Tph_to_Tcol = 1.0
+        else:
+            raise ValueError("n can only be 1.5 or 3")
+        self.epsilon_T = 2 * self.epsilon_1 - 0.5
+        self.epsilon_L = -2 * self.epsilon_2
+        if RW:
+            self.RW = True
+            self.a = 0.0
+            self.Tph_to_Tcol = 1.2
+        else:
+            self.RW = False
+
+    def __repr__(self):
+        return f"<{self.__class__.__name__}: z={self.z:.3f}, n={self.n:.1f}, RW={self.RW}>"
+
+    def temperature_radius(self, t_in, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=1.0):
+        """Color temperature (kK) and blackbody radius (1000 Rsun) vs time
+        (reference models.py:231-269; SW17 Eq. 18-23). Accepts numpy or jax
+        arrays; parameters may be scalars or vectors (numpy-style outer
+        broadcasting, as in the reference)."""
+        t = jnp.reshape(jnp.asarray(t_in, float), (-1, 1)) - t_exp
+        L_RW = self.L_0 * power(t ** 2 * v_s / (f_rho_M * kappa), -self.epsilon_2) * v_s ** 2 * R / kappa
+        t_tr = 19.5 * (kappa * M_env / v_s) ** 0.5
+        L = L_RW * self.A * jnp.exp(-power(self.a * t / t_tr, self.alpha))
+        T_ph = (self.T_0 * power(t ** 2 * v_s ** 2 / (f_rho_M * kappa), self.epsilon_1)
+                * kappa ** -0.25 * power(t, -0.5) * R ** 0.25)
+        T_col = T_ph * self.Tph_to_Tcol
+        T_K = jnp.squeeze(T_col) / k_B
+        R_bb = c3 * jnp.squeeze(L) ** 0.5 * power(T_K, -2.0)
+        return T_K, R_bb
+
+    # default device path: blackbody through the per-point bands
+    def _tr_points(self, t, *params):
+        T_K, R_bb = self.temperature_radius(t, *params)
+        return T_K, R_bb
+
+    def _eval_points(self, t, quad, *params):
+        T_K, R_bb = self._tr_points(t, *params)
+        return bandflux_pointwise(quad["nodes"], quad["weights"], T_K, R_bb)
+
+    @staticmethod
+    def t_min(p, kappa=1.0):
+        """Earliest validity time, SW17 Eq. 17 (reference models.py:275-287)."""
+        v_s = p[0]
+        f_rho_M = p[2]
+        R = p[3]
+        t_exp = p[4] if len(p) > 4 else 0.0
+        return 0.2 * R / v_s * np.maximum(0.5, R ** 0.4 * (f_rho_M * kappa) ** -0.2 * v_s ** -0.7) + t_exp
+
+    @staticmethod
+    def t_max(p, kappa=1.0):
+        """Latest validity time, SW17 Eq. 24 (reference models.py:289-298)."""
+        R = p[3]
+        t_exp = p[4] if len(p) > 4 else 0.0
+        return 7.4 * (R / kappa) ** 0.55 + t_exp
+
+
+class ShockCooling(BaseShockCooling):
+    """SW17 in physical parameters v_s*, M_env, f_rho M, R (reference
+    models.py:301-353)."""
+
+    input_names = ["v_\\mathrm{s*}", "M_\\mathrm{env}", "f_\\rho M", "R", "t_0"]
+    units = [10.0 ** 8.5 * u.cm / u.s, u.Msun, u.Msun, 1e13 * u.cm, u.d]
+
+    def evaluate(self, t_in, f, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=1.0):
+        if kappa != 1.0:
+            return self._evaluate_kappa(t_in, f, v_s, M_env, f_rho_M, R, t_exp, kappa)
+        return super().evaluate(t_in, f, v_s, M_env, f_rho_M, R, t_exp)
+
+    def _evaluate_kappa(self, t_in, f, *params_with_kappa):
+        from .blackbody import blackbody_to_filters
+        *params, kappa = params_with_kappa
+        T_K, R_bb = self.temperature_radius(np.asarray(t_in, float), *params, kappa=kappa)
+        return blackbody_to_filters(f, np.asarray(T_K), np.asarray(R_bb), self.z)
+
+
+class ShockCooling2(BaseShockCooling):
+    """SW17 in scaling parameters T_1, L_1, t_tr (reference models.py:356-430):
+    T(t) = T_1 t^eps_T ;  L(t) = L_1 t^eps_L exp[-(a t/t_tr)^alpha]."""
+
+    input_names = ["T_1", "L_1", "t_\\mathrm{tr}", "t_0"]
+    units = [u.kK, 1e42 * u.erg / u.s, u.d, u.d]
+
+    def _tr_points(self, t, T_1, L_1, t_tr, t_exp=0.0):
+        tt = jnp.asarray(t, float) - t_exp
+        T_K = T_1 * power(tt, self.epsilon_T)
+        L = L_1 * jnp.exp(-power(self.a * tt / t_tr, self.alpha)) * power(tt, self.epsilon_L) * 1e42
+        R_bb = c3 * L ** 0.5 * power(T_K, -2.0)
+        return T_K, R_bb
+
+    def temperature_radius(self, t_in, T_1, L_1, t_tr, t_exp=0.0):
+        t = jnp.reshape(jnp.asarray(t_in, float), (-1, 1)) - t_exp
+        T_K = jnp.squeeze(T_1 * power(t, self.epsilon_T))
+        L = jnp.squeeze(L_1 * jnp.exp(-power(self.a * t / t_tr, self.alpha))
+                        * power(t, self.epsilon_L)) * 1e42
+        R_bb = c3 * L ** 0.5 * power(T_K, -2.0)
+        return T_K, R_bb
+
+    @staticmethod
+    def t_min(p, kappa=1.0):
+        return NotImplemented
+
+    def t_max(self, p, kappa=1.0):
+        """t_max = (8.12 kK / T_1)^(1/eps_T) + t_exp (reference models.py:422-430)."""
+        T_1 = p[0]
+        t_exp = p[3] if len(p) > 3 else 0.0
+        return (8.12 / T_1) ** (self.epsilon_T ** -1) + t_exp
+
+
+class ShockCooling3(BaseShockCooling):
+    """SW17 in physical parameters with luminosity distance and E(B-V) free
+    (reference models.py:433-504). Output is flux; the traced E(B-V) multiplies
+    the precomputed F99 curve at the quadrature nodes in-graph."""
+
+    input_names = ["v_\\mathrm{s*}", "M_\\mathrm{env}", "f_\\rho M", "R", "d_L", "E(B-V)", "t_0"]
+    units = [10.0 ** 8.5 * u.cm / u.s, u.Msun, u.Msun, 1e13 * u.cm, u.Mpc, u.mag, u.d]
+    output_quantity = "flux"
+
+    def _eval_points(self, t, quad, v_s, M_env, f_rho_M, R, dist, ebv=0.0, t_exp=0.0):
+        T_K, R_bb = BaseShockCooling._tr_points(self, t, v_s, M_env, f_rho_M, R, t_exp)
+        lum = bandflux_pointwise(quad["nodes"], quad["weights"], T_K, R_bb,
+                                 k_ext=quad["k_ext"], ebv=ebv)
+        return c4 * lum / dist ** 2.0
+
+    @staticmethod
+    def t_min(p, kappa=1.0):
+        return BaseShockCooling.t_min([p[0], p[1], p[2], p[3], p[6] if len(p) > 6 else 0.0],
+                                      kappa=kappa)
+
+    @staticmethod
+    def t_max(p, kappa=1.0):
+        return BaseShockCooling.t_max([p[0], p[1], p[2], p[3], p[6] if len(p) > 6 else 0.0],
+                                      kappa=kappa)
+
+
+class ShockCooling4(Model):
+    """Morag, Sapir & Waxman (2023) shock cooling (reference models.py:507-657).
+
+    Note: reference lines 586 and 656 contain operator-precedence bugs
+    (``v_s ** 0.58 ** f_rho_M ** 0.03`` and ``t_tr_0 ** sqrt(...)``); this
+    implementation follows the published MSW23 Eq. A7/A9 instead.
+    """
+
+    input_names = ["v_\\mathrm{s*}", "M_\\mathrm{env}", "f_\\rho M", "R", "t_0"]
+    units = [10.0 ** 8.5 * u.cm / u.s, u.Msun, u.Msun, 1e13 * u.cm, u.d]
+
+    def __init__(self, lc=None, redshift=0.0):
+        super().__init__(lc, redshift=redshift)
+        self.A = 0.9
+        self.a = 2.0
+        self.alpha = 0.5
+        self.L_br_0 = 3.69e42   # erg/s (Eq. A6)
+        self.T_col_br_0 = 8.19  # eV (Eq. A7)
+        self.t_min_0 = 0.012    # d = 17 min (Eq. A3)
+        self.t_br_0 = 0.036     # d = 0.86 h (Eq. A5)
+        self.t_07eV_0 = 6.86    # d (Eq. A8)
+        self.t_tr_0 = 19.5      # d (Eq. A9)
+
+    def _tr_points(self, t, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=1.0):
+        t_br = self.t_br_0 * R ** 1.26 * v_s ** -1.13 * f_rho_M ** -0.13        # Eq. A5
+        L_br = self.L_br_0 * R ** 0.78 * v_s ** 2.11 * f_rho_M ** 0.11 * kappa ** -0.89  # Eq. A6
+        T_col_br = self.T_col_br_0 * R ** -0.32 * v_s ** 0.58 * f_rho_M ** 0.03 * kappa ** -0.22  # Eq. A7
+        t_tr = self.t_tr_0 * jnp.sqrt(kappa * M_env / v_s)                     # Eq. A9
+        tt = jnp.asarray(t, float) - t_exp
+        ttilde = tt / t_br
+        L = L_br * (power(ttilde, -4.0 / 3.0)
+                    + self.A * jnp.exp(-power(self.a * tt / t_tr, self.alpha))
+                    * power(ttilde, -0.17))                                    # Eq. A1
+        T_col = T_col_br * jnp.minimum(0.97 * power(ttilde, -1.0 / 3.0),
+                                       power(ttilde, -0.45))                   # Eq. A2
+        T_K = T_col / k_B
+        R_bb = c3 * L ** 0.5 * power(T_K, -2.0)
+        return T_K, R_bb
+
+    def temperature_radius(self, t_in, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=1.0):
+        t = jnp.reshape(jnp.asarray(t_in, float), (-1, 1)) - t_exp
+        T_K, R_bb = self._tr_points(t, v_s, M_env, f_rho_M, R, 0.0, kappa)
+        return jnp.squeeze(T_K), jnp.squeeze(R_bb)
+
+    def _eval_points(self, t, quad, v_s, M_env, f_rho_M, R, t_exp=0.0):
+        T_K, R_bb = self._tr_points(t, v_s, M_env, f_rho_M, R, t_exp)
+        lum_bb = bandflux_pointwise(quad["nodes"], quad["weights"], T_K, R_bb)
+        lum_sup = bandflux_pointwise(quad["nodes"], quad["weights"],
+                                     0.74 * T_K, 0.74 ** -2.0 * R_bb)
+        return jnp.minimum(lum_bb, lum_sup)  # Eq. A4
+
+    def t_min(self, p, kappa=1.0):
+        """t_min = 17 min * R + t_exp (MSW23 Eq. A3; reference models.py:634-642)."""
+        R = p[3]
+        t_exp = p[4] if len(p) > 4 else 0.0
+        return self.t_min_0 * R + t_exp
+
+    def t_max(self, p, kappa=1.0):
+        """t_max = min(t_0.7eV, t_tr/2) + t_exp (MSW23 Eq. A3, A8, A9)."""
+        v_s, M_env, f_rho_M, R, t_exp, *_ = p
+        t_07eV = self.t_07eV_0 * R ** 0.56 * v_s ** 0.16 * kappa ** -0.61 * f_rho_M ** -0.06
+        t_tr = self.t_tr_0 * np.sqrt(kappa * M_env / v_s)
+        return np.minimum(t_07eV, t_tr / self.a) + t_exp

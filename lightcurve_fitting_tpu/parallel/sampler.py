@@ -1,0 +1,265 @@
+"""Affine-invariant ensemble MCMC (Goodman & Weare 2010 stretch move), the
+TPU-native replacement for ``emcee.EnsembleSampler`` as used by the reference
+(fitting.py:130-145, bolometric.py:167-174).
+
+Design
+------
+The reference evaluates one Python log-posterior per walker per step
+(2e5 serial calls at the default fit settings). Here the whole chain is a
+single ``lax.scan`` over steps; within a step the two Goodman-Weare
+half-ensembles are updated in sequence (red-black, exactly emcee's
+``StretchMove``), and each half-update evaluates the log-posterior for all
+walkers in the half with one ``vmap`` — on TPU that is one fused batched
+kernel per half-step.
+
+Walker state is kept as ``(2, half, ndim)`` so the walker axis can be sharded
+across a device mesh: each half-update needs only its own shard plus an
+``all_gather`` of the *complementary* half (tiny: half x ndim floats) — see
+``lightcurve_fitting_tpu.parallel.mesh``.
+
+Statistical parity with emcee: the proposal z ~ g(z) ∝ 1/sqrt(z) on [1/a, a]
+via z = ((a-1)u + 1)^2 / a, acceptance log u < (ndim-1) log z + logp(Y) - logp(X),
+both halves updated per step (emcee moves each walker once per iteration).
+Chains agree with emcee in distribution, not path (different RNG).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+__all__ = ["EnsembleSampler", "make_stretch_kernel"]
+
+
+def make_stretch_kernel(log_prob_fn, half, ndim, a=2.0, gather_other=None):
+    """Build the per-step stretch-move kernel.
+
+    Parameters
+    ----------
+    log_prob_fn : callable
+        Scalar log-probability ``fn(p[ndim]) -> float`` (pure jax).
+    half : int
+        Walkers per half-ensemble (local shard size when sharded).
+    ndim : int
+    a : float
+        Stretch scale (emcee default 2).
+    gather_other : callable, optional
+        Maps the complementary half-ensemble to the *global* complementary
+        ensemble. Identity for single-device; ``lax.all_gather`` + reshape when
+        the walker axis is sharded.
+
+    Returns
+    -------
+    step(carry, key) suitable for ``lax.scan``; carry = (x[2, half, ndim],
+    logp[2, half]); per-step output = (x, logp, n_accept[2, half] bool).
+    """
+    batched_logp = jax.vmap(log_prob_fn)
+    if gather_other is None:
+        gather_other = lambda x: x
+
+    def half_update(key, x_move, x_other_global, logp_move):
+        kz, kj, ku = jr.split(key, 3)
+        n_other = x_other_global.shape[0]
+        u = jr.uniform(kz, (half,), dtype=x_move.dtype)
+        z = ((a - 1.0) * u + 1.0) ** 2 / a
+        j = jr.randint(kj, (half,), 0, n_other)
+        x_j = x_other_global[j]
+        y = x_j + z[:, None] * (x_move - x_j)
+        logp_y = batched_logp(y)
+        logp_y = jnp.where(jnp.isnan(logp_y), -jnp.inf, logp_y)
+        log_ratio = (ndim - 1.0) * jnp.log(z) + logp_y - logp_move
+        accept = jnp.log(jr.uniform(ku, (half,), dtype=x_move.dtype)) < log_ratio
+        x_new = jnp.where(accept[:, None], y, x_move)
+        logp_new = jnp.where(accept, logp_y, logp_move)
+        return x_new, logp_new, accept
+
+    def step(carry, key):
+        x, logp = carry
+        k1, k2 = jr.split(key)
+        x0, lp0, a0 = half_update(k1, x[0], gather_other(x[1]), logp[0])
+        x1, lp1, a1 = half_update(k2, x[1], gather_other(x0), logp[1])
+        x = jnp.stack([x0, x1])
+        logp = jnp.stack([lp0, lp1])
+        return (x, logp), (x, logp, jnp.stack([a0, a1]))
+
+    return step, batched_logp
+
+
+class EnsembleSampler:
+    """emcee-compatible ensemble sampler running as one jitted scan.
+
+    Mirrors the emcee API surface the reference uses: ``run_mcmc`` (returning a
+    3-tuple whose first element is the walker positions), ``reset``, ``chain``
+    (nwalkers, nsteps, ndim), ``flatchain``, ``flatlnprobability``, and
+    ``acceptance_fraction``.
+    """
+
+    def __init__(self, nwalkers, ndim, log_prob_fn, a=2.0, seed=None, dtype=jnp.float64):
+        if nwalkers % 2:
+            raise ValueError("nwalkers must be even")
+        if nwalkers < 2 * ndim + 2:
+            # same spirit as emcee's guardrail; keep it a warning not an error
+            import warnings
+            warnings.warn(f"nwalkers={nwalkers} is small for ndim={ndim}; "
+                          "the stretch move needs nwalkers >> ndim")
+        self.nwalkers = int(nwalkers)
+        self.ndim = int(ndim)
+        self.a = float(a)
+        self._half = self.nwalkers // 2
+        self._dtype = dtype
+        if seed is None:
+            seed = np.random.randint(0, 2 ** 31 - 1)
+        self._key = jr.PRNGKey(seed)
+        self._step, self.batched_logp = make_stretch_kernel(log_prob_fn, self._half, self.ndim, a)
+        self._run_jit = {}
+        self.reset()
+
+    # ------------------------------------------------------------------ state
+    def reset(self):
+        self._chain = np.empty((0, self.nwalkers, self.ndim))   # (nsteps, nwalkers, ndim)
+        self._logp = np.empty((0, self.nwalkers))
+        self._accepted = np.zeros(self.nwalkers)
+        self._nsteps_total = 0
+
+    def _compiled_run(self, nsteps, thin_by):
+        key = (nsteps, thin_by)
+        if key not in self._run_jit:
+            step = self._step
+
+            def run(x, logp, keys):
+                def thinned_step(carry, key_block):
+                    def inner(c, k):
+                        c, _ = step(c, k)
+                        return c, None
+                    carry, _ = jax.lax.scan(inner, carry, key_block[:-1])
+                    carry, out = step(carry, key_block[-1])
+                    return carry, out
+
+                key_blocks = keys.reshape((nsteps, thin_by) + keys.shape[1:])
+                (x, logp), (xs, logps, accepts) = jax.lax.scan(
+                    thinned_step, (x, logp), key_blocks)
+                return x, logp, xs, logps, accepts
+
+            self._run_jit[key] = jax.jit(run)
+        return self._run_jit[key]
+
+    # -------------------------------------------------------------- main API
+    def run_mcmc(self, initial_state, nsteps, progress=False, progress_kwargs=None,
+                 skip_initial_state_check=False, thin_by=1, **kwargs):
+        """Advance the ensemble ``nsteps`` iterations from ``initial_state``
+        (array of shape (nwalkers, ndim), or None to continue)."""
+        if initial_state is None:
+            if not hasattr(self, "_pos_internal"):
+                raise ValueError("no previous state; provide initial_state")
+            x = self._pos_internal
+            logp = self._logp_internal
+        else:
+            pos = np.ascontiguousarray(np.asarray(initial_state, float))
+            if pos.shape != (self.nwalkers, self.ndim):
+                raise ValueError(f"initial_state must have shape {(self.nwalkers, self.ndim)}")
+            x = jnp.asarray(pos.reshape(2, self._half, self.ndim), dtype=self._dtype)
+            logp = self.batched_logp(x.reshape(-1, self.ndim)).reshape(2, self._half)
+            if not skip_initial_state_check and not bool(jnp.all(jnp.isfinite(logp))):
+                bad = int(jnp.sum(~jnp.isfinite(logp)))
+                raise ValueError(f"{bad} walkers have non-finite initial log-probability")
+
+        if progress:
+            desc = (progress_kwargs or {}).get("desc", "Sampling")
+            print(f"{desc.strip()}: {nsteps} steps x {self.nwalkers} walkers "
+                  f"(single compiled scan)")
+
+        self._key, subkey = jr.split(self._key)
+        keys = jr.split(subkey, nsteps * thin_by)
+        run = self._compiled_run(nsteps, thin_by)
+        x, logp, xs, logps, accepts = run(x, logp, keys)
+
+        # host-side bookkeeping (chain layout: steps-major like emcee get_chain)
+        xs = np.asarray(xs)                      # (nsteps, 2, half, ndim)
+        logps_np = np.asarray(logps)
+        accepts = np.asarray(accepts)
+        chain_block = xs.reshape(nsteps, self.nwalkers, self.ndim)
+        logp_block = logps_np.reshape(nsteps, self.nwalkers)
+        self._chain = np.concatenate([self._chain, chain_block])
+        self._logp = np.concatenate([self._logp, logp_block])
+        self._accepted += accepts.reshape(nsteps, self.nwalkers).sum(0)
+        self._nsteps_total += nsteps * thin_by
+
+        self._pos_internal = x
+        self._logp_internal = logp
+        pos = np.asarray(x).reshape(self.nwalkers, self.ndim)
+        return pos, np.asarray(logp).reshape(self.nwalkers), None
+
+    sample = run_mcmc
+
+    # ------------------------------------------------------------- accessors
+    def get_chain(self, flat=False, thin=1, discard=0):
+        c = self._chain[discard::thin]
+        if flat:
+            return c.reshape(-1, self.ndim)
+        return c
+
+    def get_log_prob(self, flat=False, thin=1, discard=0):
+        lp = self._logp[discard::thin]
+        return lp.reshape(-1) if flat else lp
+
+    @property
+    def chain(self):
+        """(nwalkers, nsteps, ndim), emcee's legacy layout (used by the
+        reference's chain-history plots, fitting.py:139)."""
+        return np.swapaxes(self._chain, 0, 1)
+
+    @property
+    def flatchain(self):
+        return self.get_chain(flat=True)
+
+    @property
+    def lnprobability(self):
+        return np.swapaxes(self._logp, 0, 1)
+
+    @property
+    def flatlnprobability(self):
+        return self._logp.reshape(-1)
+
+    @property
+    def acceptance_fraction(self):
+        n = max(self._nsteps_total, 1)
+        return self._accepted / n
+
+    def get_autocorr_time(self, **kwargs):
+        """Integrated autocorrelation time per parameter (Sokal's adaptive
+        windowing, as in emcee.autocorr). Diagnostics the reference never
+        exposes (SURVEY.md §5 'add them')."""
+        return np.array([_integrated_autocorr(self._chain[:, :, d])
+                         for d in range(self.ndim)])
+
+
+def _next_pow_two(n):
+    i = 1
+    while i < n:
+        i <<= 1
+    return i
+
+
+def _autocorr_func_1d(x):
+    x = np.atleast_1d(np.asarray(x, float))
+    n = _next_pow_two(len(x))
+    f = np.fft.fft(x - np.mean(x), n=2 * n)
+    acf = np.fft.ifft(f * np.conjugate(f))[: len(x)].real
+    if acf[0] == 0:
+        return np.zeros_like(acf)
+    return acf / acf[0]
+
+
+def _integrated_autocorr(chain_2d, c=5.0):
+    """chain_2d: (nsteps, nwalkers) for one parameter."""
+    f = np.zeros(chain_2d.shape[0])
+    for w in range(chain_2d.shape[1]):
+        f += _autocorr_func_1d(chain_2d[:, w])
+    f /= chain_2d.shape[1]
+    taus = 2.0 * np.cumsum(f) - 1.0
+    window = np.arange(len(taus)) >= c * taus
+    if np.any(window):
+        return taus[np.argmax(window)]
+    return taus[-1]

@@ -1,0 +1,203 @@
+"""Shock-cooling model zoo vs. an independent numpy mirror of the reference
+formulas (models.py:139-657), evaluated with native-grid trapezoids."""
+
+import numpy as np
+import pytest
+
+from lightcurve_fitting_tpu import filters as ft
+from lightcurve_fitting_tpu.core.constants import k_B, c3, c1, c2, c4
+from lightcurve_fitting_tpu.models.shock_cooling import (
+    ShockCooling, ShockCooling2, ShockCooling3, ShockCooling4)
+from lightcurve_fitting_tpu.models.priors import (
+    UniformPrior, LogUniformPrior, GaussianPrior, KDEPrior)
+
+
+def np_power(base, exp):
+    out = np.zeros(np.broadcast(base, exp).shape)
+    pos = np.broadcast_to(base, out.shape) > 0
+    return np.power(base, exp, out=out, where=pos)
+
+
+def np_planck(nu, T, R):
+    with np.errstate(over="ignore"):
+        return c2 * R ** 2 * nu ** 3 * np_power(np.expm1(c1 * nu * np_power(T, -1.0)), -1.0)
+
+
+def np_synth(filt, T, R, z):
+    """Native-grid trapezoid band average, mirroring reference filters.py:288-310."""
+    trans = filt.trans
+    freq = np.asarray(trans["freq"], float)
+    tnorm = np.asarray(trans["T_norm_per_freq"], float)
+    lnu = np_planck(freq * (1 + z), T, R)
+    return np.trapezoid(lnu * tnorm, freq)
+
+
+def np_sc2_tr(t, T_1, L_1, t_tr, t_exp, a=1.67, alpha=0.8, eps_T=2 * 0.027 - 0.5, eps_L=-2 * 0.086):
+    tt = np.asarray(t) - t_exp
+    T_K = T_1 * np_power(tt, eps_T)
+    L = L_1 * np.exp(-np_power(a * tt / t_tr, alpha)) * np_power(tt, eps_L) * 1e42
+    R_bb = c3 * L ** 0.5 * np_power(T_K, -2.0)
+    return T_K, R_bb
+
+
+FILTS = [ft.filtdict[n] for n in ["U", "B", "V", "g", "r", "i"]]
+
+
+def test_shockcooling2_pointwise_vs_numpy_mirror():
+    m = ShockCooling2(redshift=0.002)
+    t = np.linspace(1.0, 10.0, 12)
+    f = np.array(FILTS * 2)
+    p = (10.0, 2.0, 40.0, 0.5)
+    y = m(t, f, *p)
+    T_K, R_bb = np_sc2_tr(t, *p)
+    y_ref = np.array([np_synth(fi, Ti, Ri, 0.002) for fi, Ti, Ri in zip(f, T_K, R_bb)])
+    assert y.shape == (12,)
+    np.testing.assert_allclose(y, y_ref, rtol=1e-9)
+
+
+def test_shockcooling2_outer_mode_shapes():
+    m = ShockCooling2()
+    t = np.linspace(1.0, 10.0, 50)
+    ufilts = np.array(FILTS)
+    # scalar params -> (B, N)
+    y = m(t, ufilts, 10.0, 2.0, 40.0, 0.5)
+    assert y.shape == (6, 50)
+    # vector params (posterior draws) -> (B, N, W) like the reference broadcasting
+    W = 7
+    ps = [np.full(W, 10.0), np.full(W, 2.0), np.full(W, 40.0), np.full(W, 0.5)]
+    yv = m(t, ufilts, *ps)
+    assert yv.shape == (6, 50, W)
+    np.testing.assert_allclose(yv[..., 3], y, rtol=1e-12)
+
+
+def test_shockcooling1_vs_numpy_mirror():
+    m = ShockCooling(redshift=0.0)
+    t = np.linspace(2.0, 8.0, 6)
+    f = np.array(FILTS)
+    v_s, M_env, f_rho_M, R, t_exp = 1.0, 1.0, 10.0, 1.0, 0.5
+    y = m(t, f, v_s, M_env, f_rho_M, R, t_exp)
+    # numpy mirror of models.py:231-269 (n=1.5 coefficients)
+    tt = t - t_exp
+    L_RW = 2.0e42 * np_power(tt ** 2 * v_s / f_rho_M, -0.086) * v_s ** 2 * R
+    t_tr = 19.5 * (M_env / v_s) ** 0.5
+    L = L_RW * 0.94 * np.exp(-np_power(1.67 * tt / t_tr, 0.8))
+    T_ph = 1.61 * np_power(tt ** 2 * v_s ** 2 / f_rho_M, 0.027) * np_power(tt, -0.5) * R ** 0.25
+    T_K = T_ph * 1.1 / k_B
+    R_bb = c3 * L ** 0.5 * np_power(T_K, -2.0)
+    y_ref = np.array([np_synth(fi, Ti, Ri, 0.0) for fi, Ti, Ri in zip(f, T_K, R_bb)])
+    np.testing.assert_allclose(y, y_ref, rtol=1e-9)
+
+
+def test_shockcooling_validity_times():
+    p = [1.2, 1.0, 10.0, 2.0, 57468.0]
+    m = ShockCooling()
+    tmin = m.t_min(p)
+    tmax = m.t_max(p)
+    assert tmin == pytest.approx(0.2 * 2.0 / 1.2 * max(0.5, 2.0 ** 0.4 * 10.0 ** -0.2 * 1.2 ** -0.7) + 57468.0)
+    assert tmax == pytest.approx(7.4 * 2.0 ** 0.55 + 57468.0)
+    m2 = ShockCooling2()
+    assert m2.t_min([15.0, 2.0, 40.0, 57468.0]) is NotImplemented
+    assert m2.t_max([15.0, 2.0, 40.0, 57468.0]) == pytest.approx(
+        (8.12 / 15.0) ** (1.0 / (2 * 0.027 - 0.5)) + 57468.0)
+
+
+def test_shockcooling3_flux_and_ebv():
+    m = ShockCooling3(redshift=0.01)
+    t = np.linspace(2.0, 8.0, 6)
+    f = np.array(FILTS)
+    y0 = m(t, f, 1.0, 1.0, 10.0, 1.0, 40.0, 0.0, 0.5)
+    y1 = m(t, f, 1.0, 1.0, 10.0, 1.0, 40.0, 0.3, 0.5)
+    assert y0.shape == (6,)
+    assert np.all(y1 < y0)  # extinction dims every band
+    # distance scaling: flux ~ 1/d^2
+    y2 = m(t, f, 1.0, 1.0, 10.0, 1.0, 80.0, 0.0, 0.5)
+    np.testing.assert_allclose(y2, y0 / 4.0, rtol=1e-12)
+    # flux = c4 * lum / d^2 against ShockCooling with same params
+    msc = ShockCooling(redshift=0.01)
+    lum = msc(t, f, 1.0, 1.0, 10.0, 1.0, 0.5)
+    np.testing.assert_allclose(y0, c4 * lum / 40.0 ** 2, rtol=1e-12)
+
+
+def test_shockcooling4_suppressed_blackbody():
+    m = ShockCooling4()
+    t = np.linspace(1.0, 5.0, 10)
+    f = np.array(FILTS + FILTS)[:10]
+    y = m(t, f, 1.0, 1.0, 10.0, 1.0, 0.3)
+    assert y.shape == (10,)
+    assert np.all(np.isfinite(y)) and np.all(y >= 0)
+    # before explosion: zero luminosity, not NaN
+    y_pre = m(np.array([0.1, 0.2]), np.array(FILTS[:2]), 1.0, 1.0, 10.0, 1.0, 0.3)
+    assert np.all(y_pre == 0.0)
+    # validity window
+    assert m.t_min([1.0, 1.0, 10.0, 2.0, 5.0]) == pytest.approx(0.012 * 2.0 + 5.0)
+    tmax = m.t_max([1.0, 1.0, 10.0, 2.0, 5.0])
+    assert tmax == pytest.approx(min(6.86 * 2 ** 0.56 * 1.0 * 10 ** -0.06, 19.5 / 2.0) + 5.0)
+
+
+def test_negative_phase_is_zero_not_nan():
+    m = ShockCooling2()
+    y = m(np.array([-5.0, -1.0]), np.array(FILTS[:2]), 10.0, 2.0, 40.0, 0.0)
+    assert np.all(y == 0.0)
+
+
+def test_log_likelihood_formula():
+    """Gaussian log-likelihood incl. intrinsic-scatter variants
+    (reference models.py:93-136)."""
+    from lightcurve_fitting_tpu.utils.table import Table
+    m = ShockCooling2()
+    t = np.linspace(1.0, 10.0, 12)
+    f = np.array(FILTS * 2)
+    p = (10.0, 2.0, 40.0, 0.5)
+    y_true = m(t, f, *p)
+    rng = np.random.default_rng(0)
+    dy = 0.05 * y_true
+    y = y_true + rng.normal(scale=dy)
+    lc = Table([t, f, y, dy], names=["MJD", "filter", "lum", "dlum"])
+    ll = m.log_likelihood(lc, p)
+    expected = -0.5 * np.sum(np.log(2 * np.pi * dy ** 2) + ((y - y_true) / dy) ** 2)
+    assert ll == pytest.approx(expected, rel=1e-9)
+    # relative sigma
+    ll_s = m.log_likelihood(lc, list(p) + [2.0], use_sigma=True)
+    s2 = dy ** 2 + (2.0 * dy) ** 2
+    exp_s = -0.5 * np.sum(np.log(2 * np.pi * s2) + (y - y_true) ** 2 / s2)
+    assert ll_s == pytest.approx(exp_s, rel=1e-9)
+    # absolute sigma
+    ll_a = m.log_likelihood(lc, list(p) + [2.0], use_sigma=True, sigma_type="absolute")
+    s2 = dy ** 2 + (2.0 * np.median(dy)) ** 2
+    exp_a = -0.5 * np.sum(np.log(2 * np.pi * s2) + (y - y_true) ** 2 / s2)
+    assert ll_a == pytest.approx(exp_a, rel=1e-9)
+    with pytest.raises(Exception):
+        m.log_likelihood(lc, p, sigma_type="bogus")
+
+
+def test_priors():
+    up = UniformPrior(0.0, 10.0)
+    assert up(5.0) == 0.0
+    assert up(-1.0) == -np.inf
+    lp = LogUniformPrior(1e-3, 10.0)
+    assert float(lp(2.0)) == pytest.approx(-np.log(2.0))
+    assert lp(0.0) == -np.inf
+    with pytest.raises(ValueError):
+        LogUniformPrior(-1.0, 1.0)
+    gp = GaussianPrior(-10, 10, mean=1.0, stddev=2.0)
+    assert float(gp(3.0)) == pytest.approx(-0.5)
+    assert gp(11.0) == -np.inf
+    # KDE prior approximates the scipy gaussian_kde logpdf
+    from scipy.stats import gaussian_kde
+    rng = np.random.default_rng(1)
+    samp = rng.normal(5.0, 1.5, size=400)
+    kde = KDEPrior(samp)
+    ref = gaussian_kde(samp)
+    for x in [3.0, 5.0, 7.0]:
+        assert float(kde(x)) == pytest.approx(float(ref.logpdf(x)[0]), abs=0.02)
+
+
+def test_axis_labels_and_format_unit():
+    m = ShockCooling2()
+    labels = m.axis_labels
+    assert len(labels) == 4
+    assert "T_1" in labels[0] and "kK" in labels[0]
+    assert "10^{42}" in labels[1]
+    m3 = ShockCooling3()
+    assert "Mpc" in m3.axis_labels[4]
+    assert "mag" in m3.axis_labels[5]

@@ -1,0 +1,102 @@
+"""Statistical validation of the stretch-move ensemble sampler on targets with
+known posteriors (SURVEY.md §4: verification is statistical, 1 sigma / sqrt(N))."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from lightcurve_fitting_tpu.parallel.sampler import EnsembleSampler
+
+
+def test_gaussian_target_moments():
+    """Correlated 3-D Gaussian: recovered mean/cov within Monte Carlo error."""
+    mean = np.array([1.0, -2.0, 0.5])
+    A = np.array([[1.0, 0.3, 0.0], [0.3, 2.0, -0.4], [0.0, -0.4, 0.5]])
+    cov = A @ A.T
+    icov = jnp.asarray(np.linalg.inv(cov))
+    mu = jnp.asarray(mean)
+
+    def logp(p):
+        d = p - mu
+        return -0.5 * d @ icov @ d
+
+    nwalkers = 64
+    s = EnsembleSampler(nwalkers, 3, logp, seed=42)
+    rng = np.random.default_rng(0)
+    p0 = mean + rng.normal(size=(nwalkers, 3))
+    pos, lp, _ = s.run_mcmc(p0, 500)
+    s.reset()
+    s.run_mcmc(pos, 3000, skip_initial_state_check=True)
+
+    flat = s.flatchain
+    assert flat.shape == (3000 * nwalkers, 3)
+    tau = s.get_autocorr_time()
+    n_eff = flat.shape[0] / np.max(tau)
+    # means within 5 sigma_MC
+    se = np.sqrt(np.diag(cov) / n_eff)
+    np.testing.assert_allclose(flat.mean(0), mean, atol=5 * se.max())
+    # covariance within 10%
+    np.testing.assert_allclose(np.cov(flat.T), cov, rtol=0.15, atol=0.05)
+    # acceptance in the healthy range for a=2 on a Gaussian
+    af = s.acceptance_fraction
+    assert af.shape == (nwalkers,)
+    assert 0.2 < af.mean() < 0.9
+
+
+def test_bounded_target_rejects_outside():
+    """Hard bounds via -inf: samples never leave the support."""
+    def logp(p):
+        inb = (p[0] > 0.0) & (p[0] < 1.0) & (p[1] > 0.0) & (p[1] < 1.0)
+        return jnp.where(inb, 0.0, -jnp.inf)
+
+    s = EnsembleSampler(32, 2, logp, seed=1)
+    p0 = np.random.default_rng(2).uniform(0.2, 0.8, size=(32, 2))
+    s.run_mcmc(p0, 500)
+    flat = s.flatchain
+    assert flat.min() >= 0.0 and flat.max() <= 1.0
+    # uniform target: mean ~ 0.5
+    np.testing.assert_allclose(flat.mean(0), [0.5, 0.5], atol=0.05)
+
+
+def test_invalid_initial_state_raises():
+    def logp(p):
+        return jnp.where(p[0] > 0, 0.0, -jnp.inf)
+
+    s = EnsembleSampler(8, 1, logp, seed=0)
+    bad = -np.ones((8, 1))
+    with pytest.raises(ValueError, match="non-finite"):
+        s.run_mcmc(bad, 10)
+    # but skip_initial_state_check tolerates it (reference fitting.py:145)
+    s.run_mcmc(np.abs(bad), 10, skip_initial_state_check=True)
+
+
+def test_chain_layouts_match_emcee_conventions():
+    def logp(p):
+        return -0.5 * jnp.sum(p ** 2)
+
+    s = EnsembleSampler(10, 2, logp, seed=3)
+    p0 = np.random.default_rng(3).normal(size=(10, 2))
+    pos, lp, _ = s.run_mcmc(p0, 25)
+    assert pos.shape == (10, 2)
+    assert lp.shape == (10,)
+    assert s.chain.shape == (10, 25, 2)          # legacy emcee layout
+    assert s.get_chain().shape == (25, 10, 2)    # emcee 3 layout
+    assert s.flatchain.shape == (250, 2)
+    # chains accumulate across runs; reset clears
+    s.run_mcmc(None, 5)
+    assert s.chain.shape == (10, 30, 2)
+    s.reset()
+    assert s.flatchain.shape == (0, 2)
+
+
+def test_reproducible_with_seed():
+    def logp(p):
+        return -0.5 * jnp.sum(p ** 2)
+
+    chains = []
+    for _ in range(2):
+        s = EnsembleSampler(16, 2, logp, seed=7)
+        p0 = np.random.default_rng(5).normal(size=(16, 2))
+        s.run_mcmc(p0, 50)
+        chains.append(s.flatchain)
+    np.testing.assert_array_equal(chains[0], chains[1])
