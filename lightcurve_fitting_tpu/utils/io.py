@@ -47,10 +47,23 @@ def read_table(cls, filepath, format="ascii", fill_values=None, names=None, deli
     header = None
     data_start = 0
     first = _split_line(lines[0], delimiter)
-    # fixed_width_two_line: second line is all dashes
+    # fixed_width_two_line: second line is all dashes; the dash runs define the
+    # column spans (values may contain spaces, e.g. 'Las Cumbres')
     if len(lines) > 1 and re.fullmatch(r"[-\s]+", lines[1]) and "-" in lines[1]:
-        header = first
-        data_start = 2
+        spans = []
+        start = None
+        for i, ch in enumerate(lines[1] + " "):
+            if ch == "-" and start is None:
+                start = i
+            elif ch != "-" and start is not None:
+                spans.append((start, i))
+                start = None
+        def cut(line):
+            n = len(line)
+            return [line[min(a, n):b].strip() for a, b in spans]
+        header = [h for h in cut(lines[0])]
+        rows = [cut(ln) for ln in lines[2:]]
+        return _build_table(cls, header, rows, fill_values, comments)
     elif names is not None:
         header = list(names)
         # if the first line looks like a header matching names, skip it
@@ -68,7 +81,10 @@ def read_table(cls, filepath, format="ascii", fill_values=None, names=None, deli
     for r in rows:
         if len(r) != ncol:
             raise ValueError(f"row has {len(r)} fields, expected {ncol}: {r}")
+    return _build_table(cls, header, rows, fill_values, comments)
 
+
+def _build_table(cls, header, rows, fill_values, comments):
     if fill_values is None:
         fill_list = []
     elif fill_values and isinstance(fill_values[0], str):

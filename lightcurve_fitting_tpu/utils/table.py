@@ -123,13 +123,17 @@ def _coerce_column(data, name=None, dtype=None, length=None):
         col = data.copy()
         col.name = name if name is not None else col.name
         return col
-    if np.isscalar(data) or data is None or isinstance(data, (str, bytes, np.generic)):
+    is_scalar = (np.isscalar(data) or data is None or isinstance(data, (str, bytes, np.generic))
+                 or (not isinstance(data, (list, tuple, np.ndarray)) and np.ndim(data) == 0))
+    if is_scalar:
         if length is None:
             length = 1
         if data is None:
             arr = np.ma.MaskedArray(np.zeros(length), mask=True)
-        else:
+        elif np.isscalar(data) or isinstance(data, (str, bytes, np.generic)):
             arr = np.ma.MaskedArray([data] * length)
+        else:  # arbitrary object (e.g. a Filter): broadcast into an object column
+            arr = np.ma.MaskedArray(np.array([data] * length, dtype=object))
         return Column(arr, name=name, dtype=dtype)
     if isinstance(data, np.ma.MaskedArray):
         return Column(data, name=name, dtype=dtype)
@@ -218,6 +222,9 @@ class Table:
 
     def keys(self):
         return self.colnames
+
+    def values(self):
+        return list(self.columns.values())
 
     def __len__(self):
         if not self.columns:

@@ -211,12 +211,22 @@ def main():
                         names=np.array(names), table=data)
     print(f"sifto: {data.shape} cols={names}")
 
-    # example photometry -> CSV
+    # example photometry -> CSV (fixed-width two-line source: column spans come
+    # from the dashes row; values like "Las Cumbres" contain spaces)
     ex_path = os.path.join(REF, "example", "SN2016bkv.txt")
     with open(ex_path) as f:
         lines = [ln for ln in f.read().splitlines() if ln.strip()]
-    header = lines[0].split()
-    rows = [ln.split() for ln in lines[2:]]  # skip dashes row
+    dashes = lines[1]
+    spans = []
+    start = None
+    for i, ch in enumerate(dashes + " "):
+        if ch == "-" and start is None:
+            start = i
+        elif ch != "-" and start is not None:
+            spans.append((start, i))
+            start = None
+    header = [lines[0][a:b].strip() for a, b in spans]
+    rows = [[ln[a:b].strip() for a, b in spans] for ln in lines[2:]]
     with open(os.path.join(OUT, "SN2016bkv.csv"), "w") as f:
         f.write(",".join(header) + "\n")
         for r in rows:
