@@ -81,14 +81,20 @@ class Unit:
     def __mul__(self, other):
         if isinstance(other, (int, float, np.floating, np.ndarray)):
             return Quantity(other, self)
+        if isinstance(other, Quantity):
+            return Quantity(other.value, self * other.unit)
         return self._combine(other, +1)
 
     def __rmul__(self, other):
         if isinstance(other, (int, float, np.floating, np.ndarray)):
             return Quantity(other, self)
+        if isinstance(other, Quantity):
+            return Quantity(other.value, other.unit * self)
         return Unit.parse(other)._combine(self, +1)
 
     def __truediv__(self, other):
+        if isinstance(other, Quantity):
+            return Quantity(1.0 / other.value, self / other.unit)
         return self._combine(other, -1)
 
     def __rtruediv__(self, other):

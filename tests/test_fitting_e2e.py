@@ -1,0 +1,147 @@
+"""End-to-end: ShockCooling2 fit of SN 2016bkv, mirroring the reference's
+documented workflow (docs/source/usage.rst:174-214 and the bundled notebook),
+plus posterior cross-validation against an independent numpy Metropolis-Hastings
+sampler on the same log-posterior (the reference itself cannot run here, so the
+parity check is JAX-ensemble vs numpy-MH agreement in distribution)."""
+
+import os
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+import pytest
+
+from lightcurve_fitting_tpu.lightcurve import LC
+from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+from lightcurve_fitting_tpu.fitting import (lightcurve_mcmc, lightcurve_corner,
+                                            format_credible_interval, make_log_posterior)
+
+EXAMPLE = os.path.join(os.path.dirname(__file__), "..",
+                       "lightcurve_fitting_tpu", "data", "SN2016bkv.csv")
+
+PRIORS = [UniformPrior(0.0, 100.0), UniformPrior(0.0, 100.0), UniformPrior(0.0, 100.0),
+          UniformPrior(57468.0, 57468.7)]
+P_LO = [20.0, 2.0, 20.0, 57468.5]
+P_UP = [50.0, 5.0, 50.0, 57468.7]
+
+
+def load_early_lc():
+    lc = LC.read(EXAMPLE)
+    lc.meta["dm"] = 30.79
+    lc.meta["extinction"] = {
+        "U": 0.069, "B": 0.061, "g": 0.055, "V": 0.045, "0": 0.035,
+        "r": 0.038, "R": 0.035, "i": 0.028, "I": 0.020,
+    }
+    lc.meta["redshift"] = 0.002
+    lc.calcAbsMag()
+    lc.calcLum()
+    return lc.where(MJD_min=57468.0, MJD_max=57485.0)
+
+
+@pytest.fixture(scope="module")
+def fit():
+    lc_early = load_early_lc()
+    model = ShockCooling2(lc_early)
+    sampler = lightcurve_mcmc(lc_early, model, priors=PRIORS, p_lo=P_LO, p_up=P_UP,
+                              nwalkers=20, nsteps=400, nsteps_burnin=300, seed=11)
+    return lc_early, model, sampler
+
+
+def test_fit_converges_to_published_region(fit):
+    """H18 (SN 2016bkv) reports T1 ~ 20-30 kK, t_tr >~ 30 d, t_0 near 57468.5-57468.7.
+    Check the posterior lands in a physically sensible region."""
+    _, model, sampler = fit
+    flat = sampler.flatchain
+    assert flat.shape == (400 * 20, 4)
+    med = np.median(flat, axis=0)
+    assert 5.0 < med[0] < 80.0        # T_1 (kK)
+    assert 0.1 < med[1] < 50.0        # L_1 (1e42 erg/s)
+    assert 1.0 < med[2] < 100.0       # t_tr (d)
+    assert 57468.0 < med[3] < 57468.7  # t_0 within the prior window
+    # posterior respects the prior box
+    assert flat[:, 3].min() >= 57468.0 and flat[:, 3].max() <= 57468.7
+    # healthy acceptance
+    assert 0.1 < sampler.acceptance_fraction.mean() < 0.9
+
+
+def test_posterior_matches_independent_mh(fit):
+    """Cross-validate the ensemble posterior against a long numpy random-walk
+    Metropolis chain on the same log posterior (statistical 1sigma/sqrt(Neff))."""
+    lc_early, model, sampler = fit
+    logpost = make_log_posterior(model, lc_early, PRIORS)
+
+    def logpost_np(p):
+        return float(logpost(np.asarray(p)))
+
+    rng = np.random.default_rng(4)
+    x = np.median(sampler.flatchain, axis=0)
+    lp = logpost_np(x)
+    step = sampler.flatchain.std(axis=0)
+    samples = []
+    n_accept = 0
+    nsteps = 4000
+    for i in range(nsteps):
+        prop = x + rng.normal(size=4) * step
+        lp_prop = logpost_np(prop)
+        if np.log(rng.uniform()) < lp_prop - lp:
+            x, lp = prop, lp_prop
+            n_accept += 1
+        samples.append(x.copy())
+    mh = np.array(samples[500:])
+    assert n_accept / nsteps > 0.05
+
+    ens = sampler.flatchain
+    for d in range(4):
+        pooled_sd = np.sqrt(0.5 * (ens[:, d].var() + mh[:, d].var()))
+        # effective sample sizes are O(100); require agreement within ~5 joint SEs
+        diff = abs(ens[:, d].mean() - mh[:, d].mean())
+        assert diff < 0.5 * pooled_sd, (d, diff, pooled_sd)
+
+
+def test_validity_window_check(fit):
+    _, model, sampler = fit
+    p_mean = sampler.flatchain.mean(axis=0)
+    t_max = model.t_max(p_mean)
+    assert t_max > 57468.0  # a real date
+
+
+def test_corner_plot_and_credible_intervals(fit, tmp_path):
+    lc_early, model, sampler = fit
+    fig, corner_axes, ax = lightcurve_corner(lc_early, model, sampler.flatchain,
+                                             save_plot_as=str(tmp_path / "corner.png"))
+    assert corner_axes.shape == (4, 4)
+    assert os.path.exists(tmp_path / "corner.png")
+    plt.close("all")
+    texts = format_credible_interval(sampler.flatchain, varnames=model.input_names,
+                                     units=model.units)
+    assert len(texts) == 4
+    assert all("$" in t for t in texts)
+
+
+def test_guess_outside_prior_raises():
+    lc_early = load_early_lc()
+    model = ShockCooling2(lc_early)
+    with pytest.raises(Exception, match="outside prior"):
+        lightcurve_mcmc(lc_early, model, priors=PRIORS,
+                        p_lo=[-5.0, 2.0, 20.0, 57468.5], p_up=P_UP,
+                        nwalkers=10, nsteps=5, nsteps_burnin=5)
+
+
+def test_use_sigma_appends_parameter():
+    lc_early = load_early_lc()
+    model = ShockCooling2(lc_early)
+    sampler = lightcurve_mcmc(
+        lc_early, model,
+        priors=PRIORS + [UniformPrior(0.0, 10.0)],
+        p_lo=P_LO + [0.5], p_up=P_UP + [2.0],
+        nwalkers=12, nsteps=20, nsteps_burnin=20, use_sigma=True, seed=3)
+    assert model.input_names[-1] == "\\sigma"
+    assert sampler.flatchain.shape[1] == 5
+
+
+def test_format_credible_interval_values():
+    rng = np.random.default_rng(0)
+    x = rng.normal(5.0, 0.1, size=(10000, 1))
+    (text,) = format_credible_interval(x)
+    assert text.startswith("5.0")
