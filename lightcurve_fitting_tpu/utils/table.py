@@ -457,7 +457,9 @@ def vstack(tables, metadata_conflicts="warn"):
                 pieces.append(t[n])
             else:
                 ref = next(tt[n] for tt in tables if n in tt.columns)
-                filler = np.zeros(len(t), dtype=ref.dtype) if ref.dtype.kind != "O" else np.array([None] * len(t), object)
+                shape = (len(t),) + ref.shape[1:]
+                filler = (np.zeros(shape, dtype=ref.dtype) if ref.dtype.kind != "O"
+                          else np.full(shape, None, object))
                 pieces.append(np.ma.MaskedArray(filler, mask=True))
         stacked = np.ma.concatenate([np.ma.MaskedArray(p) for p in pieces])
         unit = next((t[n].unit for t in tables if n in t.columns and t[n].unit is not None), None)

@@ -1,0 +1,155 @@
+"""Bolometric pipeline: estimator unit checks and an end-to-end run over a few
+epochs of SN 2016bkv."""
+
+import os
+
+import matplotlib
+matplotlib.use("Agg")
+import matplotlib.pyplot as plt
+import numpy as np
+import pytest
+
+from lightcurve_fitting_tpu.lightcurve import LC
+from lightcurve_fitting_tpu.filters import filtdict
+from lightcurve_fitting_tpu import bolometric as bol
+from lightcurve_fitting_tpu.core.constants import sigma_sb
+
+EXAMPLE = os.path.join(os.path.dirname(__file__), "..",
+                       "lightcurve_fitting_tpu", "data", "SN2016bkv.csv")
+
+
+def load_lc():
+    lc = LC.read(EXAMPLE)
+    lc.meta["dm"] = 30.79
+    lc.meta["extinction"] = {
+        "U": 0.069, "B": 0.061, "g": 0.055, "V": 0.045, "0": 0.035,
+        "r": 0.038, "R": 0.035, "i": 0.028, "I": 0.020,
+    }
+    lc.meta["redshift"] = 0.002
+    return lc
+
+
+def test_stefan_boltzmann():
+    lum = bol.stefan_boltzmann(10.0, 5.0)
+    assert lum == pytest.approx(4 * np.pi * 25.0 * sigma_sb * 1e4)
+    lum2, dlum = bol.stefan_boltzmann(10.0, 5.0, 1.0, 0.5, 0.0)
+    assert lum2 == lum and dlum > 0
+
+
+def test_median_and_unc():
+    x = np.random.default_rng(0).normal(10.0, 2.0, size=20000)
+    med, lo, hi = bol.median_and_unc(x)
+    assert med == pytest.approx(10.0, abs=0.1)
+    assert lo == pytest.approx(2.0, abs=0.15)
+    assert hi == pytest.approx(2.0, abs=0.15)
+
+
+def test_pseudo_converges_to_full_bolometric():
+    """The U-to-I pseudobolometric integral must be less than the full
+    Stefan-Boltzmann luminosity but the same order of magnitude at ~8 kK."""
+    L_pseudo = bol.pseudo(8.0, 10.0, 0.0)
+    L_full = bol.stefan_boltzmann(8.0, 10.0)
+    assert 0.1 * L_full < L_pseudo < L_full
+
+
+def test_group_by_epoch():
+    lc = load_lc()
+    groups = bol.group_by_epoch(lc, res=1.0)
+    assert sum(len(g) for g in groups) == len(lc)
+    mjds = [np.median(np.asarray(g["MJD"], float)) for g in groups]
+    assert mjds == sorted(mjds)
+    # manual epoch column wins
+    lc2 = load_lc()
+    lc2["epoch"] = np.arange(len(lc2)) % 3
+    groups2 = bol.group_by_epoch(lc2, res=1.0)
+    assert len(groups2) == 3
+
+
+def test_blackbody_lstsq_recovers_truth():
+    """Synthetic SED from a known blackbody -> curve_fit recovers T, R."""
+    from lightcurve_fitting_tpu.models import planck_fast
+    filters = [filtdict[n] for n in ["U", "B", "V", "g", "r", "i"]]
+    T_true, R_true = 12.0, 8.0
+    freq = np.array([f.freq_eff.value for f in filters])
+    lum = planck_fast(freq, T_true, R_true)
+    epoch = LC([np.full(6, 57500.0), filters, freq, lum, 0.01 * lum],
+               names=["MJD", "filter", "freq", "lum", "dlum"])
+    temp, radius, dtemp, drad, L_bol, dL_bol, L_opt = bol.blackbody_lstsq(epoch, 0.0)
+    # band-averaged vs monochromatic fluxes differ slightly; few-% recovery
+    assert temp == pytest.approx(T_true, rel=0.05)
+    assert radius == pytest.approx(R_true, rel=0.05)
+    assert L_bol == pytest.approx(bol.stefan_boltzmann(temp, radius), rel=1e-6)
+
+
+def test_integrate_sed():
+    filters = [filtdict[n] for n in ["B", "V", "r"]]
+    freq = np.array([f.freq_eff.value for f in filters])
+    dfreq = np.array([f.dfreq.value for f in filters])
+    lum = np.array([1.0, 2.0, 1.5]) * 1e15
+    epoch = LC([np.full(3, 57500.0), filters, freq, dfreq, lum],
+               names=["MJD", "filter", "freq", "dfreq", "lum"])
+    L = bol.integrate_sed(epoch)
+    order = np.argsort(freq)
+    f_s, df_s, l_s = freq[order], dfreq[order], lum[order]
+    fr = np.concatenate([[f_s[0] - df_s[0]], f_s, [f_s[-1] + df_s[-1]]])
+    lm = np.concatenate([[0], l_s, [0]])
+    assert L == pytest.approx(np.trapezoid(lm, fr) * 1e12)
+
+
+@pytest.mark.parametrize("use_sigma", [False, True])
+def test_spectrum_mcmc_recovers_blackbody(use_sigma, tmp_path):
+    from lightcurve_fitting_tpu.models import planck_fast, UniformPrior, LogUniformPrior, GaussianPrior
+    filters = [filtdict[n] for n in ["U", "B", "V", "g", "r", "i"]]
+    T_true, R_true = 10.0, 12.0
+    freq = np.array([f.freq_eff.value for f in filters])
+    lum = np.array([f.synthesize(planck_fast, T_true, R_true) for f in filters])
+    rng = np.random.default_rng(1)
+    dlum = 0.03 * lum
+    epoch = LC([np.full(6, 57500.0), filters, freq, lum + rng.normal(scale=dlum), dlum],
+               names=["MJD", "filter", "freq", "lum", "dlum"])
+    priors = [UniformPrior(1.0, 100.0), LogUniformPrior(0.01, 1000.0)]
+    guesses = np.abs(rng.normal(size=(10, 2))) + [10.0, 10.0]
+    if use_sigma:
+        priors.append(GaussianPrior(0.0, 10.0))
+        guesses = np.append(guesses, np.abs(rng.normal(size=(10, 1))), axis=1)
+    sampler = bol.spectrum_mcmc(planck_fast, epoch, priors, guesses, outpath=str(tmp_path),
+                                nwalkers=10, burnin_steps=300, steps=200, seed=5,
+                                use_sigma=use_sigma,
+                                labels=["T", "R"] + (["sig"] if use_sigma else []))
+    med = np.median(sampler.flatchain, axis=0)
+    assert med[0] == pytest.approx(T_true, rel=0.15)
+    assert med[1] == pytest.approx(R_true, rel=0.15)
+    # corner pdf written
+    assert any(p.suffix == ".pdf" for p in tmp_path.iterdir())
+    plt.close("all")
+
+
+def test_calculate_bolometric_e2e(tmp_path):
+    lc = load_lc().where(MJD_min=57468.0, MJD_max=57474.0)
+    t0 = bol.calculate_bolometric(lc, outpath=str(tmp_path), res=1.0, nwalkers=10,
+                                  burnin_steps=100, steps=60, seed=7,
+                                  colors=["B-V", "g-r"], save_corners=False,
+                                  save_table_as=str(tmp_path / "bol.txt"))
+    assert len(t0) >= 3
+    # curve_fit and MCMC estimates agree at the tens-of-percent level
+    temp = np.asarray(t0["temp"], float)
+    temp_mcmc = np.asarray(t0["temp_mcmc"], float)
+    good = np.isfinite(temp) & np.isfinite(temp_mcmc)
+    assert good.any()
+    np.testing.assert_allclose(temp[good], temp_mcmc[good], rtol=0.5)
+    # luminosities positive and ordered sensibly: L_bol >= pseudobolometric L
+    L_bol = np.asarray(t0["L_bol"], float)[good]
+    L = np.asarray(t0["L"], float)[good]
+    assert np.all(L_bol > 0) and np.all(L > 0)
+    assert np.all(L_bol >= L * 0.9)
+    # deprecated aliases present
+    for old, new in bol.DEPRECATED_BOLOMETRIC_COLNAMES:
+        assert old in t0.colnames
+    # table saved
+    assert os.path.exists(tmp_path / "bol.txt")
+    # plots run
+    fig = bol.plot_bolometric_results(t0, xcol="MJD")
+    plt.close(fig)
+    fig = bol.plot_color_curves(t0)
+    plt.close(fig)
+    plt.close("all")
