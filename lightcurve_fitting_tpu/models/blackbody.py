@@ -48,11 +48,26 @@ def bandflux_pointwise(nodes_emit, weights, T, R, cutoff_freq=np.inf, k_ext=None
     ebv : traced scalar E(B-V)
 
     Returns (..., N) band-averaged L_nu in W/Hz.
+
+    The (..., N, K) Planck cube — the hot path — runs in
+    ``core.config.compute_dtype`` when set (float32 on TPU: full VPU rate,
+    ~1e-7 relative error); time/parameter arithmetic stays in ambient precision.
     """
+    from ..core import config
+    out_dtype = jnp.result_type(T)
+    dt = config.compute_dtype
+    if dt is not None:
+        nodes_emit = nodes_emit.astype(dt)
+        weights = weights.astype(dt)
+        T = T.astype(dt)
+        R = R.astype(dt)
     lnu = planck_lnu(nodes_emit, T[..., None], R[..., None], cutoff_freq)
     if k_ext is not None:
+        if dt is not None:
+            k_ext = k_ext.astype(dt)
+            ebv = jnp.asarray(ebv).astype(dt)
         lnu = lnu * jnp.exp(k_ext * ebv * (-0.4 * jnp.log(10.0)))
-    return jnp.sum(weights * lnu, axis=-1)
+    return jnp.sum(weights * lnu, axis=-1).astype(out_dtype)
 
 
 def bandflux_outer(nodes_emit, weights, T, R, cutoff_freq=np.inf, k_ext=None, ebv=0.0):

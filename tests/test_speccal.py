@@ -1,0 +1,134 @@
+"""Spectral calibration: FITS/ASCII reading, unit conversion, date heuristics,
+and photometric calibration round trip on synthetic data."""
+
+import os
+
+import matplotlib
+matplotlib.use("Agg")
+import numpy as np
+import pytest
+
+from lightcurve_fitting_tpu import speccal
+from lightcurve_fitting_tpu.utils.timeutil import Time
+from lightcurve_fitting_tpu.lightcurve import LC
+from lightcurve_fitting_tpu.filters import filtdict
+from lightcurve_fitting_tpu.models import planck_fast
+from lightcurve_fitting_tpu.core.constants import C_AA_THZ
+
+
+def _write_fits_spectrum(path, wl0, dwl, flux, extra_cards=()):
+    """Hand-roll a minimal FITS file: primary HDU with a linear wavelength WCS."""
+    flux = np.asarray(flux, ">f4")
+    cards = [
+        ("SIMPLE", "T"), ("BITPIX", "-32"), ("NAXIS", "1"),
+        ("NAXIS1", str(len(flux))),
+        ("CRVAL1", repr(float(wl0))), ("CRPIX1", "1.0"), ("CDELT1", repr(float(dwl))),
+        ("CUNIT1", "'Angstrom'"), ("BUNIT", "'erg/cm2/s/A'"),
+        ("TELESCOP", "'FLWO'"), ("INSTRUME", "'FAST'"),
+        ("MJD-OBS", "57475.25"),
+    ] + list(extra_cards)
+    header = b""
+    for k, v in cards:
+        card = f"{k:<8}= {v:>20} /".ljust(80)
+        header += card.encode()
+    header += b"END".ljust(80)
+    header += b" " * (2880 - len(header) % 2880 if len(header) % 2880 else 0)
+    data = flux.tobytes()
+    data += b"\0" * (2880 - len(data) % 2880 if len(data) % 2880 else 0)
+    with open(path, "wb") as f:
+        f.write(header + data)
+
+
+def test_time_roundtrip():
+    t = Time(57475.25, format="mjd")
+    assert t.mjd == 57475.25
+    assert t.jd == pytest.approx(2457475.75)
+    t2 = Time("2016-03-28T06:00:00")
+    assert t2.mjd == pytest.approx(57475.25)
+    assert Time(t2.jd, format="jd").mjd == pytest.approx(57475.25)
+    assert (t2 + 1.5).mjd == pytest.approx(57476.75)
+
+
+def test_readspec_fits(tmp_path):
+    wl = 3500.0 + 2.0 * np.arange(2000)
+    flam = 1e-15 * np.exp(-0.5 * ((wl - 5000) / 800.0) ** 2)
+    path = str(tmp_path / "spec_fast.fits")
+    _write_fits_spectrum(path, 3500.0, 2.0, flam)
+    x, y, date, tel, inst = speccal.readspec(path)
+    np.testing.assert_allclose(x, wl)
+    np.testing.assert_allclose(y, flam, rtol=1e-6)
+    assert date.mjd == pytest.approx(57475.25)
+    assert tel == "FLWO" and inst == "FAST"
+
+
+def test_readspec_ascii_date_from_filename(tmp_path):
+    wl = np.linspace(4000, 7000, 500)
+    flam = np.full(500, 2e-15)
+    path = str(tmp_path / "sn2016bkv_57480.txt")
+    np.savetxt(path, np.array([wl, flam]).T)
+    x, y, date, tel, inst = speccal.readspec(path)
+    assert date.mjd == pytest.approx(57480.0)
+    np.testing.assert_allclose(y, flam)
+
+
+def test_readspec_ascii_header_comments(tmp_path):
+    wl = np.linspace(4000, 7000, 100)
+    path = str(tmp_path / "someusefulspectrum.dat")
+    with open(path, "w") as f:
+        f.write("# MJD-OBS = 57481.5\n# TELESCOP = Keck\n")
+        for w in wl:
+            f.write(f"{w} 1.5e-15\n")
+    x, y, date, tel, inst = speccal.readspec(path)
+    assert date.mjd == pytest.approx(57481.5)
+    assert tel == "Keck"
+
+
+def test_convert_units_fnu():
+    wl = np.array([5000.0])
+    fnu_si = np.array([1e-26])  # W/m2/Hz = 1e3 erg/s/cm2/Hz
+    wl2, flam = speccal.convert_spectrum_units(wl, fnu_si, {"BUNIT": "W / (m2 Hz)"})
+    expected = 1e-26 * 2.99792458e18 / 5000.0 ** 2 * 1e3  # erg/s/cm2/A
+    assert flam[0] == pytest.approx(expected, rel=1e-6)
+
+
+def test_calibrate_spectra_roundtrip(tmp_path):
+    """A blackbody spectrum deliberately mis-scaled by 2.5x must come back with
+    scale ~2.5 and a photcal file matching the photometry."""
+    T_true, R_true = 9.0, 10.0
+    dm = 30.0
+    filters = [filtdict[n] for n in ["B", "V", "r"]]
+    # synthetic photometry: apparent flux of the blackbody at distance dm
+    d_scale = 10 ** (-dm / 2.5)
+    rows = []
+    for mjd in [57474.0, 57476.0]:
+        for f in filters:
+            lum = f.synthesize(planck_fast, T_true, R_true)
+            flux = lum * d_scale / (4 * np.pi * (10 * 3.0857e16) ** 2) * 1e26 * 0 + lum * d_scale
+            # keep it simple: fluxes in arbitrary consistent units via zero points
+            mag = -2.5 * np.log10(flux) + f.m0 + 0 if flux > 0 else 99
+            rows.append((mjd, -2.5 * np.log10(lum * d_scale) + f.m0, 0.02, f.name))
+    lc = LC([np.array([r[0] for r in rows]),
+             np.array([r[1] for r in rows]),
+             np.array([r[2] for r in rows]),
+             np.array([r[3] for r in rows])],
+            names=["MJD", "mag", "dmag", "filter"])
+    lc.filters_to_objects()
+
+    # spectrum: same blackbody L_nu converted to F_lambda/1e. scale error 1/2.5
+    wl = np.linspace(3500, 8000, 3000)  # angstrom
+    nu = C_AA_THZ / wl  # THz
+    lnu = planck_fast(nu, T_true, R_true)  # W/Hz
+    fnu = lnu * d_scale  # same units as the photometric flux
+    flam = fnu * (2.99792458e18) / wl ** 2 * 1e7 / 1e4 * 1e12 * 0 + fnu * (nu * 1e12) / wl  # erg/s/cm2/A-ish
+    # write F_lambda consistent with speccal's internal F_nu conversion:
+    # speccal computes Fnu = Flam*1e-3 * lam / (nu*1e12); invert that
+    flam_file = fnu * (nu * 1e12) / wl * 1e3
+    spec_path = str(tmp_path / "spec_57475.txt")
+    np.savetxt(spec_path, np.array([wl, flam_file / 2.5]).T)
+
+    speccal.calibrate_spectra([spec_path], lc, max_extrapolate=2.0)
+    out_path = str(tmp_path / "photcal_spec_57475.txt")
+    assert os.path.exists(out_path)
+    out = np.loadtxt(out_path)
+    ratio = np.median(out[:, 1] / (flam_file / 2.5))
+    assert ratio == pytest.approx(2.5, rel=0.05)
