@@ -713,10 +713,23 @@ def mag2flux(mag, dmag=np.nan, zp=0.0, nondet=None, nondetSigmas=3.0):
 
 def binflux(time, flux, dflux, delta=0.2, include_zero=True):
     """Greedy inverse-variance binning (reference lightcurve.py:944-1000),
-    including the zero/masked error-bar handling at lines 972-988."""
+    including the zero/masked error-bar handling at lines 972-988.
+
+    Dispatches to the native C++ kernel (utils/native) when available; the
+    numpy loop below is the reference fallback and the semantic spec."""
     time = np.ma.MaskedArray(time).astype(float)
     flux = np.ma.MaskedArray(flux).astype(float)
     dflux = np.ma.MaskedArray(dflux).astype(float)
+
+    if not (np.ma.getmaskarray(time).any() or np.ma.getmaskarray(flux).any()):
+        from .utils import native
+        d = np.ma.filled(dflux, np.nan)
+        bad = ((d == 0) | (d == 999) | (d == 9999) | (d == -1) | np.isnan(d)
+               | np.ma.getmaskarray(dflux))
+        result = native.binflux_native(np.ma.getdata(time), np.ma.getdata(flux),
+                                       np.where(bad, 1.0, d), bad, delta, include_zero)
+        if result is not None:
+            return result
     bin_time = []
     bin_flux = []
     bin_dflux = []
