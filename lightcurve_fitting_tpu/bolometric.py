@@ -449,14 +449,28 @@ def plot_bolometric_results(t0, save_plot_as=None, xcol=None, log=False):
     return fig
 
 
+class _FlatchainSampler:
+    """Minimal sampler shim so batched results feed the same downstream code
+    (KDE prior chaining, chain saving) as the sequential path."""
+
+    def __init__(self, flatchain):
+        self.flatchain = flatchain
+
+
 def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_steps=200,
                          steps=100, priors=None, save_table_as=None, min_nfilt=3,
                          cutoff_freq=np.inf, show=False, colors=None, do_mcmc=True,
                          save_chains=False, use_sigma=False, sigma_type="relative",
-                         also_group_by=(), seed=None, save_corners=True):
+                         also_group_by=(), seed=None, save_corners=True,
+                         batch_mode=False):
     """Full bolometric light curve from broadband photometry (reference
-    bolometric.py:648-832). Adds ``seed`` for reproducibility and
-    ``save_corners`` to skip per-epoch corner PDFs in batch runs."""
+    bolometric.py:648-832). Adds ``seed`` for reproducibility, ``save_corners``
+    to skip per-epoch corner PDFs, and ``batch_mode`` to run every multi-filter
+    epoch's MCMC concurrently in one jitted vmap on device (identical
+    statistics; starting guesses centered on the default p0 rather than the
+    previous epoch's curve_fit solution). Single-filter epochs always run
+    sequentially so the KDE temperature-prior chaining (reference :753-759)
+    is preserved."""
     if z:
         warnings.warn('The z keyword is deprecated. Include the redshift in `lc.meta["redshift"]` instead.')
     z = lc.meta.get("redshift", z)
@@ -493,19 +507,58 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
     finite = np.isfinite(np.ma.filled(np.ma.MaskedArray(lc["dmag"]).astype(float), np.nan))
     lc = lc[finite & np.ma.filled(np.ma.MaskedArray(lc["dmag"]) > 0.0, False)]
     rng = np.random.default_rng(seed)
+
+    groups = []
     for epoch1 in group_by_epoch(lc, res, also_group_by):
         epoch1.calcFlux()
         epoch1 = epoch1.bin(delta=np.inf)
         epoch1.calcMag()
         epoch1.calcAbsMag()
         epoch1.calcLum()
-
         epoch1["freq"] = np.array([f.freq_eff.value for f in epoch1["filter"]])
         epoch1["dfreq"] = np.array([f.dfreq.value for f in epoch1["filter"]])
         epoch1["freq"].unit = u.THz
         epoch1["lum"].unit = u.W / u.Hz
         epoch1["dlum"].unit = u.W / u.Hz
+        groups.append(epoch1)
 
+    # batch mode: fit all multi-filter epochs concurrently in one device call
+    batched_chains = {}
+    if batch_mode and do_mcmc:
+        from .parallel.batched import pack_epochs, batched_blackbody_mcmc
+        eligible = []
+        for i, ep in enumerate(groups):
+            nfilt_i = len(set(ep.where(nondet=False)["filter"]))
+            if nfilt_i >= min_nfilt and nfilt_i > 1:
+                eligible.append(i)
+        if eligible:
+            all_filts = sorted({f for i in eligible for f in groups[i]["filter"]})
+            bank = FilterBank(all_filts)
+            packed = pack_epochs([groups[i] for i in eligible], bank, z)
+            ndim = len(priors)
+            # center each epoch's walkers on its least-squares solution (the
+            # sequential path gets this for free via p0 chaining)
+            centers = np.empty((len(eligible), ndim))
+            T_range = (priors[0].p_min, priors[0].p_max)
+            R_range = (priors[1].p_min, priors[1].p_max)
+            for j, i in enumerate(eligible):
+                try:
+                    fit = blackbody_lstsq(groups[i], z, [10.0, 10.0], T_range, R_range,
+                                          cutoff_freq)
+                    centers[j, :2] = fit[0], fit[1]
+                except RuntimeError:
+                    centers[j, :2] = 10.0, 10.0
+                if use_sigma:
+                    centers[j, 2] = 1.0
+            guesses = rng.normal(size=(len(eligible), nwalkers, ndim)) + centers[:, None, :]
+            guesses[guesses <= 0.0] = 1.0
+            flat, _acc = batched_blackbody_mcmc(packed, priors, guesses, nwalkers,
+                                                burnin_steps, steps, cutoff_freq,
+                                                use_sigma, sigma_type,
+                                                seed=seed if seed is not None else 0)
+            batched_chains = {i: flat[j] for j, i in enumerate(eligible)}
+
+    for i_epoch, epoch1 in enumerate(groups):
         filts = set(epoch1.where(nondet=False)["filter"])
         nfilt = len(filts)
         if nfilt < min_nfilt:
@@ -545,12 +598,24 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
             if not do_mcmc:
                 raise ValueError("do_mcmc=False")
             spectrum_kwargs = {"cutoff_freq": cutoff_freq}
-            sampler = spectrum_mcmc(planck_fast, epoch1, priors, starting_guesses, z=z,
-                                    spectrum_kwargs=spectrum_kwargs, outpath=outpath,
-                                    nwalkers=nwalkers, burnin_steps=burnin_steps,
-                                    steps=steps, show=show, save_chains=save_chains,
-                                    use_sigma=use_sigma, sigma_type=sigma_type,
-                                    labels=labels, seed=seed, make_corner=save_corners)
+            if i_epoch in batched_chains:
+                sampler = _FlatchainSampler(batched_chains[i_epoch])
+                os.makedirs(outpath, exist_ok=True)
+                if save_chains:
+                    np.save(os.path.join(outpath, f"{mjdavg:.3f}.npy"), sampler.flatchain)
+                if save_corners:
+                    f4 = spectrum_corner(planck_fast, epoch1, sampler.flatchain, z,
+                                         spectrum_kwargs=spectrum_kwargs,
+                                         use_sigma=use_sigma, labels=labels,
+                                         save_plot_as=os.path.join(outpath, f"{mjdavg:.3f}.pdf"))
+                    plt.close(f4)
+            else:
+                sampler = spectrum_mcmc(planck_fast, epoch1, priors, starting_guesses, z=z,
+                                        spectrum_kwargs=spectrum_kwargs, outpath=outpath,
+                                        nwalkers=nwalkers, burnin_steps=burnin_steps,
+                                        steps=steps, show=show, save_chains=save_chains,
+                                        use_sigma=use_sigma, sigma_type=sigma_type,
+                                        labels=labels, seed=seed, make_corner=save_corners)
 
             L_bol_mcmc_samples = stefan_boltzmann(sampler.flatchain[:, 0], sampler.flatchain[:, 1])
             L_mcmc_samples = pseudo(sampler.flatchain[:, 0], sampler.flatchain[:, 1], z,

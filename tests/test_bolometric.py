@@ -153,3 +153,27 @@ def test_calculate_bolometric_e2e(tmp_path):
     fig = bol.plot_color_curves(t0)
     plt.close(fig)
     plt.close("all")
+
+
+def test_batch_mode_matches_sequential(tmp_path):
+    """Batched (vmapped-epochs) MCMC agrees statistically with the sequential
+    path on the same epochs."""
+    lc = load_lc().where(MJD_min=57468.0, MJD_max=57474.0)
+    kwargs = dict(res=1.0, nwalkers=10, burnin_steps=150, steps=100, seed=7,
+                  save_corners=False)
+    t_seq = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "a"), **kwargs)
+    t_bat = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "b"),
+                                     batch_mode=True, **kwargs)
+    assert len(t_seq) == len(t_bat)
+    for col in ["temp_mcmc", "radius_mcmc"]:
+        a = np.asarray(t_seq[col], float)
+        b = np.asarray(t_bat[col], float)
+        # posterior widths from the sequential run
+        sig = (np.asarray(t_seq[f"d{col}0"], float) + np.asarray(t_seq[f"d{col}1"], float))
+        good = np.isfinite(a) & np.isfinite(b)
+        assert good.any()
+        # medians agree within ~2x the posterior interval (short chains)
+        assert np.all(np.abs(a[good] - b[good]) < 2.0 * sig[good] + 0.1 * np.abs(a[good]))
+    # curve_fit columns identical (same host path)
+    np.testing.assert_allclose(np.asarray(t_seq["temp"], float),
+                               np.asarray(t_bat["temp"], float), rtol=1e-6)
