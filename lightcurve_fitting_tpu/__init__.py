@@ -1,5 +1,23 @@
 """lightcurve_fitting_tpu: a TPU-native (JAX/XLA) framework for fitting
 analytical supernova light-curve models, with the full capabilities of
-griffin-h/lightcurve_fitting redesigned for accelerator execution."""
+griffin-h/lightcurve_fitting redesigned for accelerator execution.
+
+Layout (mirrors the reference's layer map, SURVEY.md §1):
+  lightcurve  — LC table, photometric conversions, plotting (host)
+  filters     — filter registry, transmission curves, synthetic photometry
+  models      — analytical model zoo + priors (pure jax kernels)
+  fitting     — ensemble-MCMC fit driver, corner/model plots
+  bolometric  — per-epoch blackbody SED fits -> bolometric light curves
+  speccal     — spectra I/O and photometric calibration
+  ops         — device building blocks (FilterBank quadrature, F99, splines)
+  parallel    — stretch-move sampler, walker sharding, batched epoch fits
+  utils       — host substrate (table, units, cosmology, time, FITS, corner)
+"""
 
 __version__ = "0.1.0"
+
+from . import filters  # noqa: F401
+from . import models  # noqa: F401
+from .lightcurve import LC  # noqa: F401
+
+__all__ = ["LC", "filters", "models", "__version__"]

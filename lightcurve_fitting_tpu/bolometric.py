@@ -81,8 +81,14 @@ def _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, spectrum_kwargs,
     """Pure jax log-posterior for an SED fit. ``spectrum(nu, *params)`` is
     evaluated at the FilterBank's emitted-frame nodes; for the default
     ``planck_fast`` the jax kernel is substituted directly."""
-    y = jnp.asarray(np.asarray(epoch1["lum"], float))
-    dy = jnp.asarray(np.asarray(epoch1["dlum"], float))
+    y_np = np.asarray(epoch1["lum"], float)
+    dy_np = np.asarray(epoch1["dlum"], float)
+    # O(1) data scale for TPU float32-range safety (see models/base.py)
+    yscale = float(np.median(np.abs(y_np[y_np != 0]))) if np.any(y_np != 0) else 1.0
+    offset = -len(y_np) * np.log(yscale)
+    inv_yscale = 1.0 / yscale
+    y = jnp.asarray(y_np / yscale)
+    dy = jnp.asarray(dy_np / yscale)
     filters = list(epoch1["filter"])
     bank = FilterBank(sorted(set(filters)))
     ids = bank.band_ids(filters)
@@ -100,7 +106,7 @@ def _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, spectrum_kwargs,
     if sigma_type == "relative":
         sigma_units = dy
     elif sigma_type == "absolute":
-        sigma_units = jnp.asarray(float(np.median(np.asarray(epoch1["dlum"], float))))
+        sigma_units = jnp.asarray(float(np.median(dy_np)) / yscale)
     else:
         raise Exception('sigma_type must either be "relative" or "absolute"')
 
@@ -109,18 +115,16 @@ def _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, spectrum_kwargs,
         for i, prior in enumerate(priors):
             log_prior = log_prior + prior(p[i])
         n_model = p.shape[0] - (1 if use_sigma else 0)
-        if spectrum is planck_fast:
-            lnu = spec_fn(nodes, *[p[i] for i in range(n_model)])
-        else:
-            lnu = spec_fn(nodes, *[p[i] for i in range(n_model)])
+        lnu = spec_fn(nodes, *[p[i] for i in range(n_model)])
         if ext is not None:
             lnu = lnu * ext
-        y_fit = jnp.sum(weights * lnu, axis=-1)
+        y_fit = jnp.sum(weights * lnu, axis=-1) * inv_yscale
         if use_sigma:
             sigma2 = dy ** 2.0 + (p[-1] * sigma_units) ** 2.0
         else:
             sigma2 = dy ** 2.0
-        ll = -0.5 * jnp.sum(jnp.log(2 * jnp.pi * sigma2) + (y - y_fit) ** 2.0 / sigma2)
+        ll = -0.5 * jnp.sum(jnp.log(2 * jnp.pi * sigma2)
+                            + (y - y_fit) ** 2.0 / sigma2) + offset
         ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
         return jnp.where(jnp.isfinite(log_prior), log_prior + ll, -jnp.inf)
 

@@ -44,6 +44,13 @@ c3 = (4.0 * math.pi * SIGMA_SB_ERG_RSUN_KK) ** -0.5 / 1000.0
 # c4: flux = c4 * lum / d_Mpc^2  (reference models.py:12)
 c4 = 1.0 / (4.0 * math.pi * MPC ** 2)
 
+# TPU range safety: this TPU backend emulates float64 with float32 exponent
+# range (verified empirically: 1e42 -> inf, log(1e-64) -> -inf under jit), so
+# device-side intermediates must stay within ~[1e-38, 3e38]. Model kernels
+# therefore carry luminosity in units of 1e42 erg/s and split tiny constants:
+c3_42 = c3 * 1e21          # R_bb = c3_42 * sqrt(L / 1e42 erg/s) * T^-2
+c4_30 = c4 * 1e30          # flux = (lum * 1e-30) * c4_30 / d^2
+
 # c1: h nu / k_B T = c1 * nu[THz] / T[kK]  (reference models.py:1101)
 c1 = H_PLANCK / K_B_SI * THZ / KK
 

@@ -146,26 +146,38 @@ class Model:
         """Build a pure jax ``fn(p_vector) -> scalar`` log-likelihood over the
         given photometry arrays. This is the function the sampler vmaps over
         walkers (the reference evaluates it serially 2e5 times, fitting.py:133)."""
+        # normalize the data scale so all in-graph values are O(1): the TPU
+        # backend emulates float64 with float32 range, so raw flux units
+        # (~1e-30 W/m^2/Hz) or luminosities (~1e13 W/Hz) must not appear
+        # squared or logged. The log-likelihood changes by the constant
+        # -N log(yscale), which is added back.
+        y = np.asarray(y, float)
+        dy = np.asarray(dy, float)
+        yscale = float(np.median(np.abs(y[y != 0]))) if np.any(y != 0) else 1.0
+        offset = -len(y) * np.log(yscale)
+        inv_yscale = 1.0 / yscale
+
         if sigma_type == "relative":
-            sigma_units = jnp.asarray(np.asarray(dy, float))
+            sigma_units = jnp.asarray(dy / yscale)
         elif sigma_type == "absolute":
-            sigma_units = jnp.asarray(float(np.median(dy)))
+            sigma_units = jnp.asarray(float(np.median(dy)) / yscale)
         else:
             raise Exception('sigma_type must either be "relative" or "absolute"')
 
         quad = self.prepare_quad(f)
         t_dev = jnp.asarray(np.asarray(t, float))
-        y_dev = jnp.asarray(np.asarray(y, float))
-        dy_dev = jnp.asarray(np.asarray(dy, float))
+        y_dev = jnp.asarray(y / yscale)
+        dy_dev = jnp.asarray(dy / yscale)
 
         def ll(p):
             n_model = p.shape[0] - (1 if use_sigma else 0)  # static under jit
-            y_fit = self._eval_points(t_dev, quad, *[p[i] for i in range(n_model)])
+            y_fit = self._eval_points(t_dev, quad, *[p[i] for i in range(n_model)]) * inv_yscale
             if use_sigma:
                 sigma2 = dy_dev ** 2.0 + (p[-1] * sigma_units) ** 2.0
             else:
                 sigma2 = dy_dev ** 2.0
-            return -0.5 * jnp.sum(jnp.log(2 * jnp.pi * sigma2) + (y_dev - y_fit) ** 2.0 / sigma2)
+            return (-0.5 * jnp.sum(jnp.log(2 * jnp.pi * sigma2)
+                                   + (y_dev - y_fit) ** 2.0 / sigma2) + offset)
 
         return ll
 

@@ -8,7 +8,7 @@ see :class:`~lightcurve_fitting_tpu.models.base.Model` for the batching contract
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.constants import k_B, c3, c4
+from ..core.constants import k_B, c3, c3_42, c4, c4_30
 from ..ops.mathx import power
 from ..utils import units as u
 from .base import Model
@@ -68,14 +68,17 @@ class BaseShockCooling(Model):
         arrays; parameters may be scalars or vectors (numpy-style outer
         broadcasting, as in the reference)."""
         t = jnp.reshape(jnp.asarray(t_in, float), (-1, 1)) - t_exp
-        L_RW = self.L_0 * power(t ** 2 * v_s / (f_rho_M * kappa), -self.epsilon_2) * v_s ** 2 * R / kappa
+        # luminosity carried in units of 1e42 erg/s (TPU float64 emulation has
+        # float32 range; see core.constants)
+        L_RW_42 = (self.L_0 / 1e42) * power(t ** 2 * v_s / (f_rho_M * kappa),
+                                            -self.epsilon_2) * v_s ** 2 * R / kappa
         t_tr = 19.5 * (kappa * M_env / v_s) ** 0.5
-        L = L_RW * self.A * jnp.exp(-power(self.a * t / t_tr, self.alpha))
+        L_42 = L_RW_42 * self.A * jnp.exp(-power(self.a * t / t_tr, self.alpha))
         T_ph = (self.T_0 * power(t ** 2 * v_s ** 2 / (f_rho_M * kappa), self.epsilon_1)
                 * kappa ** -0.25 * power(t, -0.5) * R ** 0.25)
         T_col = T_ph * self.Tph_to_Tcol
         T_K = jnp.squeeze(T_col) / k_B
-        R_bb = c3 * jnp.squeeze(L) ** 0.5 * power(T_K, -2.0)
+        R_bb = c3_42 * jnp.squeeze(L_42) ** 0.5 * power(T_K, -2.0)
         return T_K, R_bb
 
     # default device path: blackbody through the per-point bands
@@ -133,16 +136,16 @@ class ShockCooling2(BaseShockCooling):
     def _tr_points(self, t, T_1, L_1, t_tr, t_exp=0.0):
         tt = jnp.asarray(t, float) - t_exp
         T_K = T_1 * power(tt, self.epsilon_T)
-        L = L_1 * jnp.exp(-power(self.a * tt / t_tr, self.alpha)) * power(tt, self.epsilon_L) * 1e42
-        R_bb = c3 * L ** 0.5 * power(T_K, -2.0)
+        L_42 = L_1 * jnp.exp(-power(self.a * tt / t_tr, self.alpha)) * power(tt, self.epsilon_L)
+        R_bb = c3_42 * L_42 ** 0.5 * power(T_K, -2.0)
         return T_K, R_bb
 
     def temperature_radius(self, t_in, T_1, L_1, t_tr, t_exp=0.0):
         t = jnp.reshape(jnp.asarray(t_in, float), (-1, 1)) - t_exp
         T_K = jnp.squeeze(T_1 * power(t, self.epsilon_T))
-        L = jnp.squeeze(L_1 * jnp.exp(-power(self.a * t / t_tr, self.alpha))
-                        * power(t, self.epsilon_L)) * 1e42
-        R_bb = c3 * L ** 0.5 * power(T_K, -2.0)
+        L_42 = jnp.squeeze(L_1 * jnp.exp(-power(self.a * t / t_tr, self.alpha))
+                           * power(t, self.epsilon_L))
+        R_bb = c3_42 * L_42 ** 0.5 * power(T_K, -2.0)
         return T_K, R_bb
 
     @staticmethod
@@ -169,7 +172,8 @@ class ShockCooling3(BaseShockCooling):
         T_K, R_bb = BaseShockCooling._tr_points(self, t, v_s, M_env, f_rho_M, R, t_exp)
         lum = bandflux_pointwise(quad["nodes"], quad["weights"], T_K, R_bb,
                                  k_ext=quad["k_ext"], ebv=ebv)
-        return c4 * lum / dist ** 2.0
+        # c4 ~ 8e-47 underflows the TPU's float32-range f64 emulation; split it
+        return ((lum * 1e-30) * c4_30) / dist ** 2.0
 
     @staticmethod
     def t_min(p, kappa=1.0):
@@ -207,18 +211,19 @@ class ShockCooling4(Model):
 
     def _tr_points(self, t, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=1.0):
         t_br = self.t_br_0 * R ** 1.26 * v_s ** -1.13 * f_rho_M ** -0.13        # Eq. A5
-        L_br = self.L_br_0 * R ** 0.78 * v_s ** 2.11 * f_rho_M ** 0.11 * kappa ** -0.89  # Eq. A6
+        L_br_42 = ((self.L_br_0 / 1e42) * R ** 0.78 * v_s ** 2.11 * f_rho_M ** 0.11
+                   * kappa ** -0.89)                                             # Eq. A6
         T_col_br = self.T_col_br_0 * R ** -0.32 * v_s ** 0.58 * f_rho_M ** 0.03 * kappa ** -0.22  # Eq. A7
         t_tr = self.t_tr_0 * jnp.sqrt(kappa * M_env / v_s)                     # Eq. A9
         tt = jnp.asarray(t, float) - t_exp
         ttilde = tt / t_br
-        L = L_br * (power(ttilde, -4.0 / 3.0)
-                    + self.A * jnp.exp(-power(self.a * tt / t_tr, self.alpha))
-                    * power(ttilde, -0.17))                                    # Eq. A1
+        L_42 = L_br_42 * (power(ttilde, -4.0 / 3.0)
+                          + self.A * jnp.exp(-power(self.a * tt / t_tr, self.alpha))
+                          * power(ttilde, -0.17))                              # Eq. A1
         T_col = T_col_br * jnp.minimum(0.97 * power(ttilde, -1.0 / 3.0),
                                        power(ttilde, -0.45))                   # Eq. A2
         T_K = T_col / k_B
-        R_bb = c3 * L ** 0.5 * power(T_K, -2.0)
+        R_bb = c3_42 * L_42 ** 0.5 * power(T_K, -2.0)
         return T_K, R_bb
 
     def temperature_radius(self, t_in, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=1.0):

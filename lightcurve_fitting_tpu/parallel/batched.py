@@ -44,8 +44,11 @@ def pack_epochs(epochs, bank, z=0.0):
         nodes[e, :nb] = emitted[ids]
         weights[e, :nb] = bank.weights[ids]
         nodes[e, nb:] = emitted[ids[0] if nb else 0][-1]
+    yscale = np.array([np.median(np.abs(yy[np.abs(yy) > 0])) if np.any(yy != 0) else 1.0
+                       for yy in y])
     return {"y": jnp.asarray(y), "dy": jnp.asarray(dy), "mask": jnp.asarray(mask),
-            "nodes": jnp.asarray(nodes), "weights": jnp.asarray(weights)}
+            "nodes": jnp.asarray(nodes), "weights": jnp.asarray(weights),
+            "yscale": jnp.asarray(yscale)}
 
 
 def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_steps,
@@ -68,12 +71,17 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
     half = nwalkers // 2
     E = packed["y"].shape[0]
 
-    def run_one(y_e, dy_e, mask_e, nodes_e, weights_e, guesses, key):
+    def run_one(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e, guesses, key):
+        # data normalized to O(1) per epoch (TPU float32-range safety); the
+        # dropped constant only shifts the posterior by a constant
+        inv_yscale = 1.0 / yscale_e
+        y_s = y_e * inv_yscale
+        dy_s = dy_e * inv_yscale
         if sigma_type == "relative":
-            sigma_units = dy_e
+            sigma_units = dy_s
         else:
             # median over real bands only
-            big = jnp.where(mask_e, dy_e, jnp.nan)
+            big = jnp.where(mask_e, dy_s, jnp.nan)
             sigma_units = jnp.nanmedian(big)
 
         def logpost(p):
@@ -81,12 +89,12 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
             for i, prior in enumerate(priors):
                 log_prior = log_prior + prior(p[i])
             lnu = planck_lnu(nodes_e, p[0], p[1], cutoff_freq)
-            y_fit = jnp.sum(weights_e * lnu, axis=-1)
+            y_fit = jnp.sum(weights_e * lnu, axis=-1) * inv_yscale
             if use_sigma:
-                sigma2 = dy_e ** 2.0 + (p[-1] * sigma_units) ** 2.0
+                sigma2 = dy_s ** 2.0 + (p[-1] * sigma_units) ** 2.0
             else:
-                sigma2 = dy_e ** 2.0
-            terms = jnp.log(2 * jnp.pi * sigma2) + (y_e - y_fit) ** 2.0 / sigma2
+                sigma2 = dy_s ** 2.0
+            terms = jnp.log(2 * jnp.pi * sigma2) + (y_s - y_fit) ** 2.0 / sigma2
             ll = -0.5 * jnp.sum(jnp.where(mask_e, terms, 0.0))
             ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
             return jnp.where(jnp.isfinite(log_prior), log_prior + ll, -jnp.inf)
@@ -102,5 +110,6 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
     keys = jr.split(jr.PRNGKey(seed), E)
     run_all = jax.jit(jax.vmap(run_one))
     flat, acc = run_all(packed["y"], packed["dy"], packed["mask"], packed["nodes"],
-                        packed["weights"], jnp.asarray(starting_guesses), keys)
+                        packed["weights"], packed["yscale"],
+                        jnp.asarray(starting_guesses), keys)
     return np.asarray(flat), np.asarray(acc)
