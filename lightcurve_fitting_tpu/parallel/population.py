@@ -1,0 +1,145 @@
+"""Population fitting: many transients fit concurrently on one device or a mesh.
+
+BASELINE.json config 5 ("100s of transients fit concurrently, walkers sharded
+over v5e-8"). Each transient gets its own stretch-move ensemble; transients are
+embarrassingly parallel, so the transient axis is vmapped on device and — when a
+mesh is given — sharded with ``shard_map`` with **zero** collectives (each chip
+fits its own transients; SURVEY.md §5: cross-host population fitting needs no
+inner communication).
+
+All transients must share a model *class* and prior structure; per-transient
+state (redshift, filter quadrature, SiFTO scalings) lives in the packed data.
+Photometry is padded to the widest transient with zero-weight masks.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+from jax.sharding import PartitionSpec as P
+from jax import shard_map
+
+from .sampler import make_stretch_kernel
+
+__all__ = ["pack_population", "fit_population"]
+
+
+def pack_population(models, lcs, use_sigma=False):
+    """Pack per-transient photometry + quadrature into dense padded arrays.
+
+    Parameters
+    ----------
+    models : list of Model instances (same class), one per light curve
+    lcs : list of LC tables with the columns the model's output_quantity needs
+
+    Returns
+    -------
+    dict of stacked arrays: t (S, N), y, dy, mask (S, N), and each quad entry
+    stacked over transients; plus 'yscale' (S,).
+    """
+    S = len(lcs)
+    N = max(len(lc) for lc in lcs)
+    oq = models[0].output_quantity
+    t = np.zeros((S, N))
+    y = np.zeros((S, N))
+    dy = np.ones((S, N))
+    mask = np.zeros((S, N), bool)
+    quads = []
+    for m, lc in zip(models, lcs):
+        n = len(lc)
+        t_i = np.asarray(lc["MJD"], float)
+        t[len(quads), :n] = t_i
+        y[len(quads), :n] = np.asarray(lc[oq], float)
+        dy[len(quads), :n] = np.asarray(lc["d" + oq], float)
+        mask[len(quads), :n] = True
+        quad = m.prepare_quad(np.asarray(lc["filter"]))
+        # pad each per-point quad array to N points by repeating the last row
+        padded = {}
+        for k, v in quad.items():
+            v = np.asarray(v)
+            if v.shape[:1] == (n,) and n < N:
+                pad = np.repeat(v[-1:], N - n, axis=0)
+                v = np.concatenate([v, pad], axis=0)
+            padded[k] = v
+        quads.append(padded)
+    stacked_quad = {k: jnp.asarray(np.stack([q[k] for q in quads])) for k in quads[0]}
+    yscale = np.array([np.median(np.abs(yy[mm])) if mm.any() else 1.0
+                       for yy, mm in zip(y, mask)])
+    return {"t": jnp.asarray(t), "y": jnp.asarray(y), "dy": jnp.asarray(dy),
+            "mask": jnp.asarray(mask), "quad": stacked_quad,
+            "yscale": jnp.asarray(yscale)}
+
+
+def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
+                   nsteps_burnin=500, use_sigma=False, sigma_type="relative",
+                   seed=0, mesh=None, axis_name="transients", a=2.0):
+    """Fit every light curve with its own ensemble, all in one device call.
+
+    Returns (flatchains (S, nsteps*nwalkers, ndim), acceptance (S,)).
+    With ``mesh``, the transient axis is sharded across it (S must divide
+    evenly; pad the input list if needed).
+    """
+    ndim = len(priors)
+    half = nwalkers // 2
+    S = len(lcs)
+    model = models[0]
+    packed = pack_population(models, lcs, use_sigma)
+
+    rng = np.random.default_rng(seed)
+    p_lo = np.asarray(p_lo, float)
+    p_up = np.asarray(p_up, float)
+    guesses = rng.uniform(size=(S, nwalkers, ndim)) * (p_up - p_lo) + p_lo
+
+    def run_one(t_s, y_s, dy_s, mask_s, yscale_s, quad_s, guess_s, key):
+        inv = 1.0 / yscale_s
+        yn = y_s * inv
+        dyn = dy_s * inv
+        if sigma_type == "relative":
+            sigma_units = dyn
+        else:
+            sigma_units = jnp.nanmedian(jnp.where(mask_s, dyn, jnp.nan))
+
+        def logpost(p):
+            log_prior = 0.0
+            for i, prior in enumerate(priors):
+                log_prior = log_prior + prior(p[i])
+            n_model = ndim - (1 if use_sigma else 0)
+            y_fit = model._eval_points(t_s, quad_s, *[p[i] for i in range(n_model)]) * inv
+            if use_sigma:
+                sigma2 = dyn ** 2.0 + (p[-1] * sigma_units) ** 2.0
+            else:
+                sigma2 = dyn ** 2.0
+            terms = jnp.log(2 * jnp.pi * sigma2) + (yn - y_fit) ** 2.0 / sigma2
+            ll = -0.5 * jnp.sum(jnp.where(mask_s, terms, 0.0))
+            ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+            return jnp.where(jnp.isfinite(log_prior), log_prior + ll, -jnp.inf)
+
+        step, batched_logp = make_stretch_kernel(logpost, half, ndim, a)
+        x = guess_s.reshape(2, half, ndim)
+        logp = batched_logp(guess_s).reshape(2, half)
+        keys = jr.split(key, nsteps_burnin + nsteps)
+        (x, logp), (xs, lps, acc) = jax.lax.scan(step, (x, logp), keys)
+        prod = xs[nsteps_burnin:]
+        return prod.reshape(nsteps * nwalkers, ndim), acc[nsteps_burnin:].mean()
+
+    keys = jr.split(jr.PRNGKey(seed), S)
+    vmapped = jax.vmap(run_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+
+    args = (packed["t"], packed["y"], packed["dy"], packed["mask"], packed["yscale"],
+            packed["quad"], jnp.asarray(guesses), keys)
+
+    if mesh is None:
+        flat, acc = jax.jit(vmapped)(*args)
+    else:
+        n_dev = mesh.shape[axis_name]
+        if S % n_dev:
+            raise ValueError(f"number of transients {S} must divide mesh size {n_dev}; "
+                             "pad the input list")
+        spec = P(axis_name)
+        sharded = shard_map(vmapped, mesh=mesh,
+                            in_specs=(spec,) * 5 + (jax.tree.map(lambda _: spec, packed["quad"]),
+                                                    spec, spec),
+                            out_specs=(spec, spec),
+                            check_vma=False)
+        flat, acc = jax.jit(sharded)(*args)
+    return np.asarray(flat), np.asarray(acc)

@@ -1,0 +1,78 @@
+"""Population fitting: many transients in one device call, with and without a
+transient-sharded mesh."""
+
+import numpy as np
+import pytest
+
+from lightcurve_fitting_tpu.lightcurve import LC
+from lightcurve_fitting_tpu.filters import filtdict
+from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior, planck_fast
+from lightcurve_fitting_tpu.parallel.population import fit_population
+from lightcurve_fitting_tpu.parallel.mesh import walker_mesh
+
+
+def make_synth_lc(seed, T1, L1, ttr, t0):
+    """Synthetic ShockCooling2 photometry with noise."""
+    rng = np.random.default_rng(seed)
+    filters = [filtdict[n] for n in ["U", "B", "V", "g", "r", "i"]]
+    n_epochs = 3 + seed % 3  # ragged sizes across transients
+    t = np.repeat(t0 + np.linspace(1.0, 8.0, n_epochs), len(filters))
+    f = np.array(filters * n_epochs)
+    m = ShockCooling2()
+    y_true = m(t, f, T1, L1, ttr, t0)
+    dy = 0.05 * y_true
+    y = y_true + rng.normal(scale=dy)
+    lc = LC([t, f, y, dy], names=["MJD", "filter", "lum", "dlum"])
+    return lc
+
+
+TRUTHS = [(12.0, 2.0, 35.0, 57000.0), (18.0, 3.0, 45.0, 57100.0),
+          (9.0, 1.5, 30.0, 57200.0), (15.0, 2.5, 40.0, 57300.0),
+          (11.0, 2.2, 38.0, 57400.0), (14.0, 1.8, 33.0, 57500.0),
+          (16.0, 2.8, 42.0, 57600.0), (10.0, 2.1, 36.0, 57700.0)]
+
+
+@pytest.fixture(scope="module")
+def population():
+    lcs = [make_synth_lc(i, *truth) for i, truth in enumerate(TRUTHS)]
+    models = [ShockCooling2(lc) for lc in lcs]
+    priors = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0), UniformPrior(5.0, 100.0)]
+    return lcs, models, priors
+
+
+def _check_recovery(flat, acc):
+    assert flat.shape[0] == len(TRUTHS)
+    assert np.all(acc > 0.1)
+    for s, (T1, L1, ttr, t0) in enumerate(TRUTHS):
+        med = np.median(flat[s], axis=0)
+        assert med[0] == pytest.approx(T1, rel=0.2), s
+        assert med[1] == pytest.approx(L1, rel=0.3), s
+
+
+def test_fit_population_single_device(population):
+    lcs, models, priors = population
+    # t0 fixed: fit (T1, L1, ttr) with t_exp baked as 0-offset times
+    lcs2 = []
+    for lc, truth in zip(lcs, TRUTHS):
+        lc2 = lc.copy()
+        lc2["MJD"] = np.asarray(lc2["MJD"], float) - truth[3]
+        lcs2.append(LC(lc2))
+    flat, acc = fit_population(models, lcs2, priors,
+                               p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
+                               nwalkers=16, nsteps=300, nsteps_burnin=300, seed=1)
+    _check_recovery(flat, acc)
+
+
+def test_fit_population_sharded_matches(population):
+    lcs, models, priors = population
+    lcs2 = []
+    for lc, truth in zip(lcs, TRUTHS):
+        lc2 = lc.copy()
+        lc2["MJD"] = np.asarray(lc2["MJD"], float) - truth[3]
+        lcs2.append(LC(lc2))
+    mesh = walker_mesh(8, axis_name="transients")
+    flat, acc = fit_population(models, lcs2, priors,
+                               p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
+                               nwalkers=16, nsteps=300, nsteps_burnin=300, seed=1,
+                               mesh=mesh)
+    _check_recovery(flat, acc)
