@@ -149,7 +149,11 @@ class EnsembleSampler:
     def run_mcmc(self, initial_state, nsteps, progress=False, progress_kwargs=None,
                  skip_initial_state_check=False, thin_by=1, **kwargs):
         """Advance the ensemble ``nsteps`` iterations from ``initial_state``
-        (array of shape (nwalkers, ndim), or None to continue)."""
+        (array of shape (nwalkers, ndim), or None to continue).
+
+        With ``progress=True`` the scan is split into ~10 equal segments so
+        acceptance-rate progress lines appear during long runs; otherwise the
+        whole chain is one device dispatch."""
         if initial_state is None:
             if not hasattr(self, "_pos_internal"):
                 raise ValueError("no previous state; provide initial_state")
@@ -165,11 +169,32 @@ class EnsembleSampler:
                 bad = int(jnp.sum(~jnp.isfinite(logp)))
                 raise ValueError(f"{bad} walkers have non-finite initial log-probability")
 
-        if progress:
-            desc = (progress_kwargs or {}).get("desc", "Sampling")
-            print(f"{desc.strip()}: {nsteps} steps x {self.nwalkers} walkers "
-                  f"(single compiled scan)")
+        desc = (progress_kwargs or {}).get("desc", "Sampling").strip()
+        if progress and nsteps >= 50:
+            seg = max(nsteps // 10, 1)
+            segments = [seg] * (nsteps // seg)
+            if nsteps % seg:
+                segments.append(nsteps % seg)
+        else:
+            segments = [nsteps]
+            if progress:
+                print(f"{desc}: {nsteps} steps x {self.nwalkers} walkers "
+                      f"(single compiled scan)")
 
+        done = 0
+        for seg_steps in segments:
+            x, logp = self._run_segment(x, logp, seg_steps, thin_by)
+            done += seg_steps
+            if progress and len(segments) > 1:
+                af = self._accepted.mean() / max(self._nsteps_total, 1)
+                print(f"{desc}: {done}/{nsteps} steps (mean acceptance {af:.2f})")
+
+        self._pos_internal = x
+        self._logp_internal = logp
+        pos = np.asarray(x).reshape(self.nwalkers, self.ndim)
+        return pos, np.asarray(logp).reshape(self.nwalkers), None
+
+    def _run_segment(self, x, logp, nsteps, thin_by):
         self._key, subkey = jr.split(self._key)
         keys = jr.split(subkey, nsteps * thin_by)
         run = self._compiled_run(nsteps, thin_by)
@@ -185,11 +210,45 @@ class EnsembleSampler:
         self._logp = np.concatenate([self._logp, logp_block])
         self._accepted += accepts.reshape(nsteps, self.nwalkers).sum(0)
         self._nsteps_total += nsteps * thin_by
+        return x, logp
 
-        self._pos_internal = x
-        self._logp_internal = logp
-        pos = np.asarray(x).reshape(self.nwalkers, self.ndim)
-        return pos, np.asarray(logp).reshape(self.nwalkers), None
+    # ----------------------------------------------------------- checkpointing
+    def save_checkpoint(self, filename, include_chain=True):
+        """Serialize the sampler state (walker positions, log-probs, RNG key,
+        and optionally the accumulated chain) for exact resume. The reference
+        can only save final flatchains (fitting.py:146-148); this adds true
+        resume (SURVEY.md §5)."""
+        state = {
+            "pos": np.asarray(self._pos_internal),
+            "logp": np.asarray(self._logp_internal),
+            "key": jr.key_data(self._key),
+            "accepted": self._accepted,
+            "nsteps_total": self._nsteps_total,
+            "nwalkers": self.nwalkers,
+            "ndim": self.ndim,
+            "a": self.a,
+        }
+        if include_chain:
+            state["chain"] = self._chain
+            state["logp_chain"] = self._logp
+        np.savez(filename, **state)
+
+    def load_checkpoint(self, filename):
+        """Restore state saved by :meth:`save_checkpoint` into this sampler
+        (the log-probability function itself is reconstructed by the caller)."""
+        data = np.load(filename)
+        if int(data["nwalkers"]) != self.nwalkers or int(data["ndim"]) != self.ndim:
+            raise ValueError("checkpoint shape mismatch: "
+                             f"{int(data['nwalkers'])}x{int(data['ndim'])} vs "
+                             f"{self.nwalkers}x{self.ndim}")
+        self._pos_internal = jnp.asarray(data["pos"])
+        self._logp_internal = jnp.asarray(data["logp"])
+        self._key = jr.wrap_key_data(jnp.asarray(data["key"]))
+        self._accepted = data["accepted"]
+        self._nsteps_total = int(data["nsteps_total"])
+        if "chain" in data:
+            self._chain = data["chain"]
+            self._logp = data["logp_chain"]
 
     sample = run_mcmc
 
