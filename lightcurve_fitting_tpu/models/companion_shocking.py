@@ -178,7 +178,7 @@ class BaseCompanionShocking(Model):
 
     def _kasen_points(self, t, quad, t_exp, a13, Mc_v9_7, kappa=1.0):
         T_kasen, R_kasen = self._tr_points(t, t_exp, a13, Mc_v9_7, kappa)
-        return bandflux_pointwise(quad["nodes"], quad["weights"], T_kasen, R_kasen)
+        return self._bandflux(quad, T_kasen, R_kasen)
 
     # ----------------------------------------------------------- validity
     @staticmethod

@@ -88,7 +88,7 @@ class BaseShockCooling(Model):
 
     def _eval_points(self, t, quad, *params):
         T_K, R_bb = self._tr_points(t, *params)
-        return bandflux_pointwise(quad["nodes"], quad["weights"], T_K, R_bb)
+        return self._bandflux(quad, T_K, R_bb)
 
     @staticmethod
     def t_min(p, kappa=1.0):
@@ -167,6 +167,7 @@ class ShockCooling3(BaseShockCooling):
     input_names = ["v_\\mathrm{s*}", "M_\\mathrm{env}", "f_\\rho M", "R", "d_L", "E(B-V)", "t_0"]
     units = [10.0 ** 8.5 * u.cm / u.s, u.Msun, u.Msun, 1e13 * u.cm, u.Mpc, u.mag, u.d]
     output_quantity = "flux"
+    use_band_table = False  # sampled E(B-V): extinction does not factorize
 
     def _eval_points(self, t, quad, v_s, M_env, f_rho_M, R, dist, ebv=0.0, t_exp=0.0):
         T_K, R_bb = BaseShockCooling._tr_points(self, t, v_s, M_env, f_rho_M, R, t_exp)
@@ -233,9 +234,8 @@ class ShockCooling4(Model):
 
     def _eval_points(self, t, quad, v_s, M_env, f_rho_M, R, t_exp=0.0):
         T_K, R_bb = self._tr_points(t, v_s, M_env, f_rho_M, R, t_exp)
-        lum_bb = bandflux_pointwise(quad["nodes"], quad["weights"], T_K, R_bb)
-        lum_sup = bandflux_pointwise(quad["nodes"], quad["weights"],
-                                     0.74 * T_K, 0.74 ** -2.0 * R_bb)
+        lum_bb = self._bandflux(quad, T_K, R_bb)
+        lum_sup = self._bandflux(quad, 0.74 * T_K, 0.74 ** -2.0 * R_bb)
         return jnp.minimum(lum_bb, lum_sup)  # Eq. A4
 
     def t_min(self, p, kappa=1.0):

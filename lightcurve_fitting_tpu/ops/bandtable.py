@@ -1,0 +1,87 @@
+"""Precomputed band-luminosity tables: the speed-of-light path for blackbody
+synthetic photometry.
+
+For a blackbody, the band-averaged spectral luminosity factorizes exactly:
+
+    <L_nu>_b(T, R) = R^2 * g_b(T),   g_b(T) = sum_k W[b,k] c2 nu_k^3 / expm1(c1 nu_k / T)
+
+so the K-node quadrature only ever needs to be evaluated on a 1-D temperature
+grid — once, at fit setup, in float64 on the host, using the *exact* native-grid
+weights. On device, each (walker, point) evaluation is then a uniform-grid
+cubic-spline lookup of ln g_b plus one exp: ~20 flops instead of K~100
+transcendental quadrature nodes. Interpolation error of ln g on a 2048-point
+log-T grid is ~1e-9, far below the reference's own quadrature error.
+
+Static per fit: redshift, cutoff frequency, and any *fixed* E(B-V) are baked
+into the table. Models with a *sampled* E(B-V) (ShockCooling3) keep the full
+quadrature path — extinction does not factorize.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from ..core.constants import c1, c2
+from .interpolate import natural_cubic_coeffs
+
+__all__ = ["BandLuminosityTable"]
+
+
+class BandLuminosityTable:
+    """ln g_b(ln T) as per-band piecewise cubics on a uniform log-T grid."""
+
+    def __init__(self, bank, z=0.0, cutoff_freq=np.inf, ebv=0.0, rv=3.1,
+                 n_T=2048, T_min=1e-2, T_max=1e4):
+        self.bank = bank
+        self.z = z
+        self.cutoff_freq = cutoff_freq
+        nodes = bank.emitted_nodes(z)          # (B, K)
+        weights = bank.weights                 # (B, K)
+        factor = np.minimum(1.0, cutoff_freq / nodes)
+        if np.any(ebv):
+            k_ext = bank.ext_curve(z, rv)
+            factor = factor * 10.0 ** (np.asarray(ebv) * k_ext / -2.5)
+
+        logT = np.linspace(np.log(T_min), np.log(T_max), n_T)
+        T = np.exp(logT)
+        # g[b, i] = sum_k w[b,k] * c2 * nu^3 * factor / expm1(c1 nu / T_i)
+        with np.errstate(over="ignore"):
+            x = c1 * nodes[None, :, :] / T[:, None, None]          # (nT, B, K)
+            denom = np.expm1(x)
+            integrand = np.where(denom > 0, c2 * nodes ** 3 * factor / np.where(denom > 0, denom, 1.0), 0.0)
+        g = np.einsum("tbk,bk->bt", integrand, weights)            # (B, nT)
+        g = np.maximum(g, 1e-300)
+        ln_g = np.log(g)
+
+        self.log_T_lo = float(logT[0])
+        self.dlogT = float(logT[1] - logT[0])
+        self.n_T = n_T
+        # (B, 4, nT-1) natural-cubic coefficients of ln g vs ln T
+        coeffs = np.stack([natural_cubic_coeffs(logT, ln_g[b]) for b in range(len(bank))])
+        self._coeffs = coeffs
+        self.coeffs = jnp.asarray(coeffs)
+
+    def gather(self, band_ids, device=True):
+        """Per-point coefficient stacks (N, 4, nT-1)."""
+        c = self._coeffs[np.asarray(band_ids)]
+        return jnp.asarray(c) if device else c
+
+    def eval_points(self, coeffs_pt, T, R):
+        """Band-averaged L_nu per point: coeffs_pt (N, 4, S), T/R (..., N).
+
+        Matches the quadrature semantics: T <= 0 -> 0. T outside the table
+        range clamps to the edge segment (the Wien edge already underflows
+        to ~exp(-690) ~ 0).
+        """
+        pos = T > 0.0
+        logT = jnp.log(jnp.where(pos, T, 1.0))
+        u = (logT - self.log_T_lo) / self.dlogT
+        idx = jnp.clip(u.astype(jnp.int32), 0, self.n_T - 2)
+        t = (u - idx) * self.dlogT
+        # coeffs_pt: (N, 4, S); idx: (..., N) -> gather along S per point
+        n_idx = jnp.arange(coeffs_pt.shape[0])
+        c0 = coeffs_pt[n_idx, 0, idx]
+        c1_ = coeffs_pt[n_idx, 1, idx]
+        c2_ = coeffs_pt[n_idx, 2, idx]
+        c3_ = coeffs_pt[n_idx, 3, idx]
+        ln_g = ((c0 * t + c1_) * t + c2_) * t + c3_
+        return jnp.where(pos, R * R * jnp.exp(ln_g), 0.0)
