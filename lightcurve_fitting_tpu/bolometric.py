@@ -96,6 +96,14 @@ def _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, spectrum_kwargs,
     ext = jnp.asarray(extinction_law(np.asarray(bank.emitted_nodes(z)[ids]).ravel(), ebv)
                       .reshape(nodes.shape)) if np.any(ebv) else None
 
+    table = None
+    if spectrum is planck_fast and not np.any(ebv):
+        # blackbody: band integral factorizes -> per-band ln g(ln T) table
+        from .ops.bandtable import BandLuminosityTable
+        table = BandLuminosityTable(bank, z=z,
+                                    cutoff_freq=spectrum_kwargs.get("cutoff_freq", np.inf))
+        table_coeffs = table.gather(ids)
+
     if spectrum is planck_fast:
         def spec_fn(nu, *p):
             return planck_lnu(nu, p[0], p[1], **spectrum_kwargs)
@@ -115,10 +123,16 @@ def _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, spectrum_kwargs,
         for i, prior in enumerate(priors):
             log_prior = log_prior + prior(p[i])
         n_model = p.shape[0] - (1 if use_sigma else 0)
-        lnu = spec_fn(nodes, *[p[i] for i in range(n_model)])
-        if ext is not None:
-            lnu = lnu * ext
-        y_fit = jnp.sum(weights * lnu, axis=-1) * inv_yscale
+        if table is not None:
+            from .models.base import _table_eval
+            y_fit = _table_eval(table_coeffs, jnp.broadcast_to(p[0], y.shape),
+                                jnp.broadcast_to(p[1], y.shape),
+                                table.log_T_lo, table.dlogT, table.n_T) * inv_yscale
+        else:
+            lnu = spec_fn(nodes, *[p[i] for i in range(n_model)])
+            if ext is not None:
+                lnu = lnu * ext
+            y_fit = jnp.sum(weights * lnu, axis=-1) * inv_yscale
         if use_sigma:
             sigma2 = dy ** 2.0 + (p[-1] * sigma_units) ** 2.0
         else:
