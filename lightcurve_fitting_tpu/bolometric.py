@@ -98,10 +98,10 @@ def _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, spectrum_kwargs,
 
     table = None
     if spectrum is planck_fast and not np.any(ebv):
-        # blackbody: band integral factorizes -> per-band ln g(ln T) table
-        from .ops.bandtable import BandLuminosityTable
-        table = BandLuminosityTable(bank, z=z,
-                                    cutoff_freq=spectrum_kwargs.get("cutoff_freq", np.inf))
+        # blackbody: band integral factorizes -> per-band Chebyshev of ln g(ln T)
+        from .ops.bandtable import ChebyshevBandTable
+        table = ChebyshevBandTable(bank, z=z,
+                                   cutoff_freq=spectrum_kwargs.get("cutoff_freq", np.inf))
         table_coeffs = table.gather(ids)
 
     if spectrum is planck_fast:
@@ -124,10 +124,10 @@ def _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, spectrum_kwargs,
             log_prior = log_prior + prior(p[i])
         n_model = p.shape[0] - (1 if use_sigma else 0)
         if table is not None:
-            from .models.base import _table_eval
-            y_fit = _table_eval(table_coeffs, jnp.broadcast_to(p[0], y.shape),
-                                jnp.broadcast_to(p[1], y.shape),
-                                table.log_T_lo, table.dlogT, table.n_T) * inv_yscale
+            from .ops.bandtable import chebyshev_bandflux
+            y_fit = chebyshev_bandflux(table_coeffs, jnp.broadcast_to(p[0], y.shape),
+                                       jnp.broadcast_to(p[1], y.shape),
+                                       table.log_T_lo, table.log_T_hi) * inv_yscale
         else:
             lnu = spec_fn(nodes, *[p[i] for i in range(n_model)])
             if ext is not None:

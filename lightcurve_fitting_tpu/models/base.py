@@ -40,23 +40,6 @@ def format_unit(unit):
     return unit_str.format(value=value, unit=unit)
 
 
-def _table_eval(coeffs_pt, T, R, log_T_lo, dlogT, n_T):
-    """Evaluate per-point band-luminosity tables: coeffs_pt (N, 4, S),
-    T/R (..., N) -> (..., N). See ops/bandtable.py."""
-    pos = T > 0.0
-    logT = jnp.log(jnp.where(pos, T, 1.0))
-    u = (logT - log_T_lo) / dlogT
-    idx = jnp.clip(u.astype(jnp.int32), 0, n_T - 2)
-    t = (u - idx) * dlogT
-    n_idx = jnp.arange(coeffs_pt.shape[0])
-    c0 = coeffs_pt[n_idx, 0, idx]
-    c1_ = coeffs_pt[n_idx, 1, idx]
-    c2_ = coeffs_pt[n_idx, 2, idx]
-    c3_ = coeffs_pt[n_idx, 3, idx]
-    ln_g = ((c0 * t + c1_) * t + c2_) * t + c3_
-    return jnp.where(pos, R * R * jnp.exp(ln_g), 0.0)
-
-
 class Model:
     """An analytical light-curve model (reference models.py:51-136)."""
 
@@ -117,23 +100,22 @@ class Model:
         return quad
 
     def table_for(self, bank):
-        from ..ops.bandtable import BandLuminosityTable
+        from ..ops.bandtable import ChebyshevBandTable
         key = ("table", tuple(bank.filters), self.z, self.cutoff_freq)
         if key not in self._bank_cache:
-            self._bank_cache[key] = BandLuminosityTable(bank, z=self.z,
-                                                        cutoff_freq=self.cutoff_freq)
+            self._bank_cache[key] = ChebyshevBandTable(bank, z=self.z,
+                                                       cutoff_freq=self.cutoff_freq)
             self._table_consts = (self._bank_cache[key].log_T_lo,
-                                  self._bank_cache[key].dlogT,
-                                  self._bank_cache[key].n_T)
+                                  self._bank_cache[key].log_T_hi)
         return self._bank_cache[key]
 
     def _bandflux(self, quad, T, R):
-        """Band-averaged blackbody L_nu per point: table fast path when
-        available, exact quadrature otherwise."""
+        """Band-averaged blackbody L_nu per point: gather-free Chebyshev fast
+        path when available, exact quadrature otherwise."""
         if "bb_coeffs" in quad:
-            from ..ops import bandtable
-            lo, d, n_T = self._table_consts
-            return _table_eval(quad["bb_coeffs"], T, R, lo, d, n_T)
+            from ..ops.bandtable import chebyshev_bandflux
+            lo, hi = self._table_consts
+            return chebyshev_bandflux(quad["bb_coeffs"], T, R, lo, hi)
         from .blackbody import bandflux_pointwise
         return bandflux_pointwise(quad["nodes"], quad["weights"], T, R,
                                   cutoff_freq=self.cutoff_freq)

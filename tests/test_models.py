@@ -52,7 +52,7 @@ def test_shockcooling2_pointwise_vs_numpy_mirror():
     T_K, R_bb = np_sc2_tr(t, *p)
     y_ref = np.array([np_synth(fi, Ti, Ri, 0.002) for fi, Ti, Ri in zip(f, T_K, R_bb)])
     assert y.shape == (12,)
-    np.testing.assert_allclose(y, y_ref, rtol=1e-7)  # band-table interp error ~1e-9
+    np.testing.assert_allclose(y, y_ref, rtol=5e-5)  # Chebyshev band-table error <1e-5
     # the exact-quadrature path reproduces the native-grid trapezoid bit-for-bit
     m.use_band_table = False
     m._bank_cache.clear()
@@ -91,7 +91,7 @@ def test_shockcooling1_vs_numpy_mirror():
     T_K = T_ph * 1.1 / k_B
     R_bb = c3 * L ** 0.5 * np_power(T_K, -2.0)
     y_ref = np.array([np_synth(fi, Ti, Ri, 0.0) for fi, Ti, Ri in zip(f, T_K, R_bb)])
-    np.testing.assert_allclose(y, y_ref, rtol=1e-7)
+    np.testing.assert_allclose(y, y_ref, rtol=5e-5)
 
 
 def test_shockcooling_validity_times():
@@ -121,8 +121,8 @@ def test_shockcooling3_flux_and_ebv():
     # flux = c4 * lum / d^2 against ShockCooling with same params
     msc = ShockCooling(redshift=0.01)
     lum = msc(t, f, 1.0, 1.0, 10.0, 1.0, 0.5)
-    # SC3 uses exact quadrature; ShockCooling uses the band table (~1e-11 interp error)
-    np.testing.assert_allclose(y0, c4 * lum / 40.0 ** 2, rtol=1e-9)
+    # SC3 uses exact quadrature; ShockCooling uses the Chebyshev band table (<1e-5)
+    np.testing.assert_allclose(y0, c4 * lum / 40.0 ** 2, rtol=5e-5)
 
 
 def test_shockcooling4_suppressed_blackbody():
