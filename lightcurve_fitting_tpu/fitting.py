@@ -67,11 +67,16 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
     if model_kwargs is not None:
         raise Exception(MODEL_KWARGS_WARNING)
 
+    # (re)derive the fit quantity from magnitudes as the reference does
+    # (fitting.py:68-72); tables that already carry the quantity directly
+    # (e.g. synthetic data without magnitudes) are used as-is
     if model.output_quantity == "flux":
-        lc.calcFlux()
+        if "mag" in lc.colnames or "flux" not in lc.colnames:
+            lc.calcFlux()
     elif model.output_quantity == "lum":
-        lc.calcAbsMag()
-        lc.calcLum()
+        if "mag" in lc.colnames or "lum" not in lc.colnames:
+            lc.calcAbsMag()
+            lc.calcLum()
 
     if use_sigma and model.input_names[-1] != "\\sigma":
         model.input_names = model.input_names + ["\\sigma"]
