@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.interpolate import notaknot_cubic_coeffs
-from ..ops.mathx import power
+from ..ops.mathx import power, hot
 from ..utils import units as u
 from ..utils.table import Table
 from .base import Model
@@ -108,6 +108,7 @@ class BaseCompanionShocking(Model):
     @staticmethod
     def _tr_points(t, t_exp, a13, Mc_v9_7, kappa=1.0):
         tt = jnp.asarray(t, float) - t_exp
+        tt, a13, Mc_v9_7, kappa = hot(tt, a13, Mc_v9_7, kappa)
         T_kasen = 25.0 * power(a13 ** 36.0 * Mc_v9_7 * kappa ** -35.0 * power(tt, -74.0),
                                1.0 / 144.0)
         R_kasen = 2.7 * power(kappa * Mc_v9_7 * tt ** 7.0, 1.0 / 9.0)

@@ -9,7 +9,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.constants import k_B, c3, c3_42, c4, c4_30
-from ..ops.mathx import power
+from ..ops.mathx import power, hot
 from ..utils import units as u
 from .base import Model
 from .blackbody import bandflux_pointwise
@@ -68,6 +68,7 @@ class BaseShockCooling(Model):
         arrays; parameters may be scalars or vectors (numpy-style outer
         broadcasting, as in the reference)."""
         t = jnp.reshape(jnp.asarray(t_in, float), (-1, 1)) - t_exp
+        t, v_s, M_env, f_rho_M, R, kappa = hot(t, v_s, M_env, f_rho_M, R, kappa)
         # luminosity carried in units of 1e42 erg/s (TPU float64 emulation has
         # float32 range; see core.constants)
         L_RW_42 = (self.L_0 / 1e42) * power(t ** 2 * v_s / (f_rho_M * kappa),
@@ -135,6 +136,7 @@ class ShockCooling2(BaseShockCooling):
 
     def _tr_points(self, t, T_1, L_1, t_tr, t_exp=0.0):
         tt = jnp.asarray(t, float) - t_exp
+        tt, T_1, L_1, t_tr = hot(tt, T_1, L_1, t_tr)
         T_K = T_1 * power(tt, self.epsilon_T)
         L_42 = L_1 * jnp.exp(-power(self.a * tt / t_tr, self.alpha)) * power(tt, self.epsilon_L)
         R_bb = c3_42 * L_42 ** 0.5 * power(T_K, -2.0)
@@ -142,6 +144,7 @@ class ShockCooling2(BaseShockCooling):
 
     def temperature_radius(self, t_in, T_1, L_1, t_tr, t_exp=0.0):
         t = jnp.reshape(jnp.asarray(t_in, float), (-1, 1)) - t_exp
+        t, T_1, L_1, t_tr = hot(t, T_1, L_1, t_tr)
         T_K = jnp.squeeze(T_1 * power(t, self.epsilon_T))
         L_42 = jnp.squeeze(L_1 * jnp.exp(-power(self.a * t / t_tr, self.alpha))
                            * power(t, self.epsilon_L))
@@ -217,6 +220,7 @@ class ShockCooling4(Model):
         T_col_br = self.T_col_br_0 * R ** -0.32 * v_s ** 0.58 * f_rho_M ** 0.03 * kappa ** -0.22  # Eq. A7
         t_tr = self.t_tr_0 * jnp.sqrt(kappa * M_env / v_s)                     # Eq. A9
         tt = jnp.asarray(t, float) - t_exp
+        tt, t_br, L_br_42, T_col_br, t_tr = hot(tt, t_br, L_br_42, T_col_br, t_tr)
         ttilde = tt / t_br
         L_42 = L_br_42 * (power(ttilde, -4.0 / 3.0)
                           + self.A * jnp.exp(-power(self.a * tt / t_tr, self.alpha))

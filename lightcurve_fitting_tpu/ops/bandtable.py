@@ -86,6 +86,15 @@ def chebyshev_bandflux(coef_pt, T, R, log_T_lo, log_T_hi):
     T, R: (..., N). T <= 0 -> 0 (reference power() semantics); T outside the
     fitted range clamps (the Wien edge is already ~exp(-1400) ~ 0).
     """
+    from ..core import config
+    out_dtype = jnp.result_type(T)
+    dt = config.compute_dtype
+    if dt is not None:
+        # all Clenshaw quantities are O(1)-O(1e3): float32-safe, and the TPU's
+        # emulated float64 would be ~10x slower per op
+        coef_pt = coef_pt.astype(dt)
+        T = T.astype(dt)
+        R = R.astype(dt)
     pos = T > 0.0
     logT = jnp.log(jnp.where(pos, T, 1.0))
     s = jnp.clip(2.0 * (logT - log_T_lo) / (log_T_hi - log_T_lo) - 1.0, -1.0, 1.0)
@@ -96,7 +105,7 @@ def chebyshev_bandflux(coef_pt, T, R, log_T_lo, log_T_hi):
     for k in range(D, 0, -1):
         b1, b2 = two_s * b1 - b2 + coef_pt[..., :, k], b1
     ln_g = s * b1 - b2 + coef_pt[..., :, 0]
-    return jnp.where(pos, R * R * jnp.exp(ln_g), 0.0)
+    return jnp.where(pos, R * R * jnp.exp(ln_g), 0.0).astype(out_dtype)
 
 
 class BandLuminosityTable:

@@ -8,7 +8,21 @@ reference cannot support.
 
 import jax.numpy as jnp
 
-__all__ = ["power", "safe_reciprocal", "planck_denom_inv"]
+__all__ = ["power", "safe_reciprocal", "planck_denom_inv", "hot"]
+
+
+def hot(*xs):
+    """Cast values into the configured hot-path compute dtype (no-op when
+    ``core.config.compute_dtype`` is None). Used by model kernels right after
+    the epoch subtraction ``t - t_exp``: absolute MJDs need float64, but the
+    elapsed times and physical parameters are O(1)-O(100) and run at full VPU
+    rate in float32 (the TPU's emulated float64 is ~10x slower per op)."""
+    from ..core import config
+    dt = config.compute_dtype
+    if dt is None:
+        return xs if len(xs) > 1 else xs[0]
+    out = tuple(jnp.asarray(x).astype(dt) for x in xs)
+    return out if len(out) > 1 else out[0]
 
 
 def power(base, exp):
