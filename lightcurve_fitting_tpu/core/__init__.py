@@ -1,1 +1,4 @@
+"""Constants and runtime configuration."""
 
+from . import constants  # noqa: F401
+from . import config  # noqa: F401

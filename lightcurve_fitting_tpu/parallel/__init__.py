@@ -1,1 +1,7 @@
+"""Parallel execution: jitted ensemble sampler, walker/transient sharding,
+batched epoch fits."""
 
+from .sampler import EnsembleSampler, make_stretch_kernel  # noqa: F401
+from .mesh import ShardedEnsembleSampler, walker_mesh, make_sharded_stretch_step  # noqa: F401
+from .batched import pack_epochs, batched_blackbody_mcmc  # noqa: F401
+from .population import pack_population, fit_population  # noqa: F401

@@ -1,0 +1,117 @@
+"""Host substrate: units, cosmology, table edge cases, F99 extinction."""
+
+import numpy as np
+import pytest
+
+from lightcurve_fitting_tpu.utils import units as u
+from lightcurve_fitting_tpu.utils.cosmology import Planck18
+from lightcurve_fitting_tpu.utils.table import Table, Column, vstack
+from lightcurve_fitting_tpu.ops.extinction import fitzpatrick99, f99_curve, extinction_law, f99_k_jax
+
+
+def test_unit_latex_formatting():
+    assert f"{u.kK:latex_inline}" == "$\\mathrm{kK}$"
+    comp = u.cm / u.s
+    assert "cm" in f"{comp:latex_inline}" and "s^{-1}" in f"{comp:latex_inline}"
+    q = 10.0 ** 8.5 * u.cm / u.s
+    assert isinstance(q, u.Quantity)
+    assert np.isclose(np.log10(q.value), 8.5)
+
+
+def test_unit_conversions():
+    assert u.Unit.parse("nm").to("Angstrom") == pytest.approx(10.0)
+    assert (u.d).to(u.s) == pytest.approx(86400.0)
+    q = u.Quantity(1.0, u.um).to("Angstrom")
+    assert q.value == pytest.approx(1e4)
+    with pytest.raises(ValueError):
+        u.Unit.parse("nm").to("s")
+
+
+def test_format_unit_quantities():
+    from lightcurve_fitting_tpu.models import format_unit
+    assert format_unit(u.kK) == "$\\mathrm{kK}$"
+    s = format_unit(1e42 * u.erg / u.s)
+    assert "10^{42}" in s and "erg" in s
+
+
+def test_planck18_distmod():
+    # d_L(z->0) ~ cz/H0: 0.002 -> 8.862 Mpc -> mu = 29.74; z=0.1 -> ~476 Mpc
+    assert Planck18.luminosity_distance(0.002) == pytest.approx(299792.458 * 0.002 / 67.66,
+                                                                rel=2e-3)
+    assert Planck18.distmod(0.002).value == pytest.approx(29.74, abs=0.02)
+    assert Planck18.distmod(0.01).value == pytest.approx(33.25, abs=0.02)
+    assert Planck18.distmod(0.1).value == pytest.approx(38.39, abs=0.02)
+    assert Planck18.luminosity_distance(0.0) == 0.0
+
+
+def test_f99_extinction_values():
+    """F99 A_lambda/A_V ratios at standard wavelengths (R_V = 3.1). Golden
+    values from the published F99 curve (e.g. Fitzpatrick 1999 Table 3)."""
+    # A(V)/A_V = 1 by construction at 5470 angstrom... the anchor gives k(5470)=R_V
+    a_v = 3.1 * 0.5  # ebv = 0.5
+    # F99 anchor at 5470 A gives A/A_V = 0.9854 for R_V = 3.1 (the law is
+    # normalized near 5495 A, not exactly at the V anchor)
+    A = fitzpatrick99(np.array([5470.0]), a_v, 3.1)
+    assert A[0] / a_v == pytest.approx(0.9854, abs=0.003)
+    # B band (4400 A): A_B/A_V ~ 1.32 -> E(B-V) consistency A_B - A_V ~ ebv
+    A_B = fitzpatrick99(np.array([4400.0]), a_v, 3.1)[0]
+    assert A_B - A[0] == pytest.approx(0.5, abs=0.05)
+    # monotonically increasing into the UV over the bump
+    wls = np.array([26500.0, 12200.0, 6000.0, 4400.0, 2700.0, 2175.0])
+    As = fitzpatrick99(wls, a_v, 3.1)
+    assert np.all(np.diff(As) > 0)
+    # jax version matches numpy version
+    import jax.numpy as jnp
+    k_np = f99_curve(wls, 3.1)
+    k_jx = np.asarray(f99_k_jax(jnp.asarray(wls), 3.1))
+    np.testing.assert_allclose(k_jx, k_np, rtol=1e-12)
+
+
+def test_extinction_law_factor():
+    freq = np.array([500.0, 800.0])  # THz
+    fac = extinction_law(freq, 0.0)
+    np.testing.assert_allclose(fac, 1.0)
+    fac = extinction_law(freq, 0.2)
+    assert np.all(fac < 1.0) and np.all(fac > 0.0)
+    # vectorized over ebv
+    fac2 = extinction_law(freq, np.array([0.1, 0.2]))
+    assert fac2.shape == (2, 2)
+
+
+def test_table_masked_roundtrip(tmp_path):
+    t = Table(names=["a", "b", "s"], dtype=[float, int, "S6"], masked=True)
+    t.add_row([1.5, 2, "xy"], mask=[False, False, False])
+    t.add_row([np.nan, 0, ""], mask=[True, True, True])
+    assert t.has_masked_values
+    assert np.ma.is_masked(t["a"][1])
+    path = str(tmp_path / "t.txt")
+    t.write(path, format="ascii.fixed_width_two_line", overwrite=True)
+    back = Table.read(path, fill_values=[("--", "0")])
+    assert len(back) == 2
+    assert np.ma.is_masked(back["a"][1])
+
+
+def test_table_group_by_and_vstack():
+    t = Table([[1, 1, 2, 2, 3], [10.0, 11.0, 20.0, 21.0, 30.0]], names=["k", "v"])
+    g = t.group_by("k")
+    assert len(g.groups) == 3
+    assert list(g.groups.keys["k"]) == [1, 2, 3]
+    np.testing.assert_allclose(np.asarray(g.groups[1]["v"]), [20.0, 21.0])
+    t2 = Table([[9], [90.0], ["extra"]], names=["k", "v", "w"])
+    st = vstack([t, t2])
+    assert len(st) == 6
+    assert np.ma.is_masked(st["w"][0]) and st["w"][5] == "extra"
+
+
+def test_table_row_destructure():
+    t = Table([[1.0, 2.0], [3.0, 4.0], [True, False]], names=["a", "b", "c"])
+    a, b, c = t[["a", "b", "c"]][0]
+    assert (a, b, c) == (1.0, 3.0, True)
+
+
+def test_column_numpy_interop():
+    c = Column(np.arange(5.0), name="x")
+    assert np.trapezoid(c) == pytest.approx(8.0)
+    c2 = np.insert(c, 0, -1.0)
+    assert c2[0] == -1.0
+    assert (c > 2).sum() == 2
