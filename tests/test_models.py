@@ -208,3 +208,32 @@ def test_axis_labels_and_format_unit():
     m3 = ShockCooling3()
     assert "Mpc" in m3.axis_labels[4]
     assert "mag" in m3.axis_labels[5]
+
+
+def test_shockcooling_n3_and_rw_variants():
+    """n=3 coefficient set and the Rabinak-Waxman reduction (reference
+    models.py:192-226)."""
+    m3 = ShockCooling(n=3.0)
+    assert m3.n == 3.0 and m3.A == 0.79 and m3.L_0 == 2.1e42
+    assert m3.epsilon_T == pytest.approx(2 * 0.016 - 0.5)
+    mrw = ShockCooling(RW=True)
+    assert mrw.RW and mrw.a == 0.0 and mrw.Tph_to_Tcol == 1.2
+    with pytest.raises(ValueError):
+        ShockCooling(n=2.0)
+    # RW=True removes the transparency suppression: brighter at late times
+    t = np.array([5.0, 6.0])
+    f = np.array(FILTS[:2])
+    y_sw = ShockCooling()(t, f, 1.0, 0.3, 10.0, 1.0, 0.0)
+    y_rw = mrw(t, f, 1.0, 0.3, 10.0, 1.0, 0.0)
+    assert np.all(y_rw > y_sw * 0.9)
+
+
+def test_model_repr_and_redshift_from_lc():
+    from lightcurve_fitting_tpu.utils.table import Table
+    lc = Table([[1.0]], names=["MJD"])
+    lc.meta["redshift"] = 0.05
+    m = ShockCooling2(lc)
+    assert m.z == 0.05
+    assert "z=0.050" in repr(m)
+    m2 = ShockCooling2(lc, redshift=0.1)  # explicit arg wins
+    assert m2.z == 0.1
