@@ -188,27 +188,39 @@ class Model:
         offset = -len(y) * np.log(yscale)
         inv_yscale = 1.0 / yscale
 
+        from ..core import config
+        dt = config.compute_dtype
+
         if sigma_type == "relative":
-            sigma_units = jnp.asarray(dy / yscale)
+            sigma_units = jnp.asarray(dy / yscale, dtype=dt)
         elif sigma_type == "absolute":
-            sigma_units = jnp.asarray(float(np.median(dy)) / yscale)
+            sigma_units = jnp.asarray(float(np.median(dy)) / yscale, dtype=dt)
         else:
             raise Exception('sigma_type must either be "relative" or "absolute"')
 
         quad = self.prepare_quad(f)
         t_dev = jnp.asarray(np.asarray(t, float))
-        y_dev = jnp.asarray(y / yscale)
-        dy_dev = jnp.asarray(dy / yscale)
+        # residual arithmetic runs in the hot-path dtype: everything is O(1)
+        # after the yscale normalization, and f32 residual noise (~1e-7) is far
+        # below MC noise in the acceptance ratio
+        y_dev = jnp.asarray(y / yscale, dtype=dt)
+        inv_dy = jnp.asarray(yscale / dy, dtype=dt)
+        dy_dev = jnp.asarray(dy / yscale, dtype=dt)
+        # the Gaussian normalization term is a constant when sigma is fixed:
+        # hoist it to the host (float64, exact)
+        log_norm_const = float(-0.5 * np.sum(np.log(2 * np.pi * (dy / yscale) ** 2)) + offset)
 
         def ll(p):
             n_model = p.shape[0] - (1 if use_sigma else 0)  # static under jit
-            y_fit = self._eval_points(t_dev, quad, *[p[i] for i in range(n_model)]) * inv_yscale
+            y_fit = self._eval_points(t_dev, quad, *[p[i] for i in range(n_model)])
+            y_fit = y_fit.astype(y_dev.dtype) * y_dev.dtype.type(inv_yscale)
             if use_sigma:
-                sigma2 = dy_dev ** 2.0 + (p[-1] * sigma_units) ** 2.0
-            else:
-                sigma2 = dy_dev ** 2.0
-            return (-0.5 * jnp.sum(jnp.log(2 * jnp.pi * sigma2)
-                                   + (y_dev - y_fit) ** 2.0 / sigma2) + offset)
+                sig = p[-1].astype(y_dev.dtype)
+                sigma2 = dy_dev ** 2.0 + (sig * sigma_units) ** 2.0
+                return (-0.5 * jnp.sum(jnp.log(2 * jnp.pi * sigma2)
+                                       + (y_dev - y_fit) ** 2.0 / sigma2) + offset)
+            r = (y_dev - y_fit) * inv_dy
+            return -0.5 * jnp.sum(r * r) + log_norm_const
 
         return ll
 

@@ -145,3 +145,30 @@ def test_format_credible_interval_values():
     x = rng.normal(5.0, 0.1, size=(10000, 1))
     (text,) = format_credible_interval(x)
     assert text.startswith("5.0")
+
+
+def test_model_plot_ycol_variants(fit, tmp_path):
+    """lightcurve_model_plot supports lum and absmag y-axes (reference
+    fitting.py:366-385)."""
+    from lightcurve_fitting_tpu.fitting import lightcurve_model_plot
+    lc_early, model, sampler = fit
+    fig = plt.figure()
+    ax = plt.axes()
+    lightcurve_model_plot(lc_early, model, sampler.flatchain, ax=ax)
+    plt.savefig(tmp_path / "model_lum.png")
+    plt.close("all")
+    fig = plt.figure()
+    ax = plt.axes()
+    lightcurve_model_plot(lc_early, model, sampler.flatchain, ax=ax, ycol="absmag")
+    plt.savefig(tmp_path / "model_absmag.png")
+    plt.close("all")
+
+
+def test_corner_with_filters_to_model(fit, tmp_path):
+    from lightcurve_fitting_tpu.fitting import lightcurve_model_plot
+    lc_early, model, sampler = fit
+    fig = plt.figure()
+    ax = plt.axes()
+    lightcurve_model_plot(lc_early, model, sampler.flatchain, ax=ax,
+                          filters_to_model=["g", "r"], num_models_to_plot=10)
+    plt.close("all")

@@ -132,3 +132,21 @@ def test_calibrate_spectra_roundtrip(tmp_path):
     out = np.loadtxt(out_path)
     ratio = np.median(out[:, 1] / (flam_file / 2.5))
     assert ratio == pytest.approx(2.5, rel=0.05)
+
+
+def test_cli_main(tmp_path, capsys):
+    """The speccal command-line interface (reference speccal.py:593-610)."""
+    wl = np.linspace(4000, 7000, 500)
+    flam = np.full(500, 2e-15)
+    spec_path = str(tmp_path / "spec_57475.txt")
+    np.savetxt(spec_path, np.array([wl, flam]).T)
+    lc_path = str(tmp_path / "lc.txt")
+    with open(lc_path, "w") as f:
+        f.write("MJD mag dmag filter\n")
+        for mjd in [57474.0, 57476.0]:
+            for filt in ["B", "V", "r"]:
+                f.write(f"{mjd} 17.0 0.05 {filt}\n")
+    speccal.main([spec_path, "--lc", lc_path, "--max-extrapolate", "2"])
+    out = capsys.readouterr().out
+    assert "photcal_" in out
+    assert os.path.exists(tmp_path / "photcal_spec_57475.txt")
