@@ -158,13 +158,41 @@ def spectrum_mcmc(spectrum, epoch1, priors, starting_guesses, z=0.0, ebv=0.0,
     # drop non-finite kwargs that are jit-safe defaults
     sk = {k: v for k, v in spectrum_kwargs.items() if not (k == "cutoff_freq" and np.isinf(v))}
 
-    log_posterior = _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, sk,
-                                            use_sigma, sigma_type)
     ndim = len(priors)
     if nwalkers % 2:
         nwalkers += 1
         starting_guesses = np.vstack([starting_guesses, starting_guesses[-1:]])
-    sampler = EnsembleSampler(nwalkers, ndim, log_posterior, seed=seed)
+    try:
+        log_posterior = _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, sk,
+                                                use_sigma, sigma_type)
+        # verify the spectrum function traces (arbitrary Python callables may
+        # not): eval_shape forces abstract tracing through the vmapped path
+        import jax
+        jax.eval_shape(jax.vmap(log_posterior),
+                       jnp.zeros((2, ndim), dtype=jnp.asarray(0.0).dtype))
+        sampler = EnsembleSampler(nwalkers, ndim, log_posterior, seed=seed)
+    except Exception:
+        # host fallback: numpy stretch move over Filter.synthesize, exactly the
+        # reference's generic path (bolometric.py:154-164)
+        from .parallel.host_sampler import HostEnsembleSampler
+        filters = list(epoch1["filter"])
+        y_np = np.asarray(epoch1["lum"], float)
+        dy_np = np.asarray(epoch1["dlum"], float)
+        sigma_units = dy_np if sigma_type == "relative" else np.median(dy_np)
+
+        def log_posterior_host(p):
+            log_prior = 0.0
+            for prior, p_i in zip(priors, p):
+                log_prior += float(prior(p_i))
+            if np.isinf(log_prior):
+                return log_prior
+            y_fit = np.array([f.synthesize(spectrum, *p[: -1 if use_sigma else None],
+                                           z=z, ebv=ebv, **sk) for f in filters])
+            sigma = np.sqrt(dy_np ** 2 + (p[-1] * sigma_units) ** 2) if use_sigma else dy_np
+            ll = -0.5 * np.sum(np.log(2 * np.pi * sigma ** 2) + ((y_np - y_fit) / sigma) ** 2)
+            return log_prior + ll
+
+        sampler = HostEnsembleSampler(nwalkers, ndim, log_posterior_host, seed=seed)
     pos, _, _ = sampler.run_mcmc(starting_guesses, burnin_steps, skip_initial_state_check=True)
 
     if show:

@@ -177,3 +177,34 @@ def test_batch_mode_matches_sequential(tmp_path):
     # curve_fit columns identical (same host path)
     np.testing.assert_allclose(np.asarray(t_seq["temp"], float),
                                np.asarray(t_bat["temp"], float), rtol=1e-6)
+
+
+def test_spectrum_mcmc_generic_python_spectrum(tmp_path):
+    """Arbitrary (non-jax-traceable) spectrum callables fall back to the host
+    sampler, preserving the reference's generality (bolometric.py:87-97)."""
+    from lightcurve_fitting_tpu.models import UniformPrior
+
+    def numpy_powerlaw(nu, amp, alpha):
+        nu = np.asarray(nu)  # forces host execution (fails on jax tracers)
+        amp = np.atleast_1d(np.asarray(amp, float))
+        alpha = np.atleast_1d(np.asarray(alpha, float))
+        return np.squeeze(amp[:, None] * 1e15 * (nu / 500.0) ** alpha[:, None])
+
+    filters = [filtdict[n] for n in ["B", "V", "r", "i"]]
+    freq = np.array([f.freq_eff.value for f in filters])
+    amp_true, alpha_true = 2.0, -1.0
+    lum = np.array([f.synthesize(numpy_powerlaw, amp_true, alpha_true) for f in filters])
+    dlum = 0.03 * lum
+    epoch = LC([np.full(4, 57000.0), filters, freq, lum, dlum],
+               names=["MJD", "filter", "freq", "lum", "dlum"])
+    priors = [UniformPrior(0.1, 10.0), UniformPrior(-3.0, 1.0)]
+    guesses = np.column_stack([np.random.default_rng(0).uniform(1.0, 3.0, 10),
+                               np.random.default_rng(1).uniform(-2.0, 0.0, 10)])
+    sampler = bol.spectrum_mcmc(numpy_powerlaw, epoch, priors, guesses,
+                                outpath=str(tmp_path), nwalkers=10,
+                                burnin_steps=150, steps=100, seed=4,
+                                labels=["amp", "alpha"])
+    med = np.median(sampler.flatchain, axis=0)
+    assert med[0] == pytest.approx(amp_true, rel=0.2)
+    assert med[1] == pytest.approx(alpha_true, abs=0.3)
+    plt.close("all")
