@@ -25,6 +25,15 @@ from .utils.table import Table
 
 __all__ = ["Filter", "filtdict", "all_filters", "extinction_law"]
 
+
+def _resample_filter_curve(filename, outfile):
+    """Resample a raw transmission table onto a 1-nm grid, 1225..275 nm
+    descending (developer utility; reference filters.py:358-363)."""
+    orig = np.loadtxt(filename)
+    wl = np.arange(1225.0, 274.0, -1.0)
+    resampled = np.interp(wl, orig[:, 0], orig[:, 1], left=0, right=0)
+    np.savetxt(outfile, np.array([wl, resampled]).T, fmt=["%.0f", "%.16f"])
+
 _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 _CURVES_FILE = os.path.join(_DATA_DIR, "filter_curves.npz")
 _curves_npz = None
@@ -82,10 +91,13 @@ class Filter:
         self._props = None
 
     # --------------------------------------------------------------- curve
-    def read_curve(self, force=False):
+    def read_curve(self, show=False, force=False):
         """Load the transmission curve and derive effective wavelength/frequency
-        and half-maximum ranges with the reference's formulas (filters.py:170-230)."""
+        and half-maximum ranges with the reference's formulas (filters.py:170-230).
+        With ``show=True``, plot the transmission in wavelength and frequency."""
         if self._props is not None and not force:
+            if show:
+                self._show_curve()
             return
         if self._curve_key is None:
             return
@@ -122,6 +134,35 @@ class Filter:
             freq_eff=u.Quantity(freq_eff, u.THz), dfreq=u.Quantity(-dfreq, u.THz),
             freq_range=(freq_eff - freq0, freq1 - freq_eff),
         )
+
+        if show:
+            self._show_curve()
+
+    def _show_curve(self):
+        """Plot the transmission function vs wavelength (figure 1) and
+        frequency (figure 2), with effective-value error bars, matching the
+        reference's read_curve(show=True) (filters.py:199-222)."""
+        import matplotlib.pyplot as plt
+        if self._trans is None:
+            return
+        i = Filter.order.index(self.name) / float(len(Filter.order))
+        trans = self._trans
+        p = self._props
+        plt.figure(1)
+        ax1 = plt.gca()
+        ax1.plot(np.asarray(trans["wl"]), np.asarray(trans["T"]), label=self.name)
+        ax1.errorbar(p["wl_eff"].value, i, xerr=[[p["wl_range"][0]], [p["wl_range"][1]]],
+                     marker="o", **self.plotstyle)
+        ax1.set_xlabel("Wavelength (nm)")
+        ax1.set_ylabel("Transmission")
+        plt.figure(2)
+        ax2 = plt.gca()
+        ax2.plot(np.asarray(trans["freq"]), np.asarray(trans["T"]), label=self.name)
+        ax2.errorbar(p["freq_eff"].value, i,
+                     xerr=[[p["freq_range"][0]], [p["freq_range"][1]]],
+                     marker="o", **self.plotstyle)
+        ax2.set_xlabel("Frequency (THz)")
+        ax2.set_ylabel("Transmission")
 
     def _prop(self, key):
         self.read_curve()

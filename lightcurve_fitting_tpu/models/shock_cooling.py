@@ -172,6 +172,16 @@ class ShockCooling3(BaseShockCooling):
     output_quantity = "flux"
     use_band_table = False  # sampled E(B-V): extinction does not factorize
 
+    def evaluate(self, t_in, f, v_s, M_env, f_rho_M, R, dist, ebv=0.0, t_exp=0.0, kappa=1.0):
+        if kappa != 1.0:
+            from .blackbody import blackbody_to_filters
+            T_K, R_bb = self.temperature_radius(np.asarray(t_in, float), v_s, M_env,
+                                                f_rho_M, R, t_exp, kappa)
+            lum = blackbody_to_filters(f, np.asarray(T_K), np.asarray(R_bb), self.z, ebv=ebv)
+            return c4 * lum / dist ** 2.0
+        return super(BaseShockCooling, self).evaluate(t_in, f, v_s, M_env, f_rho_M, R,
+                                                      dist, ebv, t_exp)
+
     def _eval_points(self, t, quad, v_s, M_env, f_rho_M, R, dist, ebv=0.0, t_exp=0.0):
         T_K, R_bb = BaseShockCooling._tr_points(self, t, v_s, M_env, f_rho_M, R, t_exp)
         lum = bandflux_pointwise(quad["nodes"], quad["weights"], T_K, R_bb,
@@ -235,6 +245,17 @@ class ShockCooling4(Model):
         t = jnp.reshape(jnp.asarray(t_in, float), (-1, 1)) - t_exp
         T_K, R_bb = self._tr_points(t, v_s, M_env, f_rho_M, R, 0.0, kappa)
         return jnp.squeeze(T_K), jnp.squeeze(R_bb)
+
+    def evaluate(self, t_in, f, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=1.0):
+        if kappa != 1.0:
+            from .blackbody import blackbody_to_filters
+            T_K, R_bb = self.temperature_radius(np.asarray(t_in, float), v_s, M_env,
+                                                f_rho_M, R, t_exp, kappa)
+            lum_bb = blackbody_to_filters(f, np.asarray(T_K), np.asarray(R_bb), self.z)
+            lum_sup = blackbody_to_filters(f, 0.74 * np.asarray(T_K),
+                                           0.74 ** -2.0 * np.asarray(R_bb), self.z)
+            return np.minimum(lum_bb, lum_sup)
+        return super().evaluate(t_in, f, v_s, M_env, f_rho_M, R, t_exp)
 
     def _eval_points(self, t, quad, v_s, M_env, f_rho_M, R, t_exp=0.0):
         T_K, R_bb = self._tr_points(t, v_s, M_env, f_rho_M, R, t_exp)

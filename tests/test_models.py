@@ -237,3 +237,20 @@ def test_model_repr_and_redshift_from_lc():
     assert "z=0.050" in repr(m)
     m2 = ShockCooling2(lc, redshift=0.1)  # explicit arg wins
     assert m2.z == 0.1
+
+
+def test_kappa_keyword_host_paths():
+    """kappa != 1 is supported through the host quadrature paths (reference
+    signatures models.py:322,460,599)."""
+    t = np.array([2.0, 4.0])
+    f = np.array(FILTS[:2])
+    m1 = ShockCooling()
+    y1 = m1(t, f, 1.0, 1.0, 10.0, 1.0, 0.5, 0.7)
+    assert y1.shape == (2,) and np.all(np.isfinite(y1)) and not np.allclose(
+        y1, m1(t, f, 1.0, 1.0, 10.0, 1.0, 0.5))
+    m3 = ShockCooling3()
+    y3 = m3(t, f, 1.0, 1.0, 10.0, 1.0, 40.0, 0.1, 0.5, kappa=0.7)
+    assert y3.shape == (2,) and np.all(y3 > 0)
+    m4 = ShockCooling4()
+    y4 = m4(t, f, 1.0, 1.0, 10.0, 1.0, 0.5, kappa=0.7)
+    assert y4.shape == (2,) and np.all(y4 > 0)
