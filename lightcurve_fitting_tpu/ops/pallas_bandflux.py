@@ -48,7 +48,9 @@ def _kernel(nodes_ref, w_ref, T_ref, R_ref, out_ref):
     Tp = T[:, :, None]
     pos = Tp > 0.0
     x = c1 * nu[None, :, :] * jnp.where(pos, 1.0 / jnp.where(pos, Tp, 1.0), 0.0)
-    e = jnp.expm1(x)
+    # Mosaic has no expm1 lowering; exp(x)-1 loses precision only in the deep
+    # Rayleigh-Jeans limit (x < 1e-3: rel err ~1e-4 in f32), irrelevant here
+    e = jnp.exp(x) - 1.0
     epos = e > 0.0
     denom_inv = jnp.where(epos, 1.0 / jnp.where(epos, e, 1.0), 0.0)
     lnu = (c2 * R[:, :, None] ** 2) * (nu ** 3)[None, :, :] * denom_inv
