@@ -208,3 +208,33 @@ def test_spectrum_mcmc_generic_python_spectrum(tmp_path):
     assert med[0] == pytest.approx(amp_true, rel=0.2)
     assert med[1] == pytest.approx(alpha_true, abs=0.3)
     plt.close("all")
+
+
+def test_bolometric_options(tmp_path):
+    """do_mcmc=False, cutoff_freq, also_group_by, save_chains, use_sigma."""
+    lc = load_lc().where(MJD_min=57468.0, MJD_max=57472.0)
+    # no MCMC: mcmc columns masked, curve_fit columns present
+    t_no = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "n"), res=1.0,
+                                    do_mcmc=False, seed=1, save_corners=False)
+    assert np.isfinite(np.asarray(t_no["temp"], float)).any()
+    assert np.asarray(t_no.mask["temp_mcmc"]).all()
+    # modified blackbody with a cutoff frequency
+    t_cut = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "c"), res=1.0,
+                                     nwalkers=10, burnin_steps=60, steps=40,
+                                     cutoff_freq=700.0, seed=1, save_corners=False)
+    assert np.isfinite(np.asarray(t_cut["L_bol"], float)).any()
+    # save_chains writes per-epoch npy files
+    bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "s"), res=1.0,
+                             nwalkers=10, burnin_steps=60, steps=40,
+                             save_chains=True, seed=1, save_corners=False)
+    assert any(f.suffix == ".npy" for f in (tmp_path / "s").iterdir())
+    # use_sigma adds the third parameter
+    t_sig = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "g"), res=1.0,
+                                     nwalkers=10, burnin_steps=60, steps=40,
+                                     use_sigma=True, seed=1, save_corners=False)
+    assert np.isfinite(np.asarray(t_sig["temp_mcmc"], float)).any()
+    # also_group_by source splits epochs by source
+    lc2 = load_lc().where(MJD_min=57468.0, MJD_max=57471.0)
+    groups = bol.group_by_epoch(lc2, res=1.0, also_group_by=["source"])
+    assert len(groups) >= len(bol.group_by_epoch(load_lc().where(MJD_min=57468.0, MJD_max=57471.0), res=1.0))
+    plt.close("all")
