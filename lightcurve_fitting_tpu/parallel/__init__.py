@@ -5,3 +5,5 @@ from .sampler import EnsembleSampler, make_stretch_kernel  # noqa: F401
 from .mesh import ShardedEnsembleSampler, walker_mesh, make_sharded_stretch_step  # noqa: F401
 from .batched import pack_epochs, batched_blackbody_mcmc  # noqa: F401
 from .population import pack_population, fit_population  # noqa: F401
+from .hmc import HMCSampler  # noqa: F401
+from .host_sampler import HostEnsembleSampler  # noqa: F401

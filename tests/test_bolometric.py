@@ -238,3 +238,35 @@ def test_bolometric_options(tmp_path):
     groups = bol.group_by_epoch(lc2, res=1.0, also_group_by=["source"])
     assert len(groups) >= len(bol.group_by_epoch(load_lc().where(MJD_min=57468.0, MJD_max=57471.0), res=1.0))
     plt.close("all")
+
+
+def test_single_filter_epoch_kde_chaining(tmp_path):
+    """min_nfilt=1: single-filter epochs chain the previous epoch's temperature
+    posterior as a KDE prior (reference bolometric.py:753-759 — which would
+    crash there on the subsequent bounds lookup; our KDEPrior keeps bounds)."""
+    from lightcurve_fitting_tpu.models import planck_fast
+    rng = np.random.default_rng(3)
+    rows_t, rows_f, rows_m, rows_dm = [], [], [], []
+    T_true, R_true = 9.0, 8.0
+    # epoch 1: 4 filters; epoch 2: single filter
+    for mjd, bands in [(57500.0, ["B", "V", "r", "i"]), (57501.0, ["r"])]:
+        for b in bands:
+            f = filtdict[b]
+            lum = f.synthesize(planck_fast, T_true, R_true)
+            mag = -2.5 * np.log10(lum) + f.m0 + 90.19 + 30.0
+            rows_t.append(mjd)
+            rows_f.append(b)
+            rows_m.append(mag + rng.normal(scale=0.02))
+            rows_dm.append(0.02)
+    lc = LC([np.array(rows_t), np.array(rows_m), np.array(rows_dm), np.array(rows_f)],
+            names=["MJD", "mag", "dmag", "filter"])
+    lc.meta.update(dm=30.0, redshift=0.0, extinction={})
+    t0 = bol.calculate_bolometric(lc, outpath=str(tmp_path), res=0.5, nwalkers=10,
+                                  burnin_steps=100, steps=80, min_nfilt=1, seed=2,
+                                  save_corners=False)
+    assert len(t0) == 2
+    temp = np.asarray(t0["temp_mcmc"], float)
+    assert np.isfinite(temp).all()
+    # the chained epoch's temperature stays near the first epoch's posterior
+    assert temp[1] == pytest.approx(temp[0], rel=0.4)
+    plt.close("all")

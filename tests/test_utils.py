@@ -115,3 +115,22 @@ def test_column_numpy_interop():
     c2 = np.insert(c, 0, -1.0)
     assert c2[0] == -1.0
     assert (c > 2).sum() == 2
+
+
+def test_device_photometry_twins_match_host():
+    import jax.numpy as jnp
+    from lightcurve_fitting_tpu.ops.photometry import mag2flux_jax, flux2mag_jax
+    from lightcurve_fitting_tpu.lightcurve import mag2flux, flux2mag
+    rng = np.random.default_rng(0)
+    mag = rng.uniform(14, 22, 20)
+    dmag = rng.uniform(0.01, 0.3, 20)
+    zp = rng.uniform(-58, -56, 20)
+    nondet = rng.uniform(size=20) < 0.3
+    f_h, df_h = mag2flux(mag, dmag, zp, nondet)
+    f_d, df_d = mag2flux_jax(jnp.asarray(mag), jnp.asarray(dmag), jnp.asarray(zp),
+                             jnp.asarray(nondet))
+    np.testing.assert_allclose(np.asarray(f_d), f_h, rtol=1e-12)
+    np.testing.assert_allclose(np.asarray(df_d), df_h, rtol=1e-12, equal_nan=True)
+    m_h, dm_h = flux2mag(f_h.copy(), df_h.copy(), zp, nondet)
+    m_d, dm_d = flux2mag_jax(f_d, df_d, jnp.asarray(zp), jnp.asarray(nondet))
+    np.testing.assert_allclose(np.asarray(m_d), m_h, rtol=1e-10, equal_nan=True)
