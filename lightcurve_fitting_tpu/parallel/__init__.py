@@ -7,3 +7,4 @@ from .batched import pack_epochs, batched_blackbody_mcmc  # noqa: F401
 from .population import pack_population, fit_population  # noqa: F401
 from .hmc import HMCSampler  # noqa: F401
 from .host_sampler import HostEnsembleSampler  # noqa: F401
+from .diagnostics import split_rhat, effective_sample_size, summarize_chain  # noqa: F401

@@ -137,3 +137,46 @@ def test_progress_segments_equivalent(capsys):
     out = capsys.readouterr().out
     assert "100/100" in out
     assert s.flatchain.shape == (1600, 2)
+
+
+def test_diagnostics_rhat_ess():
+    """Split-R-hat ~1 and sensible ESS on a converged chain; large R-hat on a
+    deliberately unconverged one."""
+    from lightcurve_fitting_tpu.parallel.diagnostics import (split_rhat,
+                                                             effective_sample_size,
+                                                             summarize_chain)
+    import jax.numpy as jnp
+
+    def logp(p):
+        return -0.5 * jnp.sum(p ** 2)
+
+    s = EnsembleSampler(32, 2, logp, seed=13)
+    p0 = np.random.default_rng(0).normal(size=(32, 2))
+    s.run_mcmc(p0, 200)
+    s.reset()
+    s.run_mcmc(None, 1000)
+    chain = s.get_chain()  # (nsteps, nwalkers, ndim)
+    rhat = split_rhat(chain)
+    assert np.all(rhat < 1.05), rhat
+    ess = effective_sample_size(chain)
+    assert np.all(ess > 200), ess
+    text = summarize_chain(chain, names=["a", "b"])
+    assert "R-hat" in text and "ESS" in text
+    # unconverged: two chains stuck at different values
+    fake = np.concatenate([np.random.default_rng(1).normal(0, 0.1, (500, 16, 1)),
+                           np.random.default_rng(2).normal(5, 0.1, (500, 16, 1))], axis=1)
+    assert split_rhat(fake)[0] > 1.5
+
+
+def test_thin_by():
+    import jax.numpy as jnp
+
+    def logp(p):
+        return -0.5 * jnp.sum(p ** 2)
+
+    s = EnsembleSampler(16, 2, logp, seed=3)
+    p0 = np.random.default_rng(3).normal(size=(16, 2))
+    s.run_mcmc(p0, 50, thin_by=4)  # 200 actual steps, 50 stored
+    assert s.get_chain().shape == (50, 16, 2)
+    # acceptance accounts for all 200 steps
+    assert s._nsteps_total == 200
