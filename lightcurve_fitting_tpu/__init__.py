@@ -16,6 +16,15 @@ Layout (mirrors the reference's layer map, SURVEY.md §1):
 
 __version__ = "0.1.0"
 
+import os as _os
+
+if not _os.environ.get("LCF_NO_X64"):
+    # absolute MJD epochs (~5.7e4 with posterior widths of ~0.01 d) need
+    # float64 parameter arithmetic; the transcendental-heavy hot paths run in
+    # float32 regardless (core/config.py). Set LCF_NO_X64=1 to opt out.
+    import jax as _jax
+    _jax.config.update("jax_enable_x64", True)
+
 from . import filters  # noqa: F401
 from . import models  # noqa: F401
 from .lightcurve import LC  # noqa: F401

@@ -9,14 +9,24 @@ transcendental-heavy cube runs at full VPU rate. Relative error of the band
 fluxes in float32 is ~1e-7, far below photometric uncertainty.
 """
 
-compute_dtype = None
+AUTO = "auto"
+compute_dtype = AUTO
 
 
 def set_compute_dtype(dtype):
-    """Set the hot-path compute dtype (None, jnp.float32, jnp.bfloat16, ...)."""
+    """Set the hot-path compute dtype (None, jnp.float32, jnp.bfloat16, or
+    config.AUTO to re-enable backend-based resolution)."""
     global compute_dtype
     compute_dtype = dtype
 
 
 def get_compute_dtype():
+    """Resolve the hot-path dtype: explicit user setting wins; AUTO resolves to
+    float32 on accelerators (where emulated float64 is ~10x slower and
+    float32-range-limited) and to None (ambient precision) on CPU."""
+    global compute_dtype
+    if compute_dtype == AUTO:
+        import jax
+        import jax.numpy as jnp
+        compute_dtype = None if jax.default_backend() == "cpu" else jnp.float32
     return compute_dtype

@@ -189,7 +189,7 @@ class Model:
         inv_yscale = 1.0 / yscale
 
         from ..core import config
-        dt = config.compute_dtype
+        dt = config.get_compute_dtype()
 
         if sigma_type == "relative":
             sigma_units = jnp.asarray(dy / yscale, dtype=dt)

@@ -55,7 +55,7 @@ def bandflux_pointwise(nodes_emit, weights, T, R, cutoff_freq=np.inf, k_ext=None
     """
     from ..core import config
     out_dtype = jnp.result_type(T)
-    dt = config.compute_dtype
+    dt = config.get_compute_dtype()
     if dt is not None:
         nodes_emit = nodes_emit.astype(dt)
         weights = weights.astype(dt)

@@ -88,7 +88,7 @@ def chebyshev_bandflux(coef_pt, T, R, log_T_lo, log_T_hi):
     """
     from ..core import config
     out_dtype = jnp.result_type(T)
-    dt = config.compute_dtype
+    dt = config.get_compute_dtype()
     if dt is not None:
         # all Clenshaw quantities are O(1)-O(1e3): float32-safe, and the TPU's
         # emulated float64 would be ~10x slower per op

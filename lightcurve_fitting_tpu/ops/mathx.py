@@ -18,7 +18,7 @@ def hot(*xs):
     elapsed times and physical parameters are O(1)-O(100) and run at full VPU
     rate in float32 (the TPU's emulated float64 is ~10x slower per op)."""
     from ..core import config
-    dt = config.compute_dtype
+    dt = config.get_compute_dtype()
     if dt is None:
         return xs if len(xs) > 1 else xs[0]
     out = tuple(jnp.asarray(x).astype(dt) for x in xs)
