@@ -13,7 +13,14 @@ __all__ = ["split_rhat", "effective_sample_size", "summarize_chain"]
 
 def split_rhat(chain):
     """Split-R-hat per parameter. ``chain``: (nsteps, nchains, ndim).
-    Values near 1 (< 1.01 strict, < 1.1 loose) indicate convergence."""
+    Values near 1 (< 1.01 strict, < 1.1 loose) indicate convergence.
+
+    Caveat: R-hat assumes *independent* chains. Stretch-move ensemble walkers
+    are coupled (each proposal uses the complementary half), so the ensemble
+    drifts coherently and R-hat over walkers reads high even when the pooled
+    posterior is correct (verified against independent MH and across
+    precisions/backends in the test suite). Use R-hat for HMC chains; for
+    ensembles prefer ``EnsembleSampler.get_autocorr_time`` / ESS."""
     chain = np.asarray(chain, float)
     n, m, d = chain.shape
     half = n // 2
