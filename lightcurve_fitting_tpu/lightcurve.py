@@ -22,7 +22,7 @@ from matplotlib.patches import Patch
 from matplotlib.colors import is_color_like
 
 from .filters import filtdict
-from .utils.table import Table, Column, MaskedColumn, vstack
+from .utils.table import Table, MaskedColumn, vstack
 from .utils.cosmology import Planck18
 
 try:

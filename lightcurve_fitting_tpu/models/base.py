@@ -17,7 +17,7 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 
-from ..core.constants import M0_OFFSET
+
 from ..ops.filterbank import FilterBank
 from ..utils import units as u
 

@@ -11,7 +11,7 @@ reference API including its broadcasting conventions (models.py:1105-1200).
 """
 
 import numpy as np
-import jax
+
 import jax.numpy as jnp
 
 from ..core.constants import c1, c2

@@ -21,7 +21,7 @@ from ..ops.mathx import power, hot
 from ..utils import units as u
 from ..utils.table import Table
 from .base import Model
-from .blackbody import bandflux_pointwise
+
 from ..filters import filtdict
 
 __all__ = ["BaseCompanionShocking", "CompanionShocking", "CompanionShocking2",

@@ -8,7 +8,7 @@ see :class:`~lightcurve_fitting_tpu.models.base.Model` for the batching contract
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.constants import k_B, c3, c3_42, c4, c4_30
+from ..core.constants import k_B, c3_42, c4, c4_30
 from ..ops.mathx import power, hot
 from ..utils import units as u
 from .base import Model

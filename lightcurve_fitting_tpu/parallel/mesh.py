@@ -12,7 +12,6 @@ Population fitting (many transients at once) composes on top: vmap over
 transients inside the local shard, or a second mesh axis.
 """
 
-from functools import partial
 
 import numpy as np
 import jax

@@ -23,7 +23,6 @@ both halves updated per step (emcee moves each walker once per iteration).
 Chains agree with emcee in distribution, not path (different RNG).
 """
 
-from functools import partial
 
 import numpy as np
 import jax

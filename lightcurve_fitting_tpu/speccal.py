@@ -11,7 +11,6 @@ import json
 import os
 import re
 import shutil
-import warnings
 
 import numpy as np
 import matplotlib.pyplot as plt

@@ -14,7 +14,6 @@ Columns are :class:`numpy.ma.MaskedArray` subclasses, so all numpy operations
 """
 
 from collections import OrderedDict
-import re
 
 import numpy as np
 
