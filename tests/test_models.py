@@ -254,3 +254,36 @@ def test_kappa_keyword_host_paths():
     m4 = ShockCooling4()
     y4 = m4(t, f, 1.0, 1.0, 10.0, 1.0, 0.5, kappa=0.7)
     assert y4.shape == (2,) and np.all(y4 > 0)
+
+
+def test_shockcooling3_fit_recovers_truth():
+    """End-to-end SC3 fit (flux output, sampled E(B-V)): exercises the exact
+    quadrature path with traced extinction."""
+    from lightcurve_fitting_tpu.utils.table import Table
+    from lightcurve_fitting_tpu.fitting import lightcurve_mcmc
+    from lightcurve_fitting_tpu.models.priors import UniformPrior
+    truth = (1.2, 1.0, 10.0, 1.5, 40.0, 0.15, 0.3)  # v_s, M_env, f_rho_M, R, d_L, ebv, t_0
+    m = ShockCooling3(redshift=0.01)
+    t = np.repeat(np.linspace(1.0, 7.0, 8), 6)
+    f = np.array(FILTS * 8)
+    y_true = m(t, f, *truth)
+    rng = np.random.default_rng(5)
+    dy = 0.03 * y_true
+    y = y_true + rng.normal(scale=dy)
+    lc = Table([t, f, y, dy], names=["MJD", "filter", "flux", "dflux"])
+    lc.meta["redshift"] = 0.01
+    model = ShockCooling3(lc)
+    priors = [UniformPrior(0.1, 5.0), UniformPrior(0.1, 10.0), UniformPrior(1.0, 100.0),
+              UniformPrior(0.1, 10.0), UniformPrior(39.99, 40.01),  # distance pinned
+              UniformPrior(0.0, 1.0), UniformPrior(-1.0, 1.0)]
+    sampler = lightcurve_mcmc(lc, model, priors=priors,
+                              p_lo=[0.5, 0.5, 5.0, 0.5, 39.99, 0.05, 0.0],
+                              p_up=[2.5, 2.0, 20.0, 3.0, 40.01, 0.4, 0.6],
+                              nwalkers=32, nsteps=300, nsteps_burnin=400, seed=21)
+    med = np.median(sampler.flatchain, axis=0)
+    # degenerate physical params; check the well-constrained combinations
+    assert med[5] == pytest.approx(0.15, abs=0.1)       # E(B-V)
+    assert med[6] == pytest.approx(0.3, abs=0.3)        # t_0
+    y_fit = model(t, f, *med)
+    chi2 = np.mean(((y - y_fit) / dy) ** 2)
+    assert chi2 < 3.0
