@@ -23,6 +23,8 @@ from .sampler import make_stretch_kernel
 
 __all__ = ["pack_population", "fit_population"]
 
+_COMPILED_CACHE = {}
+
 
 def pack_population(models, lcs, use_sigma=False):
     """Pack per-transient photometry + quadrature into dense padded arrays.
@@ -128,18 +130,35 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
     args = (packed["t"], packed["y"], packed["dy"], packed["mask"], packed["yscale"],
             packed["quad"], jnp.asarray(guesses), keys)
 
+    # cache compiled executables across calls: the graph is determined by the
+    # model class, prior structure, shapes, and run configuration
+    cache_key = (type(model).__name__,
+                 tuple((type(p).__name__, getattr(p, "p_min", None), getattr(p, "p_max", None),
+                        getattr(p, "mean", None), getattr(p, "stddev", None)) for p in priors),
+                 packed["t"].shape, packed["quad"]["nodes"].shape if "nodes" in packed["quad"] else None,
+                 nwalkers, nsteps, nsteps_burnin, use_sigma, sigma_type, a,
+                 None if mesh is None else (tuple(mesh.shape.items()), axis_name))
+
     if mesh is None:
-        flat, acc = jax.jit(vmapped)(*args)
+        fn = _COMPILED_CACHE.get(cache_key)
+        if fn is None:
+            fn = jax.jit(vmapped)
+            _COMPILED_CACHE[cache_key] = fn
+        flat, acc = fn(*args)
     else:
         n_dev = mesh.shape[axis_name]
         if S % n_dev:
             raise ValueError(f"number of transients {S} must divide mesh size {n_dev}; "
                              "pad the input list")
         spec = P(axis_name)
-        sharded = shard_map(vmapped, mesh=mesh,
-                            in_specs=(spec,) * 5 + (jax.tree.map(lambda _: spec, packed["quad"]),
-                                                    spec, spec),
-                            out_specs=(spec, spec),
-                            check_vma=False)
-        flat, acc = jax.jit(sharded)(*args)
+        fn = _COMPILED_CACHE.get(cache_key)
+        if fn is None:
+            sharded = shard_map(vmapped, mesh=mesh,
+                                in_specs=(spec,) * 5 + (jax.tree.map(lambda _: spec, packed["quad"]),
+                                                        spec, spec),
+                                out_specs=(spec, spec),
+                                check_vma=False)
+            fn = jax.jit(sharded)
+            _COMPILED_CACHE[cache_key] = fn
+        flat, acc = fn(*args)
     return np.asarray(flat), np.asarray(acc)
