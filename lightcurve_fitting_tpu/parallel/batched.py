@@ -71,6 +71,9 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
     half = nwalkers // 2
     E = packed["y"].shape[0]
 
+    from ..core import config
+    dt = config.get_compute_dtype()
+
     def run_one(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e, guesses, key):
         # data normalized to O(1) per epoch (TPU float32-range safety); the
         # dropped constant only shifts the posterior by a constant
@@ -78,24 +81,34 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
         y_s = y_e * inv_yscale
         dy_s = dy_e * inv_yscale
         if sigma_type == "relative":
-            sigma_units = dy_s
+            sigma_units = dy_s if dt is None else dy_s.astype(dt)
         else:
             # median over real bands only
-            big = jnp.where(mask_e, dy_s, jnp.nan)
-            sigma_units = jnp.nanmedian(big)
+            med = jnp.nanmedian(jnp.where(mask_e, dy_s, jnp.nan))
+            sigma_units = med if dt is None else med.astype(dt)
+        log_norm = -0.5 * jnp.sum(jnp.where(mask_e, jnp.log(2 * jnp.pi * dy_s ** 2.0), 0.0))
+        yn_h = y_s if dt is None else y_s.astype(dt)
+        dyn_h = dy_s if dt is None else dy_s.astype(dt)
+        inv_dyn = jnp.where(mask_e, 1.0 / dyn_h, 0.0)
+        inv_h = inv_yscale if dt is None else inv_yscale.astype(dt)
 
         def logpost(p):
             log_prior = 0.0
             for i, prior in enumerate(priors):
                 log_prior = log_prior + prior(p[i])
-            lnu = planck_lnu(nodes_e, p[0], p[1], cutoff_freq)
-            y_fit = jnp.sum(weights_e * lnu, axis=-1) * inv_yscale
+            lnu = planck_lnu(nodes_e if dt is None else nodes_e.astype(dt),
+                             p[0] if dt is None else p[0].astype(dt),
+                             p[1] if dt is None else p[1].astype(dt), cutoff_freq)
+            y_fit = jnp.sum((weights_e if dt is None else weights_e.astype(dt)) * lnu,
+                            axis=-1) * inv_h
             if use_sigma:
-                sigma2 = dy_s ** 2.0 + (p[-1] * sigma_units) ** 2.0
+                sig = p[-1] if dt is None else p[-1].astype(dt)
+                sigma2 = dyn_h ** 2.0 + (sig * sigma_units) ** 2.0
+                terms = jnp.log(2 * jnp.pi * sigma2) + (yn_h - y_fit) ** 2.0 / sigma2
+                ll = -0.5 * jnp.sum(jnp.where(mask_e, terms, 0.0))
             else:
-                sigma2 = dy_s ** 2.0
-            terms = jnp.log(2 * jnp.pi * sigma2) + (y_s - y_fit) ** 2.0 / sigma2
-            ll = -0.5 * jnp.sum(jnp.where(mask_e, terms, 0.0))
+                r = (yn_h - y_fit) * inv_dyn
+                ll = -0.5 * jnp.sum(r * r) + log_norm
             ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
             return jnp.where(jnp.isfinite(log_prior), log_prior + ll, -jnp.inf)
 

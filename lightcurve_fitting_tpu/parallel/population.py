@@ -92,27 +92,41 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
     p_up = np.asarray(p_up, float)
     guesses = rng.uniform(size=(S, nwalkers, ndim)) * (p_up - p_lo) + p_lo
 
+    from ..core import config
+    dt = config.get_compute_dtype()
+
     def run_one(t_s, y_s, dy_s, mask_s, yscale_s, quad_s, guess_s, key):
         inv = 1.0 / yscale_s
         yn = y_s * inv
         dyn = dy_s * inv
         if sigma_type == "relative":
-            sigma_units = dyn
+            sigma_units = (dyn if dt is None else dyn.astype(dt))
         else:
-            sigma_units = jnp.nanmedian(jnp.where(mask_s, dyn, jnp.nan))
+            med = jnp.nanmedian(jnp.where(mask_s, dyn, jnp.nan))
+            sigma_units = med if dt is None else med.astype(dt)
+        # constant Gaussian normalization: computed once outside the scan
+        log_norm = -0.5 * jnp.sum(jnp.where(mask_s, jnp.log(2 * jnp.pi * dyn ** 2.0), 0.0))
+        # residual arithmetic in the hot-path dtype (O(1) after normalization)
+        yn_h = yn if dt is None else yn.astype(dt)
+        dyn_h = dyn if dt is None else dyn.astype(dt)
+        inv_dyn = jnp.where(mask_s, 1.0 / dyn_h, 0.0)
+        inv_h = inv if dt is None else inv.astype(dt)
 
         def logpost(p):
             log_prior = 0.0
             for i, prior in enumerate(priors):
                 log_prior = log_prior + prior(p[i])
             n_model = ndim - (1 if use_sigma else 0)
-            y_fit = model._eval_points(t_s, quad_s, *[p[i] for i in range(n_model)]) * inv
+            y_fit = model._eval_points(t_s, quad_s, *[p[i] for i in range(n_model)])
+            y_fit = (y_fit if dt is None else y_fit.astype(dt)) * inv_h
             if use_sigma:
-                sigma2 = dyn ** 2.0 + (p[-1] * sigma_units) ** 2.0
+                sig = p[-1] if dt is None else p[-1].astype(dt)
+                sigma2 = dyn_h ** 2.0 + (sig * sigma_units) ** 2.0
+                terms = jnp.log(2 * jnp.pi * sigma2) + (yn_h - y_fit) ** 2.0 / sigma2
+                ll = -0.5 * jnp.sum(jnp.where(mask_s, terms, 0.0))
             else:
-                sigma2 = dyn ** 2.0
-            terms = jnp.log(2 * jnp.pi * sigma2) + (yn - y_fit) ** 2.0 / sigma2
-            ll = -0.5 * jnp.sum(jnp.where(mask_s, terms, 0.0))
+                r = (yn_h - y_fit) * inv_dyn
+                ll = -0.5 * jnp.sum(r * r) + log_norm
             ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
             return jnp.where(jnp.isfinite(log_prior), log_prior + ll, -jnp.inf)
 
