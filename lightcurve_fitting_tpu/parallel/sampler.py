@@ -64,7 +64,14 @@ def make_stretch_kernel(log_prob_fn, half, ndim, a=2.0, gather_other=None):
         u = jr.uniform(kz, (half,), dtype=x_move.dtype)
         z = ((a - 1.0) * u + 1.0) ** 2 / a
         j = jr.randint(kj, (half,), 0, n_other)
-        x_j = x_other_global[j]
+        if half * n_other <= 1 << 22 and jax.default_backend() != "cpu":
+            # one-hot matmul partner selection: dynamic row gathers are slow on
+            # TPU (especially batched under vmap, e.g. population fitting);
+            # a (half, n_other) selection matrix hits the MXU instead
+            sel = jax.nn.one_hot(j, n_other, dtype=x_move.dtype)
+            x_j = sel @ x_other_global
+        else:
+            x_j = x_other_global[j]
         y = x_j + z[:, None] * (x_move - x_j)
         logp_y = batched_logp(y)
         logp_y = jnp.where(jnp.isnan(logp_y), -jnp.inf, logp_y)
