@@ -38,6 +38,7 @@ _DATA_DIR = os.path.join(os.path.dirname(__file__), "data")
 _CURVES_FILE = os.path.join(_DATA_DIR, "filter_curves.npz")
 _curves_npz = None
 
+c = C_AA_THZ  # speed of light in angstrom*THz (reference filters.py:11)
 C_NM_THZ = C_AA_THZ / 10.0
 
 

@@ -28,6 +28,7 @@ __all__ = ["BaseCompanionShocking", "CompanionShocking", "CompanionShocking2",
            "CompanionShocking3", "sifto", "M_chandra"]
 
 _SIFTO_FILE = os.path.join(os.path.dirname(__file__), "..", "data", "sifto.npz")
+sifto_filename = _SIFTO_FILE  # reference models.py:660 exposes this name
 
 
 def _load_sifto():
@@ -212,6 +213,13 @@ class CompanionShocking(BaseCompanionShocking):
              u.dimensionless_unscaled, u.dimensionless_unscaled,
              u.dimensionless_unscaled, u.dimensionless_unscaled]
 
+    def evaluate(self, t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch,
+                 rr=1.0, ri=1.0, rU=1.0, kappa=1.0):
+        if kappa != 1.0:
+            return self._evaluate_host(t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch,
+                                       dict(rr=rr, ri=ri, rU=rU), kappa)
+        return super().evaluate(t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch, rr, ri, rU)
+
     def _eval_points(self, t, quad, t_exp, a13, Mc_v9_7, t_peak, stretch,
                      rr=1.0, ri=1.0, rU=1.0):
         Lnu_kasen = self._kasen_points(t, quad, t_exp, a13, Mc_v9_7)
@@ -221,12 +229,34 @@ class CompanionShocking(BaseCompanionShocking):
         return Lnu_kasen * kasen_fac + Lnu_sifto * sifto_fac
 
 
+    def _evaluate_host(self, t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch,
+                       factors, kappa):
+        Lnu_kasen = self.companion_shocking(t_in, f, t_exp, a13, Mc_v9_7, kappa)
+        Lnu_sifto = self.stretched_sifto(t_in, f, t_peak, stretch)
+        f_arr = np.atleast_1d(f)
+        kasen_fac = np.array([factors["rU"] if filt.char == "U" else 1.0 for filt in f_arr])
+        sifto_fac = np.array([factors["rr"] if filt.char == "r"
+                              else factors["ri"] if filt.char == "i" else 1.0
+                              for filt in f_arr])
+        shape = [len(f_arr)] + [1] * (np.ndim(Lnu_kasen) - 1)
+        return (Lnu_kasen * kasen_fac.reshape(shape)
+                + Lnu_sifto * sifto_fac.reshape(shape))
+
+
 class CompanionShocking2(BaseCompanionShocking):
     """Kasen + SiFTO with U/i time offsets (reference models.py:921-980)."""
 
     input_names = ["t_0", "a", "M v^7", "t_\\mathrm{max}", "s", "\\Delta t_U", "\\Delta t_i"]
     units = [u.d, 10.0 ** 13.0 * u.cm, M_chandra * (1e9 * u.cm / u.s) ** 7, u.d,
              u.dimensionless_unscaled, u.d, u.d]
+
+    def evaluate(self, t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch,
+                 dtU=0.0, dti=0.0, kappa=1.0):
+        if kappa != 1.0:
+            Lnu_kasen = self.companion_shocking(t_in, f, t_exp, a13, Mc_v9_7, kappa)
+            Lnu_sifto = self.stretched_sifto(t_in, f, t_peak, stretch, dtU, dti)
+            return Lnu_kasen + Lnu_sifto
+        return super().evaluate(t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch, dtU, dti)
 
     def _eval_points(self, t, quad, t_exp, a13, Mc_v9_7, t_peak, stretch, dtU=0.0, dti=0.0):
         Lnu_kasen = self._kasen_points(t, quad, t_exp, a13, Mc_v9_7)
@@ -240,6 +270,16 @@ class CompanionShocking3(BaseCompanionShocking):
 
     input_names = ["t_0", "a", "\\theta", "t_\\mathrm{max}", "s", "\\Delta t_U", "\\Delta t_i"]
     units = [u.d, 10.0 ** 13.0 * u.cm, u.deg, u.d, u.dimensionless_unscaled, u.d, u.d]
+
+    def evaluate(self, t_in, f, t_exp, a13, theta, t_peak, stretch,
+                 dtU=0.0, dti=0.0, kappa=1.0):
+        if kappa != 1.0:
+            Lnu_kasen = self.companion_shocking(t_in, f, t_exp, a13, 1.0, kappa)
+            Lnu_sifto = self.stretched_sifto(t_in, f, t_peak, stretch, dtU, dti)
+            th = np.deg2rad(theta)
+            frac = (0.5 * np.cos(th) + 0.5) * (0.14 * th ** 2.0 - 0.4 * th + 1.0)
+            return Lnu_kasen * frac + Lnu_sifto
+        return super().evaluate(t_in, f, t_exp, a13, theta, t_peak, stretch, dtU, dti)
 
     def _eval_points(self, t, quad, t_exp, a13, theta, t_peak, stretch, dtU=0.0, dti=0.0):
         Lnu_kasen = self._kasen_points(t, quad, t_exp, a13, 1.0)

@@ -134,6 +134,9 @@ class ShockCooling2(BaseShockCooling):
     input_names = ["T_1", "L_1", "t_\\mathrm{tr}", "t_0"]
     units = [u.kK, 1e42 * u.erg / u.s, u.d, u.d]
 
+    def evaluate(self, t_in, f, T_1, L_1, t_tr, t_exp=0.0):
+        return super().evaluate(t_in, f, T_1, L_1, t_tr, t_exp)
+
     def _tr_points(self, t, T_1, L_1, t_tr, t_exp=0.0):
         tt = jnp.asarray(t, float) - t_exp
         tt, T_1, L_1, t_tr = hot(tt, T_1, L_1, t_tr)

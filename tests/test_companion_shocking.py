@@ -121,3 +121,26 @@ def test_companion_shocking2_fit_recovers_truth():
     assert med[3] == pytest.approx(truth["t_peak"], abs=1.0)
     assert med[4] == pytest.approx(truth["stretch"], abs=0.15)
     assert 0.1 < sampler.acceptance_fraction.mean() < 0.9
+
+
+def test_evaluate_keyword_args_and_kappa():
+    """Reference signatures accept dtU/dti/rr/ri/rU/kappa as keywords
+    (models.py:875,946,1009)."""
+    lc, _, m2 = make_ia_lc()
+    t = np.array([57822.0, 57822.0])
+    f = np.array([filtdict["U"], filtdict["r"]], dtype=object)
+    y_kw = m2(t, f, 57820.0, 0.5, 1.0, 57840.0, 1.0, dtU=1.0, dti=0.0)
+    y_pos = m2(t, f, 57820.0, 0.5, 1.0, 57840.0, 1.0, 1.0, 0.0)
+    np.testing.assert_allclose(y_kw, y_pos, rtol=1e-12)
+    # kappa host fallback matches device path at kappa=1
+    y_k1 = m2(t, f, 57820.0, 0.5, 1.0, 57840.0, 1.0, 0.0, 0.0, kappa=1.0)
+    np.testing.assert_allclose(y_k1, m2(t, f, 57820.0, 0.5, 1.0, 57840.0, 1.0), rtol=1e-12)
+    y_k7 = m2(t, f, 57820.0, 0.5, 1.0, 57840.0, 1.0, 0.0, 0.0, kappa=0.7)
+    assert not np.allclose(y_k7, y_k1)
+    # CompanionShocking with kappa + factors
+    m1 = CompanionShocking(lc)
+    y1 = m1(t, f, 57820.0, 0.5, 1.0, 57840.0, 1.0, rr=1.5, rU=2.0, kappa=0.7)
+    assert y1.shape == (2,) and np.all(np.isfinite(y1))
+    m3 = CompanionShocking3(lc)
+    y3 = m3(t, f, 57820.0, 0.5, 30.0, 57840.0, 1.0, dtU=0.5, dti=-0.5, kappa=0.7)
+    assert y3.shape == (2,) and np.all(np.isfinite(y3))
