@@ -64,10 +64,11 @@ def make_stretch_kernel(log_prob_fn, half, ndim, a=2.0, gather_other=None):
         u = jr.uniform(kz, (half,), dtype=x_move.dtype)
         z = ((a - 1.0) * u + 1.0) ** 2 / a
         j = jr.randint(kj, (half,), 0, n_other)
-        if half * n_other <= 1 << 22 and jax.default_backend() != "cpu":
-            # one-hot matmul partner selection: dynamic row gathers are slow on
-            # TPU (especially batched under vmap, e.g. population fitting);
-            # a (half, n_other) selection matrix hits the MXU instead
+        if n_other <= 128 and jax.default_backend() != "cpu":
+            # one-hot matmul partner selection for tiny ensembles (the
+            # vmapped population/epoch-batched cases, where batched dynamic
+            # gathers are slow on TPU); large ensembles keep the row gather,
+            # which measures faster there
             sel = jax.nn.one_hot(j, n_other, dtype=x_move.dtype)
             x_j = sel @ x_other_global
         else:
