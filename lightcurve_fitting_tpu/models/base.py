@@ -80,11 +80,18 @@ class Model:
         return self.evaluate(*args, **kwargs)
 
     # ------------------------------------------------------------ device side
+    # banks/tables are pure functions of (filters, n_nodes[, z, cutoff]) and
+    # are shared process-wide: population fits create one model per transient,
+    # and rebuilding identical quadrature per instance dominated host time
+    # (profiled: 64 transients -> 12 s packing vs 0.02 s device compute)
+    _global_bank_cache = {}
+
     def bank_for(self, filters):
-        key = tuple(filters)
-        if key not in self._bank_cache:
-            self._bank_cache[key] = FilterBank(key, n_nodes=self.n_nodes)
-        return self._bank_cache[key]
+        key = (tuple(filters), self.n_nodes)
+        cache = Model._global_bank_cache
+        if key not in cache:
+            cache[key] = FilterBank(key[0], n_nodes=self.n_nodes)
+        return cache[key]
 
     def prepare_quad(self, filters, bank=None):
         """Build the static per-point quadrature pytree for an array of Filter
@@ -101,13 +108,14 @@ class Model:
 
     def table_for(self, bank):
         from ..ops.bandtable import ChebyshevBandTable
-        key = ("table", tuple(bank.filters), self.z, self.cutoff_freq)
-        if key not in self._bank_cache:
-            self._bank_cache[key] = ChebyshevBandTable(bank, z=self.z,
-                                                       cutoff_freq=self.cutoff_freq)
-            self._table_consts = (self._bank_cache[key].log_T_lo,
-                                  self._bank_cache[key].log_T_hi)
-        return self._bank_cache[key]
+        key = ("table", tuple(bank.filters), bank.n_nodes, self.z, self.cutoff_freq)
+        cache = Model._global_bank_cache
+        if key not in cache:
+            cache[key] = ChebyshevBandTable(bank, z=self.z,
+                                            cutoff_freq=self.cutoff_freq)
+        table = cache[key]
+        self._table_consts = (table.log_T_lo, table.log_T_hi)
+        return table
 
     def _bandflux(self, quad, T, R):
         """Band-averaged blackbody L_nu per point: gather-free Chebyshev fast

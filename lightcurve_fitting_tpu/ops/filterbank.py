@@ -116,9 +116,15 @@ class FilterBank:
         """F99 A(lambda)/E(B-V) evaluated at the emitted-frame nodes, (B, K).
 
         Static per fit (z and R_V are never traced), so the only in-graph
-        extinction work is ``exp(-0.921 * ebv * k)`` with traced ``ebv``."""
-        nu_emit = self.emitted_nodes(z)
-        return f99_curve(C_AA_THZ / nu_emit.ravel(), rv).reshape(nu_emit.shape)
+        extinction work is ``exp(-0.921 * ebv * k)`` with traced ``ebv``.
+        Cached per (z, rv): this is host work repeated across quad preps."""
+        key = (z, rv)
+        if not hasattr(self, "_ext_cache"):
+            self._ext_cache = {}
+        if key not in self._ext_cache:
+            nu_emit = self.emitted_nodes(z)
+            self._ext_cache[key] = f99_curve(C_AA_THZ / nu_emit.ravel(), rv).reshape(nu_emit.shape)
+        return self._ext_cache[key]
 
     def gather(self, band_ids, z=0.0, rv=3.1, device=True):
         """Per-point quadrature arrays for a photometry table.
