@@ -95,15 +95,19 @@ class Model:
 
     def prepare_quad(self, filters, bank=None):
         """Build the static per-point quadrature pytree for an array of Filter
-        objects (one entry per photometry point). Subclasses may extend."""
+        objects (one entry per photometry point). Subclasses may extend.
+
+        Entries are host numpy arrays: closed over by jitted functions they
+        embed as compile-time constants (one transfer at compile), and packers
+        stack them host-side — per-item device_puts dominate wall time on
+        remote devices."""
         bank = bank or self.bank_for(sorted(set(filters)))
         ids = bank.band_ids(filters)
-        nodes, weights, k_ext = bank.gather(ids, z=self.z)
-        quad = {"nodes": nodes, "weights": weights, "k_ext": k_ext,
-                "band_ids": jnp.asarray(ids)}
+        nodes, weights, k_ext = bank.gather(ids, z=self.z, device=False)
+        quad = {"nodes": nodes, "weights": weights, "k_ext": k_ext, "band_ids": ids}
         if self.use_band_table:
             table = self.table_for(bank)
-            quad["bb_coeffs"] = table.gather(ids)
+            quad["bb_coeffs"] = table.gather(ids, device=False)
         return quad
 
     def table_for(self, bank):
@@ -116,6 +120,8 @@ class Model:
         table = cache[key]
         self._table_consts = (table.log_T_lo, table.log_T_hi)
         return table
+
+    prepare_quad_host = prepare_quad
 
     def _bandflux(self, quad, T, R):
         """Band-averaged blackbody L_nu per point: gather-free Chebyshev fast

@@ -45,6 +45,8 @@ M_chandra = u.def_unit("M_chandra", 1.4 * u.Quantity(1.0, u.Msun), format={"late
 def _ppoly_batched(knots, c_pt, xq):
     """Evaluate per-point piecewise cubics: knots (S,), c_pt (N, 4, S-1),
     xq (N,). NaN outside the domain (scipy extrapolate=False)."""
+    knots = jnp.asarray(knots)  # quads carry numpy; traced indices need jnp
+    c_pt = jnp.asarray(c_pt)
     idx = jnp.clip(jnp.searchsorted(knots, xq, side="right") - 1, 0, knots.shape[0] - 2)
     t = xq - knots[idx]
     n_idx = jnp.arange(c_pt.shape[0])
@@ -160,12 +162,12 @@ class BaseCompanionShocking(Model):
     def prepare_quad(self, filters, bank=None):
         quad = super().prepare_quad(filters, bank)
         coeffs = np.stack([self._sifto_coeffs[f] for f in filters])  # (N, 4, S-1)
-        quad["sifto_c"] = jnp.asarray(coeffs)
-        quad["sifto_knots"] = jnp.asarray(self._epochs)
+        quad["sifto_c"] = coeffs
+        quad["sifto_knots"] = self._epochs
         chars = np.array([f.char for f in filters])
-        quad["is_U"] = jnp.asarray(chars == "U")
-        quad["is_i"] = jnp.asarray(chars == "i")
-        quad["is_r"] = jnp.asarray(chars == "r")
+        quad["is_U"] = chars == "U"
+        quad["is_i"] = chars == "i"
+        quad["is_r"] = chars == "r"
         return quad
 
     def _sifto_points(self, t, quad, t_peak, stretch, dtU=None, dti=None):

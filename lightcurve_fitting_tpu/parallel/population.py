@@ -136,7 +136,10 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
         keys = jr.split(key, nsteps_burnin + nsteps)
         (x, logp), (xs, lps, acc) = jax.lax.scan(step, (x, logp), keys)
         prod = xs[nsteps_burnin:]
-        return prod.reshape(nsteps * nwalkers, ndim), acc[nsteps_burnin:].mean()
+        # return float32 chains: posterior summaries are unaffected and the
+        # host transfer halves (it dominates wall time on remote devices)
+        return (prod.reshape(nsteps * nwalkers, ndim).astype(jnp.float32),
+                acc[nsteps_burnin:].mean())
 
     keys = jr.split(jr.PRNGKey(seed), S)
     vmapped = jax.vmap(run_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
