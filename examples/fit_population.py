@@ -1,0 +1,62 @@
+#!/usr/bin/env python
+"""Population fitting demo (BASELINE.json config 5): fit many transients
+concurrently in a single device call, optionally sharded across a mesh.
+
+Generates a synthetic population of shock-cooling transients, fits each with
+its own 64-walker ensemble, and prints per-transient posterior summaries.
+On one TPU v5e chip the 64-transient fit runs in ~1 s after compilation.
+
+Run: python examples/fit_population.py [n_transients]
+"""
+
+import sys
+import time
+
+import numpy as np
+
+from lightcurve_fitting_tpu.lightcurve import LC
+from lightcurve_fitting_tpu.filters import filtdict
+from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+from lightcurve_fitting_tpu.parallel import fit_population
+
+S = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+rng = np.random.default_rng(0)
+
+# ------------------------------------------------------- synthetic population
+filters = [filtdict[n] for n in ["U", "B", "V", "g", "r", "i"]]
+lcs, models, truths = [], [], []
+for s in range(S):
+    T1 = rng.uniform(8.0, 20.0)
+    L1 = rng.uniform(1.0, 4.0)
+    ttr = rng.uniform(25.0, 50.0)
+    truths.append((T1, L1, ttr))
+    n_epochs = rng.integers(4, 8)
+    t = np.repeat(np.linspace(1.0, 8.0, n_epochs), len(filters))
+    f = np.array(filters * n_epochs)
+    m = ShockCooling2()
+    y_true = m(t, f, T1, L1, ttr, 0.0)
+    dy = 0.05 * y_true
+    y = y_true + rng.normal(scale=dy)
+    lc = LC([t, f, y, dy], names=["MJD", "filter", "lum", "dlum"])
+    lcs.append(lc)
+    models.append(ShockCooling2(lc))
+
+# ----------------------------------------------------------------- joint fit
+priors = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0), UniformPrior(5.0, 100.0)]
+t0 = time.time()
+flat, acc = fit_population(models, lcs, priors,
+                           p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
+                           nwalkers=64, nsteps=500, nsteps_burnin=500, seed=1)
+print(f"fit {S} transients in {time.time() - t0:.1f}s "
+      f"(incl. compilation; repeat calls reuse the executable)")
+
+ok = 0
+for s in range(min(S, 10)):
+    med = np.median(flat[s], axis=0)
+    lo, hi = np.percentile(flat[s], [15.87, 84.14], axis=0)
+    print(f"transient {s:3d}: T1 = {med[0]:5.2f} (+{hi[0]-med[0]:.2f}/-{med[0]-lo[0]:.2f}) "
+          f"[truth {truths[s][0]:5.2f}]  acceptance {acc[s]:.2f}")
+for s in range(S):
+    if abs(np.median(flat[s][:, 0]) - truths[s][0]) < 0.2 * truths[s][0]:
+        ok += 1
+print(f"T1 recovered within 20% for {ok}/{S} transients")
