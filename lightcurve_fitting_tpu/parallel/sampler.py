@@ -103,9 +103,14 @@ class EnsembleSampler:
     ``acceptance_fraction``.
     """
 
-    def __init__(self, nwalkers, ndim, log_prob_fn, a=2.0, seed=None, dtype=jnp.float64):
+    def __init__(self, nwalkers, ndim, log_prob_fn, a=2.0, seed=None, dtype=jnp.float64,
+                 store_dtype=None):
+        """``store_dtype`` (e.g. np.float32) downcasts the *stored* chain
+        history — halves host-transfer and memory for long production runs
+        (walker state and proposals stay float64)."""
         if nwalkers % 2:
             raise ValueError("nwalkers must be even")
+        self._store_dtype = store_dtype
         if nwalkers < 2 * ndim + 2:
             # same spirit as emcee's guardrail; keep it a warning not an error
             import warnings
@@ -208,6 +213,9 @@ class EnsembleSampler:
         x, logp, xs, logps, accepts = run(x, logp, keys)
 
         # host-side bookkeeping (chain layout: steps-major like emcee get_chain)
+        if self._store_dtype is not None:
+            xs = xs.astype(self._store_dtype)
+            logps = logps.astype(self._store_dtype)
         xs = np.asarray(xs)                      # (nsteps, 2, half, ndim)
         logps_np = np.asarray(logps)
         accepts = np.asarray(accepts)
