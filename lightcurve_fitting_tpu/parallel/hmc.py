@@ -28,12 +28,19 @@ class HMCSampler:
     ``acceptance_fraction``."""
 
     def __init__(self, nchains, ndim, log_prob_fn, n_leapfrog=16, target_accept=0.8,
-                 init_step_size=0.1, seed=None):
+                 init_step_size=0.1, init_scales=None, seed=None):
+        """``init_scales``: rough per-parameter posterior scales; used as the
+        warmup mass matrix. Essential for posteriors with strong scale
+        hierarchies (e.g. an explosion epoch constrained 1e4x more tightly
+        than a temperature) — with a unit mass, dual averaging shrinks the
+        step to the stiffest direction and warmup never mixes."""
         self.nchains = int(nchains)
         self.ndim = int(ndim)
         self.n_leapfrog = int(n_leapfrog)
         self.target_accept = float(target_accept)
         self.init_step_size = float(init_step_size)
+        self.init_scales = (np.ones(ndim) if init_scales is None
+                            else np.asarray(init_scales, float))
         self._logp_and_grad = jax.value_and_grad(log_prob_fn)
         self._log_prob_fn = log_prob_fn
         if seed is None:
@@ -90,25 +97,29 @@ class HMCSampler:
         mu = jnp.log(10.0 * self.init_step_size)
         gamma, t0, kappa = 0.05, 10.0, 0.75
 
-        def warmup_step(carry, key):
-            x, logp, log_eps, log_eps_bar, h_bar, m, mean, m2, i = carry
-            keys = jr.split(key, self.nchains)
-            eps = jnp.exp(log_eps)
-            x, logp, aprob = jax.vmap(
-                lambda xi, li, ki: self._transition(xi, li, ki, eps, jnp.ones(self.ndim))
-            )(x, logp, keys)
-            # dual averaging on the mean acceptance across chains
-            a = jnp.mean(aprob)
-            h_bar = (1.0 - 1.0 / (i + 1 + t0)) * h_bar + (self.target_accept - a) / (i + 1 + t0)
-            log_eps = mu - jnp.sqrt(i + 1.0) / gamma * h_bar
-            w = (i + 1.0) ** (-kappa)
-            log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
-            # Welford running variance over all chain states
-            m = m + self.nchains
-            delta = x - mean
-            mean = mean + jnp.sum(delta, axis=0) / m
-            m2 = m2 + jnp.sum(delta * (x - mean), axis=0)
-            return (x, logp, log_eps, log_eps_bar, h_bar, m, mean, m2, i + 1.0), aprob
+        def make_warmup_step(mu_local):
+            def warmup_step(carry, key):
+                x, logp, inv_mass, log_eps, log_eps_bar, h_bar, m, mean, m2, i = carry
+                keys = jr.split(key, self.nchains)
+                eps = jnp.exp(log_eps)
+                x, logp, aprob = jax.vmap(
+                    lambda xi, li, ki: self._transition(xi, li, ki, eps, inv_mass)
+                )(x, logp, keys)
+                # dual averaging on the mean acceptance across chains
+                a = jnp.mean(aprob)
+                h_bar = (1.0 - 1.0 / (i + 1 + t0)) * h_bar \
+                    + (self.target_accept - a) / (i + 1 + t0)
+                log_eps = mu_local - jnp.sqrt(i + 1.0) / gamma * h_bar
+                w = (i + 1.0) ** (-kappa)
+                log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+                # Welford running variance over all chain states
+                m = m + self.nchains
+                delta = x - mean
+                mean = mean + jnp.sum(delta, axis=0) / m
+                m2 = m2 + jnp.sum(delta * (x - mean), axis=0)
+                return (x, logp, inv_mass, log_eps, log_eps_bar, h_bar,
+                        m, mean, m2, i + 1.0), aprob
+            return warmup_step
 
         def sample_step(carry, key):
             x, logp, eps, inv_mass = carry
@@ -119,22 +130,35 @@ class HMCSampler:
             return (x, logp, eps, inv_mass), (x, aprob)
 
         @jax.jit
-        def run(x, logp, wkeys, skeys):
-            carry = (x, logp, jnp.log(self.init_step_size), jnp.log(self.init_step_size),
-                     0.0, 0.0, jnp.zeros(self.ndim), jnp.zeros(self.ndim), 0.0)
-            carry, _ = jax.lax.scan(warmup_step, carry, wkeys)
-            x, logp, _, log_eps_bar, _, m, mean, m2, _ = carry
-            eps = jnp.exp(log_eps_bar)
+        def run(x, logp, wkeys1, wkeys2, skeys):
+            # phase 1: adapt eps on the user-provided scale mass, estimate the
+            # posterior variance; phase 2: re-adapt eps on the estimated mass
+            # (Stan-style windows — eps tuned for one metric is invalid for
+            # another)
+            inv_mass0 = jnp.asarray(self.init_scales ** 2)
+            carry = (x, logp, inv_mass0, jnp.log(self.init_step_size),
+                     jnp.log(self.init_step_size), 0.0, 0.0,
+                     jnp.zeros(self.ndim), jnp.zeros(self.ndim), 0.0)
+            carry, _ = jax.lax.scan(make_warmup_step(mu), carry, wkeys1)
+            x, logp, _, _, log_eps_bar, _, m, mean, m2, _ = carry
             var = m2 / jnp.maximum(m - 1.0, 1.0)
-            inv_mass = jnp.maximum(var, 1e-12)
+            inv_mass = jnp.maximum(var, 1e-20)
+            mu2 = jnp.log(10.0) + log_eps_bar
+            carry = (x, logp, inv_mass, log_eps_bar, log_eps_bar, 0.0, 0.0,
+                     jnp.zeros(self.ndim), jnp.zeros(self.ndim), 0.0)
+            carry, _ = jax.lax.scan(make_warmup_step(mu2), carry, wkeys2)
+            x, logp, _, _, log_eps_bar, _, _, _, _, _ = carry
+            eps = jnp.exp(log_eps_bar)
             (x, logp, eps, inv_mass), (xs, aprob) = jax.lax.scan(
                 sample_step, (x, logp, eps, inv_mass), skeys)
             return xs, aprob, eps, inv_mass
 
-        self._key, k1, k2 = jr.split(self._key, 3)
-        wkeys = jr.split(k1, n_warmup)
+        self._key, k1, k1b, k2 = jr.split(self._key, 4)
+        n_w1 = (2 * n_warmup) // 3
+        wkeys = jr.split(k1, n_w1)
+        wkeys2 = jr.split(k1b, n_warmup - n_w1)
         skeys = jr.split(k2, n_samples)
-        xs, aprob, eps, inv_mass = run(x0, logp0, wkeys, skeys)
+        xs, aprob, eps, inv_mass = run(x0, logp0, wkeys, wkeys2, skeys)
         self._chain = np.concatenate([self._chain, np.asarray(xs)])
         self._accept_prob_sum += np.asarray(aprob).sum(0)
         self._nsteps += n_samples
