@@ -1,33 +1,41 @@
-"""Model-fit driver and posterior visualization.
+"""Model-fit drivers and posterior visualization.
 
-API-parity module for the reference ``lightcurve_fitting/fitting.py``:
+Covers the behavior of the reference ``lightcurve_fitting/fitting.py``:
 ``lightcurve_mcmc`` (fitting.py:16-168), ``lightcurve_corner`` (:171-277),
 ``lightcurve_model_plot`` (:280-429), and ``format_credible_interval``
-(:432-494).
+(:432-494) — plus two capabilities the reference does not have:
+automatic multi-chip walker sharding and a one-call gradient-based HMC
+driver (``lightcurve_hmc``).
 
-TPU redesign: the log-posterior is a pure jax function (priors + model
+TPU design: the log-posterior is a pure jax function (priors + model
 likelihood over static photometry arrays); the emcee loop becomes a single
 jit-compiled ``lax.scan`` of the stretch move with all walkers batched by
-``vmap`` (see ``parallel/sampler.py``). Where the reference performs
-2e5 serial Python posterior calls, this runs ~10^7+ batched evaluations/s/chip.
+``vmap`` (see ``parallel/sampler.py``). Where the reference performs 2e5
+serial Python posterior calls, this runs ~1e7+ batched evaluations/s/chip.
+Sampler selection is automatic: multiple visible devices shard the walker
+axis over the mesh (``parallel/mesh.py``); small ensembles can batch R
+independent replicas into one vmapped scan to amortize the per-dispatch
+floor.
 """
 
 import os
+import re
 import warnings
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import matplotlib.pyplot as plt
 
-from .models import UniformPrior, CompanionShocking, BaseCompanionShocking
+from .models import UniformPrior, GaussianPrior, CompanionShocking, BaseCompanionShocking
 from .lightcurve import filter_legend, flux2mag
 from .filters import filtdict
 from .parallel.sampler import EnsembleSampler
 from .utils import units as u
 from .utils.corner import corner as _corner
 
-__all__ = ["lightcurve_mcmc", "lightcurve_corner", "lightcurve_model_plot",
-           "format_credible_interval", "make_log_posterior"]
+__all__ = ["lightcurve_mcmc", "lightcurve_hmc", "lightcurve_corner",
+           "lightcurve_model_plot", "format_credible_interval", "make_log_posterior"]
 
 PRIOR_WARNING = "The p_max/p_min keywords are deprecated. Use the priors keyword instead."
 MODEL_KWARGS_WARNING = "The model_kwargs keyword is deprecated. These are now included in the model intialization."
@@ -53,114 +61,202 @@ def make_log_posterior(model, lc, priors, use_sigma=False, sigma_type="relative"
     return log_posterior
 
 
-def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p_up=None,
-                    nwalkers=100, nsteps=1000, nsteps_burnin=1000, model_kwargs=None,
-                    show=False, save_plot_as="", save_sampler_as="", use_sigma=False,
-                    sigma_type="relative", seed=None):
-    """Fit an analytical model to observed photometry with ensemble MCMC.
+# --------------------------------------------------------------------------
+# fit setup helpers shared by the MCMC and HMC drivers
+# --------------------------------------------------------------------------
 
-    Same signature and behavior as the reference (fitting.py:16-168) plus a
-    ``seed`` for reproducible chains. Returns an
-    :class:`~lightcurve_fitting_tpu.parallel.sampler.EnsembleSampler` exposing
-    the emcee attributes the reference workflow uses (``flatchain``, ``chain``).
-    """
-    if model_kwargs is not None:
-        raise Exception(MODEL_KWARGS_WARNING)
-
-    # (re)derive the fit quantity from magnitudes as the reference does
-    # (fitting.py:68-72); tables that already carry the quantity directly
-    # (e.g. synthetic data without magnitudes) are used as-is
+def _derive_fit_columns(lc, model):
+    """Materialize the column the model is fit against, from magnitudes when
+    present (reference fitting.py:68-72); synthetic tables that already carry
+    the quantity are used as-is."""
+    needs_rebuild = "mag" in lc.colnames or model.output_quantity not in lc.colnames
+    if not needs_rebuild:
+        return
     if model.output_quantity == "flux":
-        if "mag" in lc.colnames or "flux" not in lc.colnames:
-            lc.calcFlux()
+        lc.calcFlux()
     elif model.output_quantity == "lum":
-        if "mag" in lc.colnames or "lum" not in lc.colnames:
-            lc.calcAbsMag()
-            lc.calcLum()
+        lc.calcAbsMag()
+        lc.calcLum()
 
+
+def _ensure_sigma_param(model, use_sigma):
+    """Append the intrinsic-scatter parameter to the model's metadata once
+    (reference fitting.py:74-76)."""
     if use_sigma and model.input_names[-1] != "\\sigma":
         model.input_names = model.input_names + ["\\sigma"]
         model.units = model.units + [u.dimensionless_unscaled]
 
-    ndim = model.nparams
 
-    # deprecated bounds -> priors
-    if p_min is None:
-        p_min = np.tile(-np.inf, ndim)
-    elif len(p_min) == ndim:
-        p_min = np.array(p_min, float)
-        warnings.warn(PRIOR_WARNING)
-    else:
+def _deprecated_bound(arg, ndim, default):
+    """Validate one of the deprecated p_min/p_max keywords; warn when used
+    (reference fitting.py:80-96)."""
+    if arg is None:
+        return np.tile(default, ndim)
+    if len(arg) != ndim:
         raise Exception(PRIOR_WARNING)
+    warnings.warn(PRIOR_WARNING)
+    return np.array(arg, float)
 
-    if p_max is None:
-        p_max = np.tile(np.inf, ndim)
-    elif len(p_max) == ndim:
-        p_max = np.array(p_max, float)
-        warnings.warn(PRIOR_WARNING)
-    else:
-        raise Exception(PRIOR_WARNING)
 
+def _init_window(p_lo, p_up, p_min, ndim):
+    """The uniform-random initialization box for walker starting positions."""
     if p_lo is None:
         p_lo = p_min
     elif len(p_lo) == ndim:
         p_lo = np.array(p_lo, float)
     else:
         raise Exception("p_lo must have length {:d}".format(ndim))
-
     if len(p_up) == ndim:
         p_up = np.array(p_up, float)
     else:
         raise Exception("p_up must have length {:d}".format(ndim))
+    return p_lo, p_up
+
+
+def _check_window_inside_priors(model, priors, p_lo, p_up):
+    """Starting guesses outside the prior support would initialize walkers at
+    -inf (reference fitting.py:115-119)."""
+    for param, prior, lo, up in zip(model.input_names, priors, p_lo, p_up):
+        support_lo = getattr(prior, "p_min", -np.inf)
+        support_up = getattr(prior, "p_max", np.inf)
+        if lo < support_lo:
+            raise Exception(f"starting guess for {param} (p_lo = {lo}) is outside prior "
+                            f"(p_min = {support_lo})")
+        if up > support_up:
+            raise Exception(f"starting guess for {param} (p_up = {up}) is outside prior "
+                            f"(p_max = {support_up})")
+
+
+def _select_sampler(log_posterior, nwalkers, ndim, seed, replicas=1, mesh=None,
+                    shard=None, store_dtype=None):
+    """Choose the sampler implementation for this run.
+
+    * ``shard=None`` (auto): shard the walker axis over the device mesh when
+      more than one device is visible and the half-ensemble divides evenly;
+      otherwise run single-device.
+    * ``replicas > 1``: batch that many independent ensembles in one vmapped
+      scan (single-device; amortizes the per-dispatch floor at small walker
+      counts).
+    """
+    if replicas > 1:
+        if shard:
+            raise ValueError("replicas > 1 and walker sharding are mutually exclusive")
+        return EnsembleSampler(nwalkers, ndim, log_posterior, seed=seed,
+                               replicas=replicas, store_dtype=store_dtype)
+
+    n_dev = mesh.devices.size if mesh is not None else jax.device_count()
+    divisible = n_dev > 1 and (nwalkers // 2) % n_dev == 0
+    want = shard if shard is not None else divisible
+    if want:
+        from .parallel.mesh import ShardedEnsembleSampler, walker_mesh
+        if not divisible:
+            raise ValueError(f"nwalkers/2 = {nwalkers // 2} must divide evenly over "
+                             f"{n_dev} devices for sharding; pass shard=False or "
+                             "adjust nwalkers")
+        return ShardedEnsembleSampler(nwalkers, ndim, log_posterior,
+                                      mesh=mesh or walker_mesh(), seed=seed)
+    return EnsembleSampler(nwalkers, ndim, log_posterior, seed=seed,
+                           store_dtype=store_dtype)
+
+
+def _plot_chain_histories(ax_column, sampler, model, title):
+    """One column of per-parameter chain-history traces (reference
+    fitting.py:135-166)."""
+    for i, ax in enumerate(ax_column):
+        ax.plot(sampler.chain[:, :, i].T, "k", alpha=0.2)
+        ax.set_ylabel(model.axis_labels[i])
+    ax_column[0].set_title(title)
+    ax_column[-1].set_xlabel("Step Number")
+
+
+def _report_convergence(sampler, model):
+    """Post-run convergence summary: mean acceptance and per-parameter
+    integrated autocorrelation time / effective sample size. The reference
+    computes neither (SURVEY.md §5); R-hat is deliberately not quoted for
+    coupled ensemble walkers (see parallel/diagnostics.py)."""
+    accept = float(np.mean(sampler.acceptance_fraction))
+    nsamples = sampler.flatchain.shape[0]
+    lines = [f"mean acceptance fraction: {accept:.3f}"]
+    try:
+        tau = sampler.get_autocorr_time()
+        for name, t in zip(model.input_names, tau):
+            ess = nsamples / max(t, 1.0)
+            lines.append(f"  {name}: tau = {t:.1f} steps, ESS ~ {ess:.0f}")
+    except Exception as exc:  # diagnostics must never kill a finished fit
+        lines.append(f"  (autocorrelation estimate unavailable: {exc})")
+    print("\n".join(lines))
+
+
+def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p_up=None,
+                    nwalkers=100, nsteps=1000, nsteps_burnin=1000, model_kwargs=None,
+                    show=False, save_plot_as="", save_sampler_as="", use_sigma=False,
+                    sigma_type="relative", seed=None, replicas=1, mesh=None, shard=None,
+                    store_dtype=None, quiet=False):
+    """Fit an analytical model to observed photometry with ensemble MCMC.
+
+    Same signature and behavior as the reference (fitting.py:16-168) plus:
+
+    * ``seed`` for reproducible chains;
+    * ``shard``/``mesh`` — walker sharding over the device mesh. Default
+      (``shard=None``) auto-enables when >1 device is visible and nwalkers/2
+      divides the mesh; the public entry point is the product surface, so a
+      v5e-8 user gets all 8 chips without building a sampler by hand;
+    * ``replicas`` — run R independent ensembles of ``nwalkers`` in one
+      vmapped scan (pooled in ``flatchain``); recovers large-batch TPU
+      throughput at reference-default walker counts;
+    * ``quiet=False`` prints acceptance + autocorrelation/ESS after the
+      production run.
+
+    Returns an :class:`~lightcurve_fitting_tpu.parallel.sampler.EnsembleSampler`
+    exposing the emcee attributes the reference workflow uses (``flatchain``,
+    ``chain``).
+    """
+    if model_kwargs is not None:
+        raise Exception(MODEL_KWARGS_WARNING)
+
+    _derive_fit_columns(lc, model)
+    _ensure_sigma_param(model, use_sigma)
+    ndim = model.nparams
+
+    p_min = _deprecated_bound(p_min, ndim, -np.inf)
+    p_max = _deprecated_bound(p_max, ndim, np.inf)
+    p_lo, p_up = _init_window(p_lo, p_up, p_min, ndim)
 
     if priors is None:
-        priors = [UniformPrior(p0, p1) for p0, p1 in zip(p_min, p_max)]
+        priors = [UniformPrior(lo, hi) for lo, hi in zip(p_min, p_max)]
     elif len(priors) != ndim:
         raise Exception("priors must have length {:d}".format(ndim))
-
-    for param, prior, p0, p1 in zip(model.input_names, priors, p_lo, p_up):
-        p_min_i = getattr(prior, "p_min", -np.inf)
-        p_max_i = getattr(prior, "p_max", np.inf)
-        if p0 < p_min_i:
-            raise Exception(f"starting guess for {param} (p_lo = {p0}) is outside prior "
-                            f"(p_min = {p_min_i})")
-        if p1 > p_max_i:
-            raise Exception(f"starting guess for {param} (p_up = {p1}) is outside prior "
-                            f"(p_max = {p_max_i})")
+    _check_window_inside_priors(model, priors, p_lo, p_up)
 
     log_posterior = make_log_posterior(model, lc, priors, use_sigma, sigma_type)
-    sampler = EnsembleSampler(nwalkers, ndim, log_posterior, seed=seed)
+    sampler = _select_sampler(log_posterior, nwalkers, ndim, seed, replicas=replicas,
+                              mesh=mesh, shard=shard, store_dtype=store_dtype)
 
     rng = np.random.RandomState(seed) if seed is not None else np.random
-    starting_guesses = rng.rand(nwalkers, ndim) * (p_up - p_lo) + p_lo
-    pos, _, _ = sampler.run_mcmc(starting_guesses, nsteps_burnin, progress=True,
+    starting_guesses = rng.rand(sampler.total_walkers, ndim) * (p_up - p_lo) + p_lo
+    pos, _, _ = sampler.run_mcmc(starting_guesses, nsteps_burnin, progress=not quiet,
                                  progress_kwargs={"desc": " Burn-in"})
 
+    fig = None
     if show or save_plot_as:
         fig, ax = plt.subplots(ndim, 2, figsize=(12.0, 2.0 * ndim), squeeze=False)
-        ax1 = ax[:, 0]
-        for i in range(ndim):
-            ax1[i].plot(sampler.chain[:, :, i].T, "k", alpha=0.2)
-            ax1[i].set_ylabel(model.axis_labels[i])
-        ax1[0].set_title("During Burn In")
-        ax1[-1].set_xlabel("Step Number")
+        _plot_chain_histories(ax[:, 0], sampler, model, "During Burn In")
 
     sampler.reset()
-    sampler.run_mcmc(pos, nsteps, progress=True, progress_kwargs={"desc": "Sampling"},
+    sampler.run_mcmc(pos, nsteps, progress=not quiet,
+                     progress_kwargs={"desc": "Sampling"},
                      skip_initial_state_check=True)
     if save_sampler_as:
         np.save(save_sampler_as, sampler.flatchain)
         print("saving sampler.flatchain as " + save_sampler_as)
+    if not quiet:
+        _report_convergence(sampler, model)
 
-    if show or save_plot_as:
-        ax2 = ax[:, 1]
-        for i in range(ndim):
-            ax2[i].plot(sampler.chain[:, :, i].T, "k", alpha=0.2)
-            ax2[i].set_ylabel(model.axis_labels[i])
-            ax2[i].yaxis.set_label_position("right")
-            ax2[i].yaxis.tick_right()
-        ax2[0].set_title("After Burn In")
-        ax2[-1].set_xlabel("Step Number")
+    if fig is not None:
+        _plot_chain_histories(ax[:, 1], sampler, model, "After Burn In")
+        for axis in ax[:, 1]:
+            axis.yaxis.set_label_position("right")
+            axis.yaxis.tick_right()
         fig.tight_layout()
         if save_plot_as:
             print("saving chain plot as " + save_plot_as)
@@ -171,6 +267,148 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
     return sampler
 
 
+# --------------------------------------------------------------------------
+# gradient-based HMC driver (no reference counterpart: numpy models are not
+# differentiable; this framework's kernels are NaN-free under jax.grad)
+# --------------------------------------------------------------------------
+
+def _hmc_init_window(priors, p_lo, p_up, ndim):
+    """Initialization box for the warm-start ensemble: explicit p_lo/p_up when
+    given, else prior bounds, else mean +/- 2 stddev for Gaussian priors."""
+    if p_lo is not None and p_up is not None:
+        return np.array(p_lo, float), np.array(p_up, float)
+    lo = np.empty(ndim)
+    up = np.empty(ndim)
+    for i, prior in enumerate(priors):
+        bound_lo = getattr(prior, "p_min", -np.inf)
+        bound_up = getattr(prior, "p_max", np.inf)
+        if isinstance(prior, GaussianPrior):
+            bound_lo = max(bound_lo, prior.mean - 2.0 * prior.stddev)
+            bound_up = min(bound_up, prior.mean + 2.0 * prior.stddev)
+        if not (np.isfinite(bound_lo) and np.isfinite(bound_up)):
+            raise ValueError(f"prior {i} has unbounded support; pass p_lo/p_up "
+                             "to initialize the HMC warm start")
+        lo[i], up[i] = bound_lo, bound_up
+    return lo, up
+
+
+class _HMCFitResult:
+    """HMC chains mapped back to the model's parameter space, exposing the
+    sampler surface the rest of the workflow expects (``flatchain``,
+    ``chain``, ``acceptance_fraction``)."""
+
+    def __init__(self, hmc, x_chain):
+        self.sampler = hmc              # the raw whitened-space HMCSampler
+        self._chain = x_chain           # (nsteps, nchains, ndim), x-space
+        self.step_size = hmc.step_size
+        self.acceptance_fraction = hmc.acceptance_fraction
+
+    @property
+    def chain(self):
+        return np.swapaxes(self._chain, 0, 1)
+
+    @property
+    def flatchain(self):
+        return self._chain.reshape(-1, self._chain.shape[-1])
+
+
+def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples=1000,
+                   n_warmup=800, n_leapfrog=32, use_sigma=False, sigma_type="relative",
+                   seed=None, warmup_walkers=64, warmup_steps=300,
+                   save_sampler_as="", quiet=False):
+    """One-call Hamiltonian Monte Carlo fit of a light-curve model.
+
+    The flagship beyond-reference capability as a product API, shaped like
+    :func:`lightcurve_mcmc` (reference fitting.py:16-168): takes an LC +
+    model + priors, handles the sigma parameter, returns a result with
+    ``flatchain``/``chain``/``acceptance_fraction`` in parameter space.
+
+    Geometry is handled automatically (the manual ``init_scales`` tuning the
+    raw :class:`HMCSampler` needs):
+
+    1. a short stretch-move ensemble run locates the typical set;
+    2. box prior bounds are removed by a Stan-style sigmoid/exp bijection
+       (:class:`~.parallel.hmc.BoundsTransform`, with log-Jacobian) so
+       posterior mass piled against a bound no longer collapses the adapted
+       step size;
+    3. the warm samples' full covariance whitens the unbounded space
+       (:class:`~.parallel.hmc.WhitenedPosterior`), aligning the unit mass
+       with ridge-shaped degeneracies;
+    4. HMC runs in whitened space; chains are mapped back through both
+       bijections.
+    """
+    from .parallel.hmc import HMCSampler, BoundsTransform, WhitenedPosterior
+
+    _derive_fit_columns(lc, model)
+    _ensure_sigma_param(model, use_sigma)
+    ndim = model.nparams
+    if len(priors) != ndim:
+        raise Exception("priors must have length {:d}".format(ndim))
+
+    log_posterior = make_log_posterior(model, lc, priors, use_sigma, sigma_type)
+    lo, up = _hmc_init_window(priors, p_lo, p_up, ndim)
+
+    # ensemble warm start: typical-set location + covariance + seeds
+    rng = np.random.RandomState(seed) if seed is not None else np.random
+    warm = EnsembleSampler(warmup_walkers, ndim, log_posterior, seed=seed)
+    guesses = rng.rand(warmup_walkers, ndim) * (up - lo) + lo
+    warm.run_mcmc(guesses, warmup_steps, progress=not quiet,
+                  progress_kwargs={"desc": " HMC warm start"})
+    warm_flat = warm.get_chain(flat=True, discard=warmup_steps // 2)
+
+    bounds = BoundsTransform([getattr(p, "p_min", -np.inf) for p in priors],
+                             [getattr(p, "p_max", np.inf) for p in priors])
+    warm_u = bounds.to_unbounded(warm_flat)
+    white = WhitenedPosterior(warm_u)
+
+    def log_posterior_w(w):
+        uvec = white.to_u(w)
+        return log_posterior(bounds.to_bounded(uvec)) + bounds.log_jacobian(uvec)
+
+    w0 = white.to_w(warm_u[rng.choice(warm_u.shape[0], nchains, replace=False)])
+    hmc = HMCSampler(nchains, ndim, log_posterior_w, n_leapfrog=n_leapfrog, seed=seed)
+    hmc.run_mcmc(w0, nsamples, n_warmup=n_warmup)
+
+    u_chain = white.u_from_w_chain(hmc._chain)
+    x_chain = np.asarray(bounds.to_bounded(jnp.asarray(u_chain)))
+    result = _HMCFitResult(hmc, x_chain)
+
+    if save_sampler_as:
+        np.save(save_sampler_as, result.flatchain)
+        print("saving sampler.flatchain as " + save_sampler_as)
+    if not quiet:
+        from .parallel.diagnostics import split_rhat
+        print(f"HMC: step size {hmc.step_size:.3g}, mean acceptance "
+              f"{float(hmc.acceptance_fraction.mean()):.3f}")
+        rhat = split_rhat(x_chain)
+        for name, r in zip(model.input_names, np.atleast_1d(rhat)):
+            print(f"  {name}: R-hat = {r:.3f}  (independent chains)")
+    return result
+
+
+# --------------------------------------------------------------------------
+# posterior visualization
+# --------------------------------------------------------------------------
+
+def _offset_time_origin(flatchain, model, t0_offset):
+    """Subtract a round reference date from any explosion-epoch-like column so
+    corner axes show small numbers (reference fitting.py:243-251). Returns the
+    shifted copy, per-axis labels, and the offset used."""
+    shifted = flatchain.copy()
+    labels = model.axis_labels
+    for var in ("t_0", "t_\\mathrm{max}"):
+        if var not in model.input_names:
+            continue
+        i = model.input_names.index(var)
+        if t0_offset is None:
+            t0_offset = np.floor(shifted[:, i].min())
+        if t0_offset != 0.0:
+            shifted[:, i] -= t0_offset
+            offset_text = "{:f}".format(t0_offset).rstrip("0").rstrip(".")
+            labels[i] = f"${var} - {offset_text}$ (d)"
+    return shifted, labels, t0_offset
+
+
 def lightcurve_corner(lc, model, sampler_flatchain, model_kwargs=None,
                       num_models_to_plot=100, lcaxis_posn=(0.7, 0.55, 0.2, 0.4),
                       filter_spacing=1.0, tmin=None, tmax=None, t0_offset=None,
@@ -178,41 +416,27 @@ def lightcurve_corner(lc, model, sampler_flatchain, model_kwargs=None,
                       use_sigma=False, xscale="linear", filters_to_model=None,
                       label_filters=True, lc_plot_kwargs=None, model_plot_kwargs=None):
     """Corner plot of the posterior with a light-curve inset showing posterior-
-    draw model curves (reference fitting.py:171-277)."""
+    draw model curves (behavioral spec: reference fitting.py:171-277)."""
     if model_kwargs is not None:
         raise Exception(MODEL_KWARGS_WARNING)
     if ycol is None:
         ycol = model.output_quantity
     plt.style.use(_STYLE)
-    if use_sigma and model.input_names[-1] != "\\sigma":
-        model.input_names = model.input_names + ["\\sigma"]
-        model.units = model.units + [u.dimensionless_unscaled]
+    _ensure_sigma_param(model, use_sigma)
 
     sampler_flatchain = np.asarray(sampler_flatchain)
-    sampler_flatchain_corner = sampler_flatchain.copy()
-    axis_labels_corner = model.axis_labels
-    for var in ["t_0", "t_\\mathrm{max}"]:
-        if var in model.input_names:
-            i_t0 = model.input_names.index(var)
-            if t0_offset is None:
-                t0_offset = np.floor(sampler_flatchain_corner[:, i_t0].min())
-            if t0_offset != 0.0:
-                sampler_flatchain_corner[:, i_t0] -= t0_offset
-                t0_offset_formatted = "{:f}".format(t0_offset).rstrip("0").rstrip(".")
-                axis_labels_corner[i_t0] = f"${var} - {t0_offset_formatted}$ (d)"
+    corner_chain, corner_labels, t0_offset = _offset_time_origin(
+        sampler_flatchain, model, t0_offset)
 
-    fig = _corner(sampler_flatchain_corner, labels=axis_labels_corner,
-                  label_kwargs={"size": textsize})
+    fig = _corner(corner_chain, labels=corner_labels, label_kwargs={"size": textsize})
     ndim = sampler_flatchain.shape[-1]
     corner_axes = np.array(fig.get_axes()).reshape(ndim, ndim)
     for i in range(ndim):
         corner_axes[i, 0].tick_params(labelsize=textsize)
         corner_axes[-1, i].tick_params(labelsize=textsize)
-
     for ax in np.diag(corner_axes):
-        ax.spines["top"].set_visible(False)
-        ax.spines["left"].set_visible(False)
-        ax.spines["right"].set_visible(False)
+        for side in ("top", "left", "right"):
+            ax.spines[side].set_visible(False)
         ax.xaxis.set_ticks_position("bottom")
         ax.yaxis.set_ticks_position("none")
 
@@ -233,27 +457,78 @@ def lightcurve_corner(lc, model, sampler_flatchain, model_kwargs=None,
     return fig, corner_axes, ax
 
 
+def _posterior_curves(model, flatchain, xfit, ufilts, num, use_sigma):
+    """Evaluate the model on ``num`` random posterior draws over a dense time
+    grid; also returns the SiFTO template component for companion-shocking
+    models (dashed overlay, reference fitting.py:354-362)."""
+    choices = np.random.choice(flatchain.shape[0], num)
+    ps = flatchain[choices].T
+    params = ps[:-1] if use_sigma else ps
+    y_fit = model(xfit, ufilts, *params)
+
+    if isinstance(model, CompanionShocking):
+        y_sifto = model.stretched_sifto(xfit, ufilts, *ps[3:5])
+        y_sifto[ufilts == filtdict["r"]] *= ps[5]
+        y_sifto[ufilts == filtdict["i"]] *= ps[6]
+    elif isinstance(model, BaseCompanionShocking):
+        y_sifto = model.stretched_sifto(xfit, ufilts, *ps[3:7])
+    else:
+        y_sifto = [None] * len(ufilts)
+    return y_fit, y_sifto
+
+
+def _y_axis_spec(ycol, y_fit, y_sifto, ufilts, ax):
+    """Per-quantity scaling of the model curves and the matching axis label.
+    Magnitudes convert the curves through the filters' absolute zero points
+    and flip the axis (reference fitting.py:366-385)."""
+    if ycol == "lum":
+        yscale = 10.0 ** np.round(np.log10(y_fit.max()))
+        label = "Luminosity $L_\\nu$ (10$^{{{:.0f}}}$ erg s$^{{-1}}$ Hz$^{{-1}}$) + Offset".format(
+            np.log10(yscale) + 7)
+        return "dlum", yscale, label, y_fit, y_sifto
+    if ycol == "flux":
+        yscale = 10.0 ** np.round(np.log10(y_fit.max()))
+        label = "Flux $F_\\nu$ (10$^{{{:.0f}}}$ erg s$^{{-1}}$ m$^{{-2}}$ Hz$^{{-1}}$) + Offset".format(
+            np.log10(yscale) + 7)
+        return "dflux", yscale, label, y_fit, y_sifto
+    if ycol == "absmag":
+        m0 = np.array([[[filt.M0]] for filt in ufilts])
+        y_fit, _ = flux2mag(y_fit, zp=m0)
+        if y_sifto[0] is not None:
+            y_sifto, _ = flux2mag(y_sifto, zp=m0)
+        ax.invert_yaxis()
+        return "dmag", 1.0, "Absolute Magnitude + Offset", y_fit, y_sifto
+    raise ValueError(f'ycol="{ycol}" is not recognized. Use "lum", "absmag", "flux".')
+
+
+def _split_model_kwargs(model_plot_kwargs):
+    """Derive the solid-curve and dashed-overlay style kwargs from the user's
+    model_plot_kwargs (colors always come from the filter)."""
+    solid = dict(model_plot_kwargs or {})
+    solid.pop("color", None)
+    dashed = dict(solid)
+    solid.setdefault("alpha", 0.05)
+    dashed.pop("linestyle", None)
+    dashed["ls"] = "--"
+    return solid, dashed
+
+
 def lightcurve_model_plot(lc, model, sampler_flatchain, model_kwargs=None,
                           num_models_to_plot=100, filter_spacing=1.0, tmin=None, tmax=None,
                           ycol=None, textsize="medium", ax=None, mjd_offset=None,
                           use_sigma=False, xscale="linear", filters_to_model=None,
                           label_filters=True, lc_plot_kwargs=None, model_plot_kwargs=None):
     """Observed photometry with posterior-draw model light curves overplotted
-    (reference fitting.py:280-429)."""
+    (behavioral spec: reference fitting.py:280-429)."""
     if model_kwargs is not None:
         raise Exception(MODEL_KWARGS_WARNING)
     if ycol is None:
         ycol = model.output_quantity
     if ax is None:
         ax = plt.axes()
-    if use_sigma and model.input_names[-1] != "\\sigma":
-        model.input_names = model.input_names + ["\\sigma"]
-        model.units = model.units + [u.dimensionless_unscaled]
+    _ensure_sigma_param(model, use_sigma)
 
     sampler_flatchain = np.asarray(sampler_flatchain)
-    choices = np.random.choice(sampler_flatchain.shape[0], num_models_to_plot)
-    ps = sampler_flatchain[choices].T
-
     if tmin is None:
         tmin = float(np.min(np.asarray(lc["MJD"])))
     if tmax is None:
@@ -263,57 +538,14 @@ def lightcurve_model_plot(lc, model, sampler_flatchain, model_kwargs=None,
         ufilts = np.array(sorted(set(lc["filter"])), dtype=object)
     else:
         ufilts = np.array([filtdict[f] for f in filters_to_model], dtype=object)
-    if use_sigma:
-        y_fit = model(xfit, ufilts, *ps[:-1])
-    else:
-        y_fit = model(xfit, ufilts, *ps)
 
-    # CompanionShocking models: overlay the SiFTO component as dashed lines
-    if isinstance(model, CompanionShocking):
-        y_fit1 = model.stretched_sifto(xfit, ufilts, *ps[3:5])
-        y_fit1[ufilts == filtdict["r"]] *= ps[5]
-        y_fit1[ufilts == filtdict["i"]] *= ps[6]
-    elif isinstance(model, BaseCompanionShocking):
-        y_fit1 = model.stretched_sifto(xfit, ufilts, *ps[3:7])
-    else:
-        y_fit1 = [None] * len(ufilts)
+    y_fit, y_sifto = _posterior_curves(model, sampler_flatchain, xfit, ufilts,
+                                       num_models_to_plot, use_sigma)
+    dycol, yscale, ylabel, y_fit, y_sifto = _y_axis_spec(ycol, y_fit, y_sifto, ufilts, ax)
+    solid_kwargs, dashed_kwargs = _split_model_kwargs(model_plot_kwargs)
 
     if mjd_offset is None:
         mjd_offset = np.floor(tmin)
-    if ycol == "lum":
-        dycol = "dlum"
-        yscale = 10.0 ** np.round(np.log10(y_fit.max()))
-        ylabel = "Luminosity $L_\\nu$ (10$^{{{:.0f}}}$ erg s$^{{-1}}$ Hz$^{{-1}}$) + Offset".format(
-            np.log10(yscale) + 7)
-    elif ycol == "absmag":
-        dycol = "dmag"
-        yscale = 1.0
-        ylabel = "Absolute Magnitude + Offset"
-        y_fit, _ = flux2mag(y_fit, zp=np.array([[[filt.M0]] for filt in ufilts]))
-        if y_fit1[0] is not None:
-            y_fit1, _ = flux2mag(y_fit1, zp=np.array([[[filt.M0]] for filt in ufilts]))
-        ax.invert_yaxis()
-    elif ycol == "flux":
-        dycol = "dflux"
-        yscale = 10.0 ** np.round(np.log10(y_fit.max()))
-        ylabel = "Flux $F_\\nu$ (10$^{{{:.0f}}}$ erg s$^{{-1}}$ m$^{{-2}}$ Hz$^{{-1}}$) + Offset".format(
-            np.log10(yscale) + 7)
-    else:
-        raise ValueError(f'ycol="{ycol}" is not recognized. Use "lum", "absmag", "flux".')
-
-    if lc_plot_kwargs is None:
-        lc_plot_kwargs = {}
-    if model_plot_kwargs is None:
-        model_plot_kwargs = {}
-    elif "color" in model_plot_kwargs:
-        del model_plot_kwargs["color"]
-    model_plot_kwargs1 = model_plot_kwargs.copy()
-    if "alpha" not in model_plot_kwargs:
-        model_plot_kwargs["alpha"] = 0.05
-    if "linestyle" in model_plot_kwargs1:
-        del model_plot_kwargs1["linestyle"]
-    model_plot_kwargs1["ls"] = "--"
-
     if xscale == "log":
         ax.set_xscale("log")
         ax.xaxis.set_major_formatter(plt.FormatStrFormatter("%g"))
@@ -325,18 +557,19 @@ def lightcurve_model_plot(lc, model, sampler_flatchain, model_kwargs=None,
     lc[dycol] = lc[dycol] / yscale
     plt.sca(ax)
     lc.plot(xcol="MJD", ycol=ycol, offset_factor=filter_spacing, appmag_axis=False,
-            tight_layout=False, **lc_plot_kwargs)
+            tight_layout=False, **(lc_plot_kwargs or {}))
     plt.autoscale(False)
-    _, labels, _ = filter_legend(np.array(ufilts, dtype=object), filter_spacing)
-    for yfit, yfit1, filt, txt in zip(y_fit, y_fit1, ufilts, labels):
+
+    _, curve_labels, _ = filter_legend(np.array(ufilts, dtype=object), filter_spacing)
+    for curves, sifto, filt, txt in zip(y_fit, y_sifto, ufilts, curve_labels):
         offset = -filt.offset * filter_spacing
-        ax.plot(xfit - mjd_offset, yfit / yscale + offset, color=filt.linecolor,
-                **model_plot_kwargs)
-        if yfit1 is not None:
-            ax.plot(xfit - mjd_offset, np.median(yfit1, axis=1) / yscale + offset,
-                    color=filt.linecolor, **model_plot_kwargs1)
+        ax.plot(xfit - mjd_offset, curves / yscale + offset, color=filt.linecolor,
+                **solid_kwargs)
+        if sifto is not None:
+            ax.plot(xfit - mjd_offset, np.median(sifto, axis=1) / yscale + offset,
+                    color=filt.linecolor, **dashed_kwargs)
         if label_filters:
-            ax.text(1.03, yfit[-1, 0] / yscale + offset, txt, color=filt.textcolor,
+            ax.text(1.03, curves[-1, 0] / yscale + offset, txt, color=filt.textcolor,
                     fontdict={"size": textsize}, ha="left", va="center",
                     transform=ax.get_yaxis_transform())
     ax.set_xlabel("MJD $-$ {:f}".format(mjd_offset).rstrip("0").rstrip("."), size=textsize)
@@ -344,46 +577,57 @@ def lightcurve_model_plot(lc, model, sampler_flatchain, model_kwargs=None,
     ax.tick_params(labelsize=textsize)
 
 
+# --------------------------------------------------------------------------
+# credible-interval formatting
+# --------------------------------------------------------------------------
+
+def _decimals_for(uncertainty, sigfigs):
+    """Decimal places that keep ``sigfigs`` significant figures of the
+    uncertainty."""
+    return sigfigs - int(np.floor(np.log10(uncertainty))) - 1
+
+
+def _interval_tex(lower_q, center_q, upper_q, sigfigs):
+    """LaTeX ``c ± u`` / ``c^{+u}_{-l}`` for one parameter, rounded so the
+    smaller uncertainty shows ``sigfigs`` significant figures. Rounding is
+    applied twice: rounding the uncertainty itself can change its magnitude
+    (0.098 -> 0.1), which changes the decimal place everything else rounds to
+    (behavior of reference fitting.py:432-494)."""
+    unc_lo = center_q - lower_q
+    unc_up = upper_q - center_q
+    smaller = min(unc_lo, unc_up)
+    decimals = _decimals_for(smaller, sigfigs)
+    decimals = _decimals_for(np.round(smaller, decimals), sigfigs)
+    center = np.round(center_q, decimals)
+    lo = np.round(unc_lo, decimals)
+    up = np.round(unc_up, decimals)
+    decimals = max(decimals, 0)
+    if lo == up:
+        return f"{center:.{decimals}f} \\pm {up:.{decimals}f}"
+    return f"{center:.{decimals}f}^{{+{up:.{decimals}f}}}_{{-{lo:.{decimals}f}}}"
+
+
+def _attach_units(texstrings, varnames, units):
+    """Wrap each interval as ``$name = value$ unit``. Quantity units factor
+    out their scale as ``x 10^e``; the reference then strips any ``.0}``
+    substring from the wrapped value (including inside the interval braces) —
+    that quirk is preserved for output parity (reference fitting.py:486-492)."""
+    paramtexts = []
+    for var, value, unit in zip(varnames, texstrings, units):
+        if isinstance(unit, u.Quantity):
+            wrapped = "({}) \\times 10^{{{:.1f}}}".format(value, np.log10(unit.value))
+            value = re.sub(r"\.0\}", "}", wrapped)
+            unit = unit.unit
+        paramtexts.append("${} = {}$ {:latex_inline}".format(var, value, unit))
+    return paramtexts
+
+
 def format_credible_interval(x, sigfigs=1, percentiles=(15.87, 50.0, 84.14), axis=0,
                              varnames=None, units=None):
     """LaTeX equal-tailed credible intervals with sig-fig rounding of the
-    uncertainty (reference fitting.py:432-494)."""
-    quantiles = np.percentile(x, percentiles, axis=axis).T
-    uncertainties = np.diff(quantiles)
-    smaller_unc = np.amin(uncertainties, axis=-1)
-    log_unc = np.log10(smaller_unc)
-    roundto = sigfigs - np.floor(log_unc).astype(int) - 1
-
-    smaller_unc_round = [np.round(unc, dec) for unc, dec in
-                         zip(np.atleast_1d(smaller_unc), np.atleast_1d(roundto))]
-    log_unc_round = np.log10(smaller_unc_round)
-    roundto = sigfigs - np.floor(log_unc_round).astype(int) - 1
-
-    quantiles = np.atleast_2d(quantiles)
-    uncertainties = np.atleast_2d(uncertainties)
-    roundto = np.atleast_1d(roundto)
-    texstrings = []
-    for quant, unc, dec in zip(quantiles, uncertainties, roundto):
-        center = np.round(quant[1], dec)
-        lower, upper = np.round(unc, dec)
-        if dec < 0:
-            dec = 0
-        if upper == lower:
-            texstring = "{{:.{0:d}f}} \\pm {{:.{0:d}f}}".format(dec).format(center, upper)
-        else:
-            texstring = "{{:.{0:d}f}}^{{{{+{{:.{0:d}f}}}}}}_{{{{-{{:.{0:d}f}}}}}}".format(dec).format(
-                center, upper, lower)
-        texstrings.append(texstring)
-
+    uncertainty (behavioral spec: reference fitting.py:432-494)."""
+    quantile_rows = np.atleast_2d(np.percentile(np.asarray(x), percentiles, axis=axis).T)
+    texstrings = [_interval_tex(lo, mid, hi, sigfigs) for lo, mid, hi in quantile_rows]
     if varnames is None or units is None:
-        paramtexts = texstrings
-    else:
-        paramtexts = []
-        for var, value, unit in zip(varnames, texstrings, units):
-            if isinstance(unit, u.Quantity):
-                value = "({}) \\times 10^{{{:.1f}}}".format(value, np.log10(unit.value)).replace(
-                    ".0}", "}")
-                unit = unit.unit
-            paramtexts.append("${} = {}$ {:latex_inline}".format(var, value, unit))
-
-    return paramtexts
+        return texstrings
+    return _attach_units(texstrings, varnames, units)

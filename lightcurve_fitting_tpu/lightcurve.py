@@ -1,11 +1,25 @@
 """Light-curve container and photometric conversions.
 
-Host-side API-parity module for the reference ``lightcurve_fitting/lightcurve.py``:
-the :class:`LC` table with ~60 recognized column aliases, the ``where`` query
-DSL, mag/flux/absmag/luminosity conversions with 3-sigma nondetection handling,
-inverse-variance time binning, peak/phase utilities, and the multiband
-matplotlib plot with nondetection arrows and stacked legends. Built on the
-framework's own table layer (astropy is not a dependency).
+Host-side data layer covering the behavior of the reference
+``lightcurve_fitting/lightcurve.py``: the :class:`LC` table with ~60
+recognized column aliases, a row-selection DSL, mag/flux/absmag/luminosity
+conversions with 3-sigma nondetection handling, inverse-variance time
+binning, peak/phase utilities, and the multiband matplotlib plot with
+nondetection arrows and stacked legends. Built on the framework's own table
+layer (astropy is not a dependency).
+
+The implementation is organised around three small engines of our own:
+
+* a **criteria engine** (:func:`_criterion`, :func:`_criterion_mask`) that
+  parses ``where()`` keywords into (column, relation, value) triples and
+  evaluates each as a boolean mask (behavioral spec:
+  reference lightcurve.py:87-134);
+* **conversion kernels** (:func:`_limits_to_fluxes`, :func:`flux2mag`,
+  :func:`mag2flux`) expressed through a shared masked-float coercion and
+  ``np.ma.where`` substitution (spec: reference lightcurve.py:878-941);
+* a **plot styling resolver** (:class:`_StyleBook`) that maps each plotted
+  group to its color/marker/edge styles, keeping :meth:`LC.plot` itself an
+  orchestration loop (spec: reference lightcurve.py:419-668).
 
 Device code never touches these objects: fitting extracts plain arrays
 (MJD, flux/lum, errors, integer band ids) once per fit.
@@ -35,12 +49,15 @@ __all__ = ["LC", "Arrow", "flux2mag", "mag2flux", "binflux", "aux_axes",
 
 
 class Arrow(Path):
-    """A downward-pointing arrow-shaped Path with head half-width ``hx`` and
-    head height ``hy`` (reference lightcurve.py:18-31); marks nondetections."""
+    """A downward arrow glyph used to mark nondetections (limiting
+    magnitudes); ``hx``/``hy`` set the head half-width and head height
+    (behavioral spec: reference lightcurve.py:18-31)."""
 
     def __init__(self, hx, hy):
-        verts = [(0, 0), (0, -1), (-hx, -1 + hy), (0, -1), (hx, -1 + hy), (0, -1), (0, 0)]
-        codes = [Path.MOVETO] + [Path.LINETO] * 5 + [Path.CLOSEPOLY]
+        stem = [(0.0, 0.0), (0.0, -1.0)]
+        head = [(-hx, hy - 1.0), (0.0, -1.0), (hx, hy - 1.0), (0.0, -1.0)]
+        verts = stem + head + [(0.0, 0.0)]
+        codes = [Path.MOVETO] + [Path.LINETO] * (len(verts) - 2) + [Path.CLOSEPOLY]
         Path.__init__(self, verts, codes)
 
 
@@ -49,7 +66,8 @@ othermarkers = ("o", *MarkerStyle.filled_markers[2:])
 itermarkers = itertools.cycle(othermarkers)
 itercolors = itertools.cycle(plt.rcParams["axes.prop_cycle"].by_key()["color"])
 
-# recognized column aliases (reference lightcurve.py:40-59)
+# recognized column aliases; first entry of each list is the canonical name
+# (alias sets per reference lightcurve.py:40-59)
 column_names = {
     "Filter": ["filter", "filt", "Filter", "band", "FLT", "Band"],
     "Telescope": ["telescope", "Telescope", "Tel", "tel+inst"],
@@ -74,8 +92,68 @@ column_names = {
 }
 
 
+def _axis_label_for(colname):
+    """Display label for a canonical or aliased column name (None if unknown)."""
+    for label, aliases in column_names.items():
+        if colname in aliases:
+            return label
+    return None
+
+
+# --------------------------------------------------------------------------
+# criteria engine backing LC.where
+# --------------------------------------------------------------------------
+
+# keyword suffix -> relation; matched by substring as in the reference DSL
+_RELATIONS = (("_not", "exclude"), ("_min", "atleast"), ("_max", "atmost"))
+
+
+def _criterion(key, value):
+    """Parse one ``where()`` keyword into ``(column, relation, value)``.
+
+    Relations: 'match' (default), 'exclude', 'atleast', 'atmost'. Values for
+    filter columns are looked up in the registry so users can pass strings.
+    List values with 'atleast'/'atmost' are not meaningful and keep the raw
+    key (matching the reference's lookup failure in that case).
+    """
+    if key.startswith("filter"):
+        if isinstance(value, str):
+            value = filtdict[value]
+        elif isinstance(value, list):
+            value = [filtdict[v] if isinstance(v, str) else v for v in value]
+
+    if isinstance(value, list):
+        if "_not" in key:
+            return key.replace("_not", ""), "exclude", value
+        return key, "match", value
+
+    for suffix, relation in _RELATIONS:
+        if suffix in key:
+            return key.replace(suffix, ""), relation, value
+    return key, "match", value
+
+
+def _criterion_mask(table, column, relation, value):
+    """Boolean row mask for one parsed criterion. ``None`` values test
+    elementwise identity (the table layer stores object columns)."""
+    data = table[column]
+    if relation == "atleast":
+        return np.asarray(data >= value)
+    if relation == "atmost":
+        return np.asarray(data <= value)
+
+    values = value if isinstance(value, list) else [value]
+    if any(v is None for v in values):
+        hit = np.array([row is None for row in data])
+    else:
+        hit = np.zeros(len(table), bool)
+        for v in values:
+            hit |= np.ma.filled(np.ma.MaskedArray(data == v), False)
+    return ~hit if relation == "exclude" else hit
+
+
 class LC(Table):
-    """A broadband light curve (reference lightcurve.py:62-688)."""
+    """A broadband light curve (behavior of reference lightcurve.py:62-688)."""
 
     def __init__(self, *args, **kwargs):
         Table.__init__(self, *args, **kwargs)
@@ -96,41 +174,15 @@ class LC(Table):
 
     # ------------------------------------------------------------- selection
     def where(self, **kwargs):
-        """Row selection DSL: ``col=value``, ``col_not=``, ``col_min=``,
-        ``col_max=``; values may be lists (reference lightcurve.py:87-134)."""
-        use = np.tile(True, len(self))
-        for col, val in kwargs.items():
-            if col.startswith("filter"):
-                if isinstance(val, str):
-                    val = filtdict[val]
-                elif isinstance(val, list):
-                    val = [filtdict[v] if isinstance(v, str) else v for v in val]
-            if isinstance(val, list):
-                if "_not" in col:
-                    use1 = np.tile(True, len(self))
-                    for v in val:
-                        use1 &= np.asarray(self[col.replace("_not", "")] != v)
-                else:
-                    use1 = np.tile(False, len(self))
-                    for v in val:
-                        use1 |= np.asarray(self[col] == v)
-            elif "_min" in col:
-                use1 = np.asarray(self[col.replace("_min", "")] >= val)
-            elif "_max" in col:
-                use1 = np.asarray(self[col.replace("_max", "")] <= val)
-            elif "_not" in col:
-                if val is None:
-                    use1 = np.array([v is not None for v in self[col.replace("_not", "")]])
-                else:
-                    use1 = np.asarray(self[col.replace("_not", "")] != val)
-            else:
-                if val is None:
-                    use1 = np.array([v is None for v in self[col]])
-                else:
-                    use1 = np.asarray(self[col] == val)
-            use &= np.ma.filled(use1, False)
-        selected = self[use]
-        selected.markers = self.markers
+        """Select rows matching all criteria. Keywords are ``col=value``
+        (match), ``col_not=`` (exclude), ``col_min=`` (>=), ``col_max=``
+        (<=); list values mean "any of" / "none of". Filter criteria accept
+        registry names. (DSL spec: reference lightcurve.py:87-134.)"""
+        keep = np.ones(len(self), bool)
+        for key, raw in kwargs.items():
+            keep &= _criterion_mask(self, *_criterion(key, raw))
+        selected = self[keep]
+        selected.markers = self.markers  # share the marker assignments
         return selected
 
     def get(self, key, default=np.ma.masked):
@@ -142,14 +194,15 @@ class LC(Table):
 
     # --------------------------------------------------------- normalization
     def normalize_column_names(self):
-        """Rename recognized aliases to standard names (reference
-        lightcurve.py:144-161); JD -> MJD; parse nondetection strings."""
-        for good_key, *bad_keys in column_names.values():
-            if good_key not in self.colnames:
-                for bad_key in bad_keys:
-                    if bad_key in self.colnames:
-                        self.rename_column(bad_key, good_key)
-                        break
+        """Rename recognized aliases to canonical names; derive MJD from JD;
+        parse nondetection flag strings (spec: reference
+        lightcurve.py:144-161)."""
+        for canonical, *aliases in column_names.values():
+            if canonical in self.colnames:
+                continue
+            hit = next((a for a in aliases if a in self.colnames), None)
+            if hit is not None:
+                self.rename_column(hit, canonical)
         if "MJD" not in self.colnames and "JD" in self.colnames:
             self["MJD"] = self["JD"] - 2400000.5
             self.remove_column("JD")
@@ -157,21 +210,19 @@ class LC(Table):
             col = self["nondet"]
             if isinstance(col, np.ma.MaskedArray):
                 col = col.filled("False" if col.dtype.kind in "UO" else 0)
-            col = np.asarray(col).astype(str)
-            nondet = (col == "True") | (col == "T") | (col == ">")
-            self.replace_column("nondet", nondet)
+            flags = np.asarray(col).astype(str)
+            self.replace_column("nondet", np.isin(flags, ("True", "T", ">")))
 
     def filters_to_objects(self):
         """Parse the 'filter' column into Filter objects, including the Swift
-        U/B/V disambiguation (reference lightcurve.py:163-180)."""
+        U/B/V disambiguation (spec: reference lightcurve.py:163-180)."""
         filters = np.array([filtdict["0"] if np.ma.is_masked(f) or f is None
                             else filtdict.get(str(f), filtdict["?"])
                             for f in self["filter"]], dtype=object)
         is_swift = np.zeros(len(self), bool)
         if "telescope" in self.colnames:
             tel = np.asarray(self["telescope"]).astype(str)
-            for name in ("Swift", "UVOT", "Swift/UVOT", "Swift+UVOT"):
-                is_swift |= tel == name
+            is_swift |= np.isin(tel, ("Swift", "UVOT", "Swift/UVOT", "Swift+UVOT"))
         if "source" in self.colnames:
             is_swift |= np.asarray(self["source"]).astype(str) == "SOUSA"
         if is_swift.any():
@@ -209,9 +260,10 @@ class LC(Table):
 
     def calcAbsMag(self, dm=None, extinction=None, hostext=None, ebv=None, rv=None,
                    host_ebv=None, host_rv=None, redshift=None):
-        """Distance and extinction corrections (reference lightcurve.py:271-345):
-        distance modulus from Planck18 if only a redshift is known; MW and host
-        F99 A_lambda per filter at its effective wavelength."""
+        """Distance and extinction corrections (spec: reference
+        lightcurve.py:271-345): distance modulus from Planck18 if only a
+        redshift is known; MW and host F99 A_lambda per filter at its
+        effective wavelength."""
         if redshift is not None:
             self.meta["redshift"] = redshift
         elif "redshift" not in self.meta:
@@ -250,18 +302,14 @@ class LC(Table):
         self["absmag"] = np.ma.getdata(np.asarray(self["mag"])) - self.meta["dm"]
         for filtobj in set(self["filter"]):
             sel = np.asarray(self["filter"] == filtobj)
-            for filt in filtobj.names:
-                if filt in self.meta["extinction"]:
-                    self["absmag"][sel] -= self.meta["extinction"][filt]
-                    break
-            else:
-                print("MW extinction not applied to filter", filtobj)
-            for filt in filtobj.names:
-                if filt in self.meta["hostext"]:
-                    self["absmag"][sel] -= self.meta["hostext"][filt]
-                    break
-            else:
-                print("host extinction not applied to filter", filtobj)
+            for correction in ("extinction", "hostext"):
+                table = self.meta[correction]
+                known = next((n for n in filtobj.names if n in table), None)
+                if known is not None:
+                    self["absmag"][sel] -= table[known]
+                else:
+                    kind = "MW" if correction == "extinction" else "host"
+                    print(f"{kind} extinction not applied to filter", filtobj)
 
     def calcLum(self, nondetSigmas=None):
         if nondetSigmas is not None:
@@ -272,7 +320,7 @@ class LC(Table):
     # -------------------------------------------------------------- binning
     def bin(self, delta=0.3, groupby=None):
         """Average points within ``delta`` days, grouped by {filter, source}
-        (reference lightcurve.py:206-238)."""
+        (spec: reference lightcurve.py:206-238)."""
         if groupby is not None:
             self.groupby = groupby
         subtabs = []
@@ -329,102 +377,67 @@ class LC(Table):
                     self[dcol] = self[dcol] * 24.0
 
     # -------------------------------------------------------------- plotting
+    def _resolve_plot_columns(self, xcol, ycol):
+        """Map the requested axes onto available columns, materializing
+        wl_eff when the x-axis is the filter itself; fall back through
+        phase->MJD and absmag->mag."""
+        if xcol.startswith("filter"):
+            unit = xcol.split(":")[-1] if ":" in xcol else None
+            xcol = "wl_eff"
+            self[xcol] = [f.wl_eff.to(unit).value if unit else f.wl_eff.value
+                          for f in self["filter"]]
+        for requested, fallbacks, axis in ((xcol, ["phase", "MJD"], "x"),
+                                           (ycol, ["absmag", "mag"], "y")):
+            chain = list(fallbacks)
+            while requested not in self.keys():
+                if requested in chain:
+                    chain.remove(requested)
+                if not chain:
+                    raise Exception(f"no columns found for {axis}-axis")
+                requested = chain[0]
+            if axis == "x":
+                xcol = requested
+            else:
+                ycol = requested
+        return xcol, ycol
+
     def plot(self, xcol="phase", ycol="absmag", offset_factor=1.0, color="filter",
              marker=None, use_lines=False, normalize=False, fillmark=True, mjd_axis=True,
              appmag_axis=True, loc_mark=None, loc_filt=None, ncol_mark=1, lgd_filters=None,
              tight_layout=True, phase_hours=False, return_axes=False, frameon=True, **kwargs):
         """Multiband light-curve plot with nondetection arrows, per-filter
         colors/offsets, twin MJD/apparent-mag axes, and 'above' legends
-        (reference lightcurve.py:419-668)."""
-        if xcol.startswith("filter"):
-            unit = xcol.split(":")[-1] if ":" in xcol else None
-            xcol = "wl_eff"
-            self[xcol] = [f.wl_eff.to(unit).value if unit else f.wl_eff.value
-                          for f in self["filter"]]
-        xchoices = ["phase", "MJD"]
-        while xcol not in self.keys():
-            xchoices.remove(xcol)
-            if xchoices:
-                xcol = xchoices[0]
-            else:
-                raise Exception("no columns found for x-axis")
-        ychoices = ["absmag", "mag"]
-        while ycol not in self.keys():
-            ychoices.remove(ycol)
-            if ychoices:
-                ycol = ychoices[0]
-            else:
-                raise Exception("no columns found for y-axis")
+        (behavioral spec: reference lightcurve.py:419-668). Style choices per
+        group are delegated to :class:`_StyleBook`."""
+        xcol, ycol = self._resolve_plot_columns(xcol, ycol)
         if marker is None:
-            if "source" in self.colnames:
-                marker = "source"
-            elif "telescope" in self.colnames:
-                marker = "telescope"
-            else:
-                marker = "o"
+            marker = next((c for c in ("source", "telescope") if c in self.colnames), "o")
+
         criteria = {key: val for key, val in kwargs.items() if key in self.colnames}
-        plot_kwargs = {key: val for key, val in kwargs.items() if key not in self.colnames}
+        extra_kwargs = {key: val for key, val in kwargs.items() if key not in self.colnames}
         plottable = self.where(**criteria)
         if len(plottable) == 0:
             return
-        groupby = set()
-        if color in plottable.keys():
-            groupby.add(color)
-        if marker in plottable.keys():
-            groupby.add(marker)
-        if groupby:
-            plottable = plottable.group_by(list(groupby))
-            keys = plottable.groups.keys
+
+        group_cols = sorted({c for c in (color, marker) if c in plottable.keys()})
+        if group_cols:
+            plottable = plottable.group_by(group_cols)
+            groups, keys = plottable.groups, plottable.groups.keys
         else:
-            keys = [Table()]
-        linestyle = plot_kwargs.pop("linestyle", plot_kwargs.pop(
+            groups, keys = [plottable], [Table()]
+
+        book = _StyleBook(self, color, marker, fillmark, plottable.keys())
+        book.prime(groups)
+        linestyle = extra_kwargs.pop("linestyle", extra_kwargs.pop(
             "ls", self.meta.get("linestyle", self.meta.get("ls"))))
-        linewidth = plot_kwargs.pop("linewidth", plot_kwargs.pop(
+        linewidth = extra_kwargs.pop("linewidth", extra_kwargs.pop(
             "lw", self.meta.get("linewidth", self.meta.get("lw"))))
-        ms = plot_kwargs.pop("markersize", plot_kwargs.pop("ms", plt.rcParams["lines.markersize"]))
-        if marker in plottable.keys():
-            usedmarkers = [self.markers[g[marker][0]] for g in plottable.groups
-                           if g[marker][0] in self.markers]
-        else:
-            usedmarkers = []
-        groups_iter = plottable.groups if groupby else [plottable]
-        for g, k in zip(groups_iter, keys):
+        ms = extra_kwargs.pop("markersize",
+                              extra_kwargs.pop("ms", plt.rcParams["lines.markersize"]))
+
+        for g, k in zip(groups, keys):
             filt = g["filter"][0]
-            if color == "filter":
-                col = filt.color
-                mec = filt.mec
-            elif color == "name" and "plotcolor" in self.meta:
-                col = self.meta["plotcolor"]
-                mec = col if col not in ["w", "#FFFFFF"] else "k"
-            elif color in self.colnames and g[color][0] in self.colors:
-                col = self.colors[g[color][0]]
-                mec = col if col not in ["w", "#FFFFFF"] else "k"
-            elif is_color_like(color):
-                col = color
-                mec = col if col not in ["w", "#FFFFFF"] else "k"
-            else:
-                col = mec = next(itercolors)
-            if color in self.colnames:
-                self.colors[g[color][0]] = col
-            mfc = col if fillmark else "none"
-            if marker == "name" and "marker" in self.meta:
-                mark = self.meta["marker"]
-            elif marker in plottable.keys():
-                if g[marker][0] not in self.markers:
-                    for nextmarker in othermarkers:
-                        if nextmarker not in usedmarkers:
-                            self.markers[g[marker][0]] = nextmarker
-                            break
-                    else:
-                        self.markers[g[marker][0]] = next(itermarkers)
-                mark = self.markers[g[marker][0]]
-            elif marker in MarkerStyle.markers:
-                mark = marker
-            elif marker == "none":
-                mark = None
-            else:
-                mark = next(itermarkers)
-            usedmarkers.append(mark)
+            col, mec, mfc, mark = book.resolve(g)
             yerr = None
             if use_lines:
                 g.sort(xcol)
@@ -435,63 +448,41 @@ class LC(Table):
                 if yerr.ndim == 2:
                     yerr = yerr.T
             x = np.ma.filled(np.ma.MaskedArray(g[xcol]), np.nan).astype(float)
-            if "d" + xcol in g.colnames:
-                xerr = g["d" + xcol]
-                if xerr.ndim == 2:
-                    xerr = xerr.T
-            else:
-                xerr = None
+            xerr = g["d" + xcol] if "d" + xcol in g.colnames else None
+            if xerr is not None and xerr.ndim == 2:
+                xerr = xerr.T
             y = np.ma.filled(np.ma.MaskedArray(g[ycol]), np.nan).astype(float) \
                 - filt.offset * offset_factor
-            if normalize and ycol == "mag":
-                if "peakmag" in self.meta:
-                    y -= self.meta["peakmag"]
-                else:
-                    print("must set .meta['peakmag'] to use normalize")
-            elif normalize and ycol == "absmag":
-                if "peakabsmag" in self.meta:
-                    y -= self.meta["peakabsmag"]
-                else:
-                    print("must set .meta['peakabsmag'] to use normalize")
+            if normalize:
+                peak_key = "peakmag" if ycol == "mag" else "peakabsmag"
+                if ycol in ("mag", "absmag"):
+                    if peak_key in self.meta:
+                        y -= self.meta[peak_key]
+                    else:
+                        print(f"must set .meta['{peak_key}'] to use normalize")
             nondet = np.asarray(g["nondet"], bool) if "nondet" in g.keys() else None
             if "mag" in ycol and nondet is not None and marker:
                 plt.plot(x[nondet], y[nondet], marker=arrow, linestyle="none",
-                         ms=ms / 6.0 * 25.0, mec=mec, **plot_kwargs)
+                         ms=ms / 6.0 * 25.0, mec=mec, **extra_kwargs)
             if hasattr(k, "colnames") and "filter" in k.colnames:
-                if len(filt.name) >= 4 and not filt.offset:
-                    k["filter"] = filt.name
-                elif offset_factor:
-                    k["filter"] = "${}{:+.0f}$".format(filt.name, -filt.offset * offset_factor)
-                else:
-                    k["filter"] = "${}$".format(filt.name)
+                k["filter"] = _filter_label(filt, offset_factor)
             label = " ".join([str(kv) for kv in (k.values() if hasattr(k, "values") else [])])
             if not use_lines:
                 if yerr is not None:
                     yerr = np.ma.filled(np.ma.MaskedArray(yerr), np.nan)
                 plt.errorbar(x, y, yerr, xerr=xerr, color=mec, mfc=mfc, mec=mec, ms=ms,
-                             marker=mark, linestyle="none", label=label, **plot_kwargs)
+                             marker=mark, linestyle="none", label=label, **extra_kwargs)
             elif "mag" in ycol and nondet is not None:
                 plt.plot(x[~nondet], y[~nondet], color=col, mfc=mfc, mec=mec, ms=ms, marker=mark,
-                         label=label, linestyle=linestyle, linewidth=linewidth, **plot_kwargs)
+                         label=label, linestyle=linestyle, linewidth=linewidth, **extra_kwargs)
                 plt.plot(x[nondet], y[nondet], color=mec, mfc=mfc, mec=mec, ms=ms, marker=mark,
-                         linestyle="none", **plot_kwargs)
+                         linestyle="none", **extra_kwargs)
             else:
                 plt.plot(x, y, color=col, mfc=mfc, mec=mec, ms=ms, marker=mark, label=label,
-                         linestyle=linestyle, linewidth=linewidth, **plot_kwargs)
+                         linestyle=linestyle, linewidth=linewidth, **extra_kwargs)
 
-        ymin, ymax = plt.ylim()
-        if "mag" in ycol and ymax > ymin:
-            plt.ylim(ymax, ymin)
-        lgd_title = None
-        for axlabel, keys_ in column_names.items():
-            if xcol in keys_:
-                if xcol == "phase" and phase_hours:
-                    axlabel = axlabel.replace("days", "hours")
-                plt.xlabel(axlabel)
-            elif ycol in keys_:
-                plt.ylabel(axlabel)
-            elif marker in keys_:
-                lgd_title = axlabel
+        self._decorate_plot_axes(xcol, ycol, phase_hours)
+        lgd_title = _axis_label_for(marker)
 
         mjd_axis = mjd_axis and xcol == "phase" and "redshift" in self.meta and "refmjd" in self.meta
         appmag_axis = appmag_axis and ycol == "absmag" and "dm" in self.meta
@@ -509,38 +500,60 @@ class LC(Table):
                 right.set_ylabel("Apparent Magnitude")
                 axes.append(right)
 
-        if loc_mark and axes and marker in self.colnames:
-            labels = sorted(set(np.asarray(self[marker]).astype(str)), key=lambda s: s.lower())
-            lines = []
-            for label in labels:
-                if marker == color:
-                    mec = mfc = self.colors[label]
-                else:
-                    mec = "k"
-                    mfc = "none"
-                line = plt.Line2D([], [], mec=mec, mfc=mfc, ms=ms,
-                                  marker=self.markers.get(label, "o"), linestyle="none")
-                lines.append(line)
-            custom_legend(axes.pop(), lines, labels, ncol=ncol_mark, loc=loc_mark,
-                          title=lgd_title, frameon=frameon)
-        elif loc_mark and not axes:
-            print("cannot create marker legend: not enough axes")
-        elif loc_mark and marker not in self.colnames:
-            print(f'cannot create marker legend: column "{marker}" does not exist')
-
-        if loc_filt and axes and color == "filter":
-            if lgd_filters is None:
-                lgd_filters = set(self["filter"])
-            lines, labels, ncol = filter_legend(lgd_filters, offset_factor)
-            custom_legend(axes.pop(), lines, labels, loc=loc_filt, ncol=ncol,
-                          title="Filter", frameon=frameon)
-        elif loc_filt and not axes:
-            print("cannot create filter legend: not enough axes")
+        if loc_mark:
+            self._marker_legend(axes, marker, color, ms, ncol_mark, loc_mark,
+                                lgd_title, frameon)
+        if loc_filt:
+            self._filter_legend(axes, color, lgd_filters, offset_factor, loc_filt, frameon)
 
         if tight_layout:
             plt.tight_layout()
         if return_axes and (mjd_axis or appmag_axis):
             return top, right
+
+    def _decorate_plot_axes(self, xcol, ycol, phase_hours):
+        """Axis labels from the column registry; magnitude axes increase
+        downward."""
+        ymin, ymax = plt.ylim()
+        if "mag" in ycol and ymax > ymin:
+            plt.ylim(ymax, ymin)
+        xlabel = _axis_label_for(xcol)
+        if xlabel is not None:
+            if xcol == "phase" and phase_hours:
+                xlabel = xlabel.replace("days", "hours")
+            plt.xlabel(xlabel)
+        ylabel = _axis_label_for(ycol)
+        if ylabel is not None:
+            plt.ylabel(ylabel)
+
+    def _marker_legend(self, axes, marker, color, ms, ncol_mark, loc_mark,
+                       lgd_title, frameon):
+        if not axes:
+            print("cannot create marker legend: not enough axes")
+            return
+        if marker not in self.colnames:
+            print(f'cannot create marker legend: column "{marker}" does not exist')
+            return
+        labels = sorted(set(np.asarray(self[marker]).astype(str)), key=str.lower)
+        lines = []
+        for label in labels:
+            mec, mfc = (self.colors[label],) * 2 if marker == color else ("k", "none")
+            lines.append(plt.Line2D([], [], mec=mec, mfc=mfc, ms=ms,
+                                    marker=self.markers.get(label, "o"), linestyle="none"))
+        custom_legend(axes.pop(), lines, labels, ncol=ncol_mark, loc=loc_mark,
+                      title=lgd_title, frameon=frameon)
+
+    def _filter_legend(self, axes, color, lgd_filters, offset_factor, loc_filt, frameon):
+        if not axes:
+            print("cannot create filter legend: not enough axes")
+            return
+        if color != "filter":
+            return
+        if lgd_filters is None:
+            lgd_filters = set(self["filter"])
+        lines, labels, ncol = filter_legend(lgd_filters, offset_factor)
+        custom_legend(axes.pop(), lines, labels, loc=loc_filt, ncol=ncol,
+                      title="Filter", frameon=frameon)
 
     def _phase2mjd(self, phase, hours=False):
         return phase * (1.0 + self.meta["redshift"]) / (24.0 if hours else 1.0) + self.meta["refmjd"]
@@ -562,53 +575,129 @@ class LC(Table):
         out.write(*args, **kwargs)
 
 
+def _filter_label(filt, offset_factor):
+    """Legend text for a filter entry: long unoffset names stay plain; others
+    render in math mode with their plotted offset."""
+    if len(filt.name) >= 4 and not filt.offset:
+        return filt.name
+    if offset_factor:
+        return "${}{:+.0f}$".format(filt.name, -filt.offset * offset_factor)
+    return "${}$".format(filt.name)
+
+
+class _StyleBook:
+    """Resolves per-group plot styles (face/edge colors and markers) for
+    :meth:`LC.plot`, caching assignments on the parent LC so repeated plots
+    stay consistent. White face colors get black edges so points stay
+    visible."""
+
+    _WHITES = ("w", "#FFFFFF")
+
+    def __init__(self, lc, color_spec, marker_spec, fillmark, available_cols):
+        self.lc = lc
+        self.color_spec = color_spec
+        self.marker_spec = marker_spec
+        self.fillmark = fillmark
+        self.color_is_column = color_spec in available_cols
+        self.marker_is_column = marker_spec in available_cols
+        self.used = set()
+
+    def prime(self, groups):
+        """Record markers already assigned to any group's key, so new
+        assignments don't collide."""
+        if not self.marker_is_column:
+            return
+        for g in groups:
+            key = g[self.marker_spec][0]
+            if key in self.lc.markers:
+                self.used.add(self.lc.markers[key])
+
+    def _edge_for(self, facecolor):
+        return "k" if facecolor in self._WHITES else facecolor
+
+    def resolve(self, group):
+        """Return (color, edgecolor, facecolor, marker) for one group."""
+        filt = group["filter"][0]
+        spec = self.color_spec
+        if spec == "filter":
+            col, mec = filt.color, filt.mec
+        elif spec == "name" and "plotcolor" in self.lc.meta:
+            col = self.lc.meta["plotcolor"]
+            mec = self._edge_for(col)
+        elif self.color_is_column and group[spec][0] in self.lc.colors:
+            col = self.lc.colors[group[spec][0]]
+            mec = self._edge_for(col)
+        elif is_color_like(spec):
+            col = spec
+            mec = self._edge_for(col)
+        else:
+            col = mec = next(itercolors)
+        if self.color_is_column:
+            self.lc.colors[group[spec][0]] = col
+
+        mfc = col if self.fillmark else "none"
+        mark = self._marker_for(group)
+        self.used.add(mark)
+        return col, mec, mfc, mark
+
+    def _marker_for(self, group):
+        spec = self.marker_spec
+        if spec == "name" and "marker" in self.lc.meta:
+            return self.lc.meta["marker"]
+        if self.marker_is_column:
+            key = group[spec][0]
+            if key not in self.lc.markers:
+                fresh = next((m for m in othermarkers if m not in self.used), None)
+                self.lc.markers[key] = fresh if fresh is not None else next(itermarkers)
+            return self.lc.markers[key]
+        if spec in MarkerStyle.markers:
+            return spec
+        if spec == "none":
+            return None
+        return next(itermarkers)
+
+
 def aux_axes(xfunc=None, yfunc=None, ax0=None, xfunc_args=None, yfunc_args=None):
-    """Twin axes that are transformations of the existing axes (reference
-    lightcurve.py:691-735)."""
-    if xfunc_args is None:
-        xfunc_args = {}
-    if yfunc_args is None:
-        yfunc_args = {}
-    if not ax0:
-        ax0 = plt.gca()
-    lims = np.array(ax0.axis())
+    """Twin axes whose limits are transformations of the base axes
+    (behavioral spec: reference lightcurve.py:691-735)."""
+    ax0 = ax0 or plt.gca()
+    left, right_lim, bottom, top_lim = ax0.axis()
+    top = ax0
+    right = None
     if xfunc is not None:
         ax0.xaxis.tick_bottom()
-        lims[:2] = xfunc(lims[:2], **xfunc_args)
+        left, right_lim = xfunc(np.array([left, right_lim]), **(xfunc_args or {}))
         top = ax0.twiny()
-        top.axis(lims)
-    else:
-        top = ax0
+        top.axis((left, right_lim, bottom, top_lim))
     if yfunc is not None:
         ax0.yaxis.tick_left()
-        lims[2:] = yfunc(lims[2:], **yfunc_args)
+        bottom, top_lim = yfunc(np.array([bottom, top_lim]), **(yfunc_args or {}))
         right = top.twinx()
-        right.axis(lims)
-    else:
-        right = None
+        right.axis((left, right_lim, bottom, top_lim))
     plt.sca(ax0)
     return top, right
 
 
+# loc='above*' aliases -> (matplotlib loc, bbox anchor x)
+_ABOVE_LOCS = {"above": ("lower center", 0.5),
+               "above left": ("lower left", 0.0),
+               "above right": ("lower right", 1.0)}
+
+
 def custom_legend(ax, handles, labels, top_axis=True, **kwargs):
     """Legend supporting loc='above'/'above left'/'above right'
-    (reference lightcurve.py:738-783)."""
+    (behavioral spec: reference lightcurve.py:738-783)."""
     loc = kwargs.pop("loc", None)
     bbox_to_anchor = kwargs.pop("bbox_to_anchor", None)
-    top_of_axis = 1.15 if top_axis else 1.0
     if loc is None or loc.lower() == "none":
         return
-    elif loc == "above":
-        loc = "lower center"
-        bbox_to_anchor = (0.5, top_of_axis)
-    elif loc == "above left":
-        loc = "lower left"
-        bbox_to_anchor = (0.0, top_of_axis)
-    elif loc == "above right":
-        loc = "lower right"
-        bbox_to_anchor = (1.0, top_of_axis)
-    if "ncol" in kwargs and len(handles) % kwargs["ncol"]:
-        i = len(handles) // kwargs["ncol"]
+    if loc in _ABOVE_LOCS:
+        loc, anchor_x = _ABOVE_LOCS[loc]
+        bbox_to_anchor = (anchor_x, 1.15 if top_axis else 1.0)
+    ncol = kwargs.get("ncol")
+    if ncol and len(handles) % ncol:
+        # pad with a blank entry so columns stay aligned
+        i = len(handles) // ncol
         handles.insert(i, plt.Line2D([], [], ls="none"))
         labels.insert(i, "")
     lgd = ax.legend(handles, labels, loc=loc, bbox_to_anchor=bbox_to_anchor, **kwargs)
@@ -617,106 +706,164 @@ def custom_legend(ax, handles, labels, top_axis=True, **kwargs):
 
 
 def filter_legend(filts, offset_factor=1.0):
-    """Dummy artists + labels for the filter legend (reference
+    """Dummy artists + labels for the filter legend; sets arrange into a
+    system-by-offset grid first (behavioral spec: reference
     lightcurve.py:786-828)."""
-    lines = []
-    labels = []
     if isinstance(filts, set):
         filts = filtsetup(filts)
     elif isinstance(filts[0], str) or (isinstance(filts[0], list) and isinstance(filts[0][0], str)):
         filts = np.vectorize(filtdict.get)(filts)
     filts = np.asarray(filts, dtype=object)
+
+    lines = []
+    labels = []
     for filt in filts.flatten():
         if filt is None:
             labels.append("")
             lines.append(Patch(color="none", ec="none"))
+            continue
+        off = filt.offset * offset_factor
+        if not filt.italics:
+            labels.append(filt.name)
+        elif offset_factor:
+            labels.append("${}{:+g}$".format(filt.name, -off))
         else:
-            col = filt.color
-            ec = filt.mec
-            off = filt.offset * offset_factor
-            if not filt.italics:
-                labels.append(filt.name)
-            elif offset_factor:
-                labels.append("${}{:+g}$".format(filt.name, -off))
-            else:
-                labels.append("${}$".format(filt.name))
-            lines.append(Patch(fc=col, ec=ec))
+            labels.append("${}$".format(filt.name))
+        lines.append(Patch(fc=filt.color, ec=filt.mec))
     return lines, labels, filts.shape[0]
 
 
 def filtsetup(filts):
-    """Arrange filters in a legend grid by system (columns) and offset (rows)
-    (reference lightcurve.py:831-875)."""
-    sysrows = dict()
+    """Arrange filters in a legend grid: photometric systems pack into rows
+    (first-fit on disjoint offset sets) and offsets order the columns
+    descending, duplicating a column when two systems collide on one offset
+    (behavioral spec: reference lightcurve.py:831-875)."""
+    # offsets used by each system, then first-fit systems into rows
+    offsets_of = {}
     for filt in filts:
-        if filt.system in sysrows:
-            sysrows[filt.system].add(filt.offset)
-        else:
-            sysrows[filt.system] = {filt.offset}
-    syscols = dict()
-    rowcols = []
-    for sys in list(sysrows.keys()):
-        for i, rows in enumerate(rowcols):
-            if not rows & sysrows[sys]:
-                syscols[sys] = i
-                rows |= sysrows[sys]
-                break
-        else:
-            syscols[sys] = len(rowcols)
-            rowcols.append(sysrows[sys])
-    offs = sorted({filt.offset for filt in filts}, reverse=True)
-    lgnd = np.tile(None, (len(rowcols), len(offs)))
+        offsets_of.setdefault(filt.system, set()).add(filt.offset)
+    row_of = {}
+    row_contents = []
+    for system, used in offsets_of.items():
+        slot = next((i for i, taken in enumerate(row_contents) if not taken & used), None)
+        if slot is None:
+            slot = len(row_contents)
+            row_contents.append(set())
+        row_contents[slot] |= used
+        row_of[system] = slot
+
+    # columns: offsets descending; collisions insert a duplicate column
+    columns = sorted({filt.offset for filt in filts}, reverse=True)
+    grid = np.tile(None, (len(row_contents), len(columns)))
     for filt in filts:
-        if lgnd[syscols[filt.system], offs.index(filt.offset)] is None:
-            lgnd[syscols[filt.system], offs.index(filt.offset)] = filt
+        r, c = row_of[filt.system], columns.index(filt.offset)
+        if grid[r, c] is None:
+            grid[r, c] = filt
         else:
-            offind = offs.index(filt.offset) + 1
-            offs.insert(offind, filt.offset)
-            newrow = np.tile(None, lgnd.shape[0])
-            newrow[syscols[filt.system]] = filt
-            lgnd = np.insert(lgnd, offind, newrow, 1)
-    while lgnd[0, 0] is None:
-        lgnd = np.roll(lgnd, 1, axis=0)
-    return lgnd
+            c += 1
+            columns.insert(c, filt.offset)
+            extra = np.tile(None, grid.shape[0])
+            extra[r] = filt
+            grid = np.insert(grid, c, extra, 1)
+    while grid[0, 0] is None:
+        grid = np.roll(grid, 1, axis=0)
+    return grid
+
+
+# --------------------------------------------------------------------------
+# magnitude <-> flux conversion kernels
+# --------------------------------------------------------------------------
+
+_LN10_OVER_2P5 = np.log(10.0) / 2.5  # d(ln flux) per magnitude
+
+
+def _as_float_masked(a):
+    """Coerce to a float masked array (scalar inputs stay 0-d)."""
+    if np.ndim(a):
+        return np.ma.MaskedArray(a).astype(float)
+    return np.float64(a)
 
 
 def flux2mag(flux, dflux=np.array(np.nan), zp=0.0, nondet=None, nondetSigmas=3.0):
-    """Flux -> magnitude; nondetections become limiting magnitudes
-    (reference lightcurve.py:878-909)."""
-    flux = np.ma.MaskedArray(flux).astype(float).copy() if np.ndim(flux) else np.float64(flux)
-    dflux = np.ma.MaskedArray(dflux).astype(float).copy() if np.ndim(dflux) else np.float64(dflux)
+    """Flux -> magnitude; nondetections become N-sigma limiting magnitudes
+    with undefined uncertainty (behavioral spec: reference
+    lightcurve.py:878-909)."""
+    flux = _as_float_masked(flux)
+    dflux = _as_float_masked(dflux)
     if nondet is not None and np.ndim(flux):
-        nd = np.ma.filled(np.ma.MaskedArray(nondet), False).astype(bool)
-        flux[nd] = nondetSigmas * dflux[nd]
-        dflux[nd] = np.nan
+        limits = np.ma.filled(np.ma.MaskedArray(nondet), False).astype(bool)
+        flux = np.ma.where(limits, nondetSigmas * dflux, flux)
+        dflux = np.ma.where(limits, np.nan, dflux)
     fdata = np.ma.filled(np.ma.MaskedArray(flux), np.nan)
+    positive = fdata > 0.0
     with np.errstate(divide="ignore", invalid="ignore"):
-        mag = np.where(fdata > 0.0, -2.5 * np.log10(np.where(fdata > 0, fdata, 1.0)), -np.inf) + zp
-        dmag = 2.5 * np.asarray(dflux) / (fdata * np.log(10))
+        mag = np.where(positive, -2.5 * np.log10(np.where(positive, fdata, 1.0)), -np.inf) + zp
+        dmag = np.asarray(dflux) / (fdata * _LN10_OVER_2P5)
     return mag, dmag
 
 
 def mag2flux(mag, dmag=np.nan, zp=0.0, nondet=None, nondetSigmas=3.0):
-    """Magnitude -> flux; nondetections imply zero flux with dflux = flux/Nsigma
-    (reference lightcurve.py:912-941)."""
+    """Magnitude -> flux; nondetections imply zero flux with
+    dflux = limit flux / N sigma (behavioral spec: reference
+    lightcurve.py:912-941)."""
     mag_arr = np.ma.filled(np.ma.MaskedArray(mag).astype(float), np.nan)
     dmag_arr = np.ma.filled(np.ma.MaskedArray(dmag).astype(float), np.nan)
-    flux = 10 ** ((np.asarray(zp) - mag_arr) / 2.5)
-    dflux = np.log(10) / 2.5 * flux * dmag_arr
-    if nondet is not None:
-        nd = np.ma.filled(np.ma.MaskedArray(nondet), False).astype(bool)
-        if np.ndim(flux):
-            dflux[nd] = flux[nd] / nondetSigmas
-            flux[nd] = 0
+    flux = 10.0 ** ((np.asarray(zp) - mag_arr) / 2.5)
+    dflux = flux * dmag_arr * _LN10_OVER_2P5
+    if nondet is not None and np.ndim(flux):
+        limits = np.ma.filled(np.ma.MaskedArray(nondet), False).astype(bool)
+        dflux = np.where(limits, flux / nondetSigmas, dflux)
+        flux = np.where(limits, 0.0, flux)
     return flux, dflux
 
 
+# --------------------------------------------------------------------------
+# greedy inverse-variance binning
+# --------------------------------------------------------------------------
+
+# error-bar values treated as "no uncertainty available"
+_SENTINEL_DFLUX = (0.0, 999.0, 9999.0, -1.0)
+
+
+def _seeded_groups(time, delta):
+    """Greedy seed grouping: walk points in order; each not-yet-grouped point
+    seeds a bin collecting every remaining point within ``delta`` of it.
+    Yields index arrays in seed order (equivalent to the reference's
+    repeated pop-the-front loop, lightcurve.py:944-1000)."""
+    n = len(time)
+    label = np.full(n, -1)
+    groups = []
+    for i in range(n):
+        if label[i] >= 0:
+            continue
+        members = np.flatnonzero((label < 0) & np.asarray(np.abs(time - time[i]) <= delta))
+        label[members] = len(groups)
+        groups.append(members)
+    return groups
+
+
+def _merge_bin(time, flux, dflux, include_zero):
+    """Combine one bin: inverse-variance mean, or a plain mean with zero
+    error when any member lacks an error bar and include_zero is set."""
+    no_error = np.isin(np.ma.filled(dflux, np.nan), _SENTINEL_DFLUX) \
+        | np.isnan(np.ma.filled(dflux, np.nan))
+    no_error = np.ma.filled(no_error, True) | np.ma.getmaskarray(dflux)
+
+    if no_error.any() and include_zero:
+        return np.mean(time), np.mean(flux), 0.0
+    good = ~no_error
+    weights = np.ma.filled(dflux[good], np.inf) ** -2
+    wsum = weights.sum()
+    return np.mean(time[good]), float(np.sum(flux[good] * weights) / wsum), float(wsum ** -0.5)
+
+
 def binflux(time, flux, dflux, delta=0.2, include_zero=True):
-    """Greedy inverse-variance binning (reference lightcurve.py:944-1000),
-    including the zero/masked error-bar handling at lines 972-988.
+    """Greedy inverse-variance binning (behavioral spec: reference
+    lightcurve.py:944-1000, including the zero/masked error-bar handling at
+    lines 972-988).
 
     Dispatches to the native C++ kernel (utils/native) when available; the
-    numpy loop below is the reference fallback and the semantic spec."""
+    numpy path below is the semantic spec and the fallback."""
     time = np.ma.MaskedArray(time).astype(float)
     flux = np.ma.MaskedArray(flux).astype(float)
     dflux = np.ma.MaskedArray(dflux).astype(float)
@@ -724,40 +871,15 @@ def binflux(time, flux, dflux, delta=0.2, include_zero=True):
     if not (np.ma.getmaskarray(time).any() or np.ma.getmaskarray(flux).any()):
         from .utils import native
         d = np.ma.filled(dflux, np.nan)
-        bad = ((d == 0) | (d == 999) | (d == 9999) | (d == -1) | np.isnan(d)
-               | np.ma.getmaskarray(dflux))
+        bad = np.isin(d, _SENTINEL_DFLUX) | np.isnan(d) | np.ma.getmaskarray(dflux)
         result = native.binflux_native(np.ma.getdata(time), np.ma.getdata(flux),
                                        np.where(bad, 1.0, d), bad, delta, include_zero)
         if result is not None:
             return result
-    bin_time = []
-    bin_flux = []
-    bin_dflux = []
-    while len(flux) > 0:
-        grp = np.asarray(abs(time - time[0]) <= delta)
-        time_grp = time[grp]
-        flux_grp = flux[grp]
-        dflux_grp = dflux[grp]
 
-        zeros = ((dflux_grp == 0) | (dflux_grp == 999) | (dflux_grp == 9999)
-                 | (dflux_grp == -1) | np.isnan(np.ma.filled(dflux_grp, np.nan)))
-        zeros = np.ma.filled(zeros, True) | np.ma.getmaskarray(dflux_grp)
-
-        if zeros.any() and include_zero:
-            x = np.mean(time_grp)
-            y = np.mean(flux_grp)
-            z = 0.0
-        else:
-            time_grp = time_grp[~zeros]
-            flux_grp = flux_grp[~zeros]
-            dflux_grp = dflux_grp[~zeros]
-            x = np.mean(time_grp)
-            y = np.sum(flux_grp * dflux_grp ** -2) / np.sum(dflux_grp ** -2)
-            z = np.sum(dflux_grp ** -2) ** -0.5
-        bin_time.append(x)
-        bin_flux.append(y)
-        bin_dflux.append(z)
-        time = time[~grp]
-        flux = flux[~grp]
-        dflux = dflux[~grp]
-    return np.array(bin_time), np.array(bin_flux), np.array(bin_dflux)
+    bins = [_merge_bin(time[idx], flux[idx], dflux[idx], include_zero)
+            for idx in _seeded_groups(time, delta)]
+    if not bins:
+        return np.array([]), np.array([]), np.array([])
+    out_t, out_f, out_df = zip(*bins)
+    return np.array(out_t), np.array(out_f), np.array(out_df)

@@ -19,7 +19,97 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 
-__all__ = ["HMCSampler"]
+__all__ = ["HMCSampler", "BoundsTransform", "WhitenedPosterior"]
+
+
+class BoundsTransform:
+    """Bijection between a box-constrained parameter space and R^n, Stan-style:
+    two-sided bounds map through a scaled sigmoid, one-sided through exp,
+    unbounded through identity. Removes hard -inf prior cliffs (which force
+    the dual-averaged step size toward zero when posterior mass piles against
+    a bound) and contributes the log-Jacobian so the transformed density is
+    the correct pushforward.
+
+    Masks are static (numpy) so the jax forms stay jit-friendly; unused
+    branches are evaluated on sanitized values (double-where) to keep
+    gradients NaN-free.
+    """
+
+    def __init__(self, lower, upper):
+        lower = np.asarray(lower, float)
+        upper = np.asarray(upper, float)
+        self.lower = lower
+        self.upper = upper
+        self.two_sided = np.isfinite(lower) & np.isfinite(upper)
+        self.lower_only = np.isfinite(lower) & ~np.isfinite(upper)
+        self.upper_only = ~np.isfinite(lower) & np.isfinite(upper)
+        self.one_sided = self.lower_only | self.upper_only
+        # sanitized bounds for the unused branches
+        self._lo2 = np.where(self.two_sided, lower, 0.0)
+        self._hi2 = np.where(self.two_sided, upper, 1.0)
+        self._width = self._hi2 - self._lo2
+        self._lo1 = np.where(self.lower_only, lower, 0.0)
+        self._hi1 = np.where(self.upper_only, upper, 0.0)
+
+    def to_bounded(self, u):
+        """u in R^n -> x in the box (jax)."""
+        s = jax.nn.sigmoid(jnp.where(self.two_sided, u, 0.0))
+        e = jnp.exp(jnp.where(self.one_sided, u, 0.0))
+        x2 = self._lo2 + self._width * s
+        x_lo = self._lo1 + e
+        x_hi = self._hi1 - e
+        x = jnp.where(self.two_sided, x2,
+                      jnp.where(self.lower_only, x_lo,
+                                jnp.where(self.upper_only, x_hi, u)))
+        return x
+
+    def log_jacobian(self, u):
+        """log |dx/du| summed over parameters (jax)."""
+        u2 = jnp.where(self.two_sided, u, 0.0)
+        s = jax.nn.sigmoid(u2)
+        two = jnp.log(jnp.where(self.two_sided, self._width, 1.0)) \
+            + jnp.where(self.two_sided, jnp.log(s) + jnp.log1p(-s), 0.0)
+        one = jnp.where(self.one_sided, u, 0.0)
+        return jnp.sum(two + one)
+
+    def to_unbounded(self, x, eps=1e-6):
+        """x (host numpy, any leading shape) -> u; values at/beyond a bound are
+        clipped ``eps`` inside so the logit stays finite."""
+        x = np.asarray(x, float)
+        p = np.clip((x - self._lo2) / self._width, eps, 1.0 - eps)
+        u2 = np.log(p) - np.log1p(-p)
+        gap_lo = np.maximum(x - self._lo1, eps)
+        gap_hi = np.maximum(self._hi1 - x, eps)
+        return np.where(self.two_sided, u2,
+                        np.where(self.lower_only, np.log(gap_lo),
+                                 np.where(self.upper_only, np.log(gap_hi), x)))
+
+
+class WhitenedPosterior:
+    """Affine reparametrization u = mu + L w of a (transformed) posterior,
+    with L the Cholesky factor of a sample covariance estimate. Aligns HMC's
+    diagonal unit mass with the posterior's correlation structure (ridge
+    geometry), which a per-parameter mass matrix cannot."""
+
+    def __init__(self, samples, jitter=1e-9):
+        samples = np.atleast_2d(np.asarray(samples, float))
+        self.mean = samples.mean(axis=0)
+        cov = np.atleast_2d(np.cov(samples.T))
+        scale = np.trace(cov) / cov.shape[0]
+        self.L = np.linalg.cholesky(cov + jitter * scale * np.eye(cov.shape[0]))
+        self._Lj = jnp.asarray(self.L)
+        self._muj = jnp.asarray(self.mean)
+
+    def to_u(self, w):
+        return self._muj + self._Lj @ w
+
+    def to_w(self, u):
+        """host-side inverse for initializing chains"""
+        return np.linalg.solve(self.L, (np.asarray(u, float) - self.mean).T).T
+
+    def u_from_w_chain(self, w_chain):
+        """map a (..., ndim) array of whitened samples back (host numpy)"""
+        return self.mean + np.asarray(w_chain) @ self.L.T
 
 
 class HMCSampler:
@@ -59,22 +149,25 @@ class HMCSampler:
     def _transition(self, x, logp, key, eps, inv_mass):
         """One HMC transition for a single chain (vmapped by the caller)."""
         k_mom, k_acc, k_jit = jr.split(key, 3)
-        # jitter the path length 50-100% to avoid resonances
         p0 = jr.normal(k_mom, (self.ndim,)) / jnp.sqrt(inv_mass)
+        # jitter the path length 50-100% to avoid resonances; steps beyond the
+        # drawn length are masked to identity (static shapes under jit)
+        n_used = jr.randint(k_jit, (), (self.n_leapfrog + 1) // 2, self.n_leapfrog + 1)
 
-        def leapfrog(carry, _):
+        def leapfrog(carry, i):
             q, p = carry
             _, g = self._logp_and_grad(q)
             g = jnp.where(jnp.isfinite(g), g, 0.0)
-            p = p + 0.5 * eps * g
-            q = q + eps * inv_mass * p
-            _, g2 = self._logp_and_grad(q)
+            p2 = p + 0.5 * eps * g
+            q2 = q + eps * inv_mass * p2
+            _, g2 = self._logp_and_grad(q2)
             g2 = jnp.where(jnp.isfinite(g2), g2, 0.0)
-            p = p + 0.5 * eps * g2
-            return (q, p), ()
+            p2 = p2 + 0.5 * eps * g2
+            active = i < n_used
+            return (jnp.where(active, q2, q), jnp.where(active, p2, p)), ()
 
-        n_steps = self.n_leapfrog
-        (q_new, p_new), _ = jax.lax.scan(leapfrog, (x, p0), None, length=n_steps)
+        (q_new, p_new), _ = jax.lax.scan(leapfrog, (x, p0),
+                                         jnp.arange(self.n_leapfrog))
         logp_new = self._log_prob_fn(q_new)
         h0 = logp - 0.5 * jnp.sum(p0 * p0 * inv_mass)
         h1 = logp_new - 0.5 * jnp.sum(p_new * p_new * inv_mass)

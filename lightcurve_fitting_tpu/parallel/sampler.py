@@ -104,10 +104,18 @@ class EnsembleSampler:
     """
 
     def __init__(self, nwalkers, ndim, log_prob_fn, a=2.0, seed=None, dtype=jnp.float64,
-                 store_dtype=None):
+                 store_dtype=None, replicas=1):
         """``store_dtype`` (e.g. np.float32) downcasts the *stored* chain
         history — halves host-transfer and memory for long production runs
-        (walker state and proposals stay float64)."""
+        (walker state and proposals stay float64).
+
+        ``replicas`` runs that many *independent* ensembles of ``nwalkers``
+        walkers inside one vmapped scan. On TPU the per-scan-iteration
+        dispatch floor (~0.1 ms through the tunnel) dominates small
+        ensembles, so batching R replicas recovers the large-batch
+        throughput at reference-default walker counts; chains are pooled in
+        ``flatchain`` (independent ensembles sample the same posterior).
+        The effective walker count is ``nwalkers * replicas``."""
         if nwalkers % 2:
             raise ValueError("nwalkers must be even")
         self._store_dtype = store_dtype
@@ -119,6 +127,9 @@ class EnsembleSampler:
         self.nwalkers = int(nwalkers)
         self.ndim = int(ndim)
         self.a = float(a)
+        self.replicas = int(replicas)
+        if self.replicas < 1:
+            raise ValueError("replicas must be >= 1")
         self._half = self.nwalkers // 2
         self._dtype = dtype
         if seed is None:
@@ -128,17 +139,22 @@ class EnsembleSampler:
         self._run_jit = {}
         self.reset()
 
+    @property
+    def total_walkers(self):
+        """Walkers across all replicas (= nwalkers when replicas == 1)."""
+        return self.nwalkers * self.replicas
+
     # ------------------------------------------------------------------ state
     def reset(self):
-        self._chain = np.empty((0, self.nwalkers, self.ndim))   # (nsteps, nwalkers, ndim)
-        self._logp = np.empty((0, self.nwalkers))
-        self._accepted = np.zeros(self.nwalkers)
+        self._chain = np.empty((0, self.total_walkers, self.ndim))  # (nsteps, walkers, ndim)
+        self._logp = np.empty((0, self.total_walkers))
+        self._accepted = np.zeros(self.total_walkers)
         self._nsteps_total = 0
 
     def _compiled_run(self, nsteps, thin_by):
         key = (nsteps, thin_by)
         if key not in self._run_jit:
-            step = self._step
+            step = jax.vmap(self._step) if self.replicas > 1 else self._step
 
             def run(x, logp, keys):
                 def thinned_step(carry, key_block):
@@ -157,6 +173,11 @@ class EnsembleSampler:
             self._run_jit[key] = jax.jit(run)
         return self._run_jit[key]
 
+    def _state_shape(self):
+        """Device-side walker state layout (replica axis only when used)."""
+        core = (2, self._half, self.ndim)
+        return (self.replicas,) + core if self.replicas > 1 else core
+
     # -------------------------------------------------------------- main API
     def run_mcmc(self, initial_state, nsteps, progress=False, progress_kwargs=None,
                  skip_initial_state_check=False, thin_by=1, **kwargs):
@@ -173,10 +194,11 @@ class EnsembleSampler:
             logp = self._logp_internal
         else:
             pos = np.ascontiguousarray(np.asarray(initial_state, float))
-            if pos.shape != (self.nwalkers, self.ndim):
-                raise ValueError(f"initial_state must have shape {(self.nwalkers, self.ndim)}")
-            x = jnp.asarray(pos.reshape(2, self._half, self.ndim), dtype=self._dtype)
-            logp = self.batched_logp(x.reshape(-1, self.ndim)).reshape(2, self._half)
+            if pos.shape != (self.total_walkers, self.ndim):
+                raise ValueError(f"initial_state must have shape {(self.total_walkers, self.ndim)}")
+            shape = self._state_shape()
+            x = jnp.asarray(pos.reshape(shape), dtype=self._dtype)
+            logp = self.batched_logp(x.reshape(-1, self.ndim)).reshape(shape[:-1])
             if not skip_initial_state_check and not bool(jnp.all(jnp.isfinite(logp))):
                 bad = int(jnp.sum(~jnp.isfinite(logp)))
                 raise ValueError(f"{bad} walkers have non-finite initial log-probability")
@@ -190,7 +212,7 @@ class EnsembleSampler:
         else:
             segments = [nsteps]
             if progress:
-                print(f"{desc}: {nsteps} steps x {self.nwalkers} walkers "
+                print(f"{desc}: {nsteps} steps x {self.total_walkers} walkers "
                       f"(single compiled scan)")
 
         done = 0
@@ -203,12 +225,14 @@ class EnsembleSampler:
 
         self._pos_internal = x
         self._logp_internal = logp
-        pos = np.asarray(x).reshape(self.nwalkers, self.ndim)
-        return pos, np.asarray(logp).reshape(self.nwalkers), None
+        pos = np.asarray(x).reshape(self.total_walkers, self.ndim)
+        return pos, np.asarray(logp).reshape(self.total_walkers), None
 
     def _run_segment(self, x, logp, nsteps, thin_by):
         self._key, subkey = jr.split(self._key)
-        keys = jr.split(subkey, nsteps * thin_by)
+        keys = jr.split(subkey, nsteps * thin_by * self.replicas)
+        if self.replicas > 1:
+            keys = keys.reshape((nsteps * thin_by, self.replicas) + keys.shape[1:])
         run = self._compiled_run(nsteps, thin_by)
         x, logp, xs, logps, accepts = run(x, logp, keys)
 
@@ -216,14 +240,14 @@ class EnsembleSampler:
         if self._store_dtype is not None:
             xs = xs.astype(self._store_dtype)
             logps = logps.astype(self._store_dtype)
-        xs = np.asarray(xs)                      # (nsteps, 2, half, ndim)
+        xs = np.asarray(xs)                      # (nsteps, [R,] 2, half, ndim)
         logps_np = np.asarray(logps)
         accepts = np.asarray(accepts)
-        chain_block = xs.reshape(nsteps, self.nwalkers, self.ndim)
-        logp_block = logps_np.reshape(nsteps, self.nwalkers)
+        chain_block = xs.reshape(nsteps, self.total_walkers, self.ndim)
+        logp_block = logps_np.reshape(nsteps, self.total_walkers)
         self._chain = np.concatenate([self._chain, chain_block])
         self._logp = np.concatenate([self._logp, logp_block])
-        self._accepted += accepts.reshape(nsteps, self.nwalkers).sum(0)
+        self._accepted += accepts.reshape(nsteps, self.total_walkers).sum(0)
         self._nsteps_total += nsteps * thin_by
         return x, logp
 
@@ -242,6 +266,7 @@ class EnsembleSampler:
             "nwalkers": self.nwalkers,
             "ndim": self.ndim,
             "a": self.a,
+            "replicas": self.replicas,
         }
         if include_chain:
             state["chain"] = self._chain
@@ -256,6 +281,9 @@ class EnsembleSampler:
             raise ValueError("checkpoint shape mismatch: "
                              f"{int(data['nwalkers'])}x{int(data['ndim'])} vs "
                              f"{self.nwalkers}x{self.ndim}")
+        if "replicas" in data and int(data["replicas"]) != self.replicas:
+            raise ValueError(f"checkpoint replicas mismatch: {int(data['replicas'])} "
+                             f"vs {self.replicas}")
         self._pos_internal = jnp.asarray(data["pos"])
         self._logp_internal = jnp.asarray(data["logp"])
         self._key = jr.wrap_key_data(jnp.asarray(data["key"]))
