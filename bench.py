@@ -2,10 +2,13 @@
 """Headline benchmark: log-likelihood evaluations/second on one chip.
 
 Workload: the reference's flagship fit — ShockCooling2 on the SN 2016bkv early
-light curve (61 photometry points, 7 bands, exact native-grid band quadrature) —
+light curve (149 photometry points, 9 bands, Chebyshev band-integral tables) —
 run as the framework's production configuration: jit-compiled stretch-move
-ensemble MCMC, 1024 walkers, whole chain in one lax.scan, float32 hot path with
-float64 time/parameter arithmetic.
+ensemble MCMC, whole chain in one lax.scan, float32 hot path with float64
+time/parameter arithmetic. Headline at 32768 walkers; the reference-default
+scale (1024 walkers) is also measured replica-batched (32 independent
+ensembles in one vmapped scan), which is how lightcurve_mcmc(replicas=...)
+runs small fits on TPU.
 
 Baseline: the reference performs these evaluations serially in Python
 (~2e5 evals for a default fit; no published throughput numbers — BASELINE.md).
@@ -36,31 +39,38 @@ def main():
     import jax.random as jr
     logpost, _ = _build_logposterior()
 
-    def measure(nwalkers, nsteps, repeats=2):
-        sampler = EnsembleSampler(nwalkers, 4, logpost, seed=0)
+    def measure(nwalkers, nsteps, repeats=2, replicas=1):
+        sampler = EnsembleSampler(nwalkers, 4, logpost, seed=0, replicas=replicas)
         rng = np.random.default_rng(0)
         p0 = rng.uniform([20.0, 2.0, 20.0, 57468.5], [50.0, 5.0, 50.0, 57468.7],
-                         size=(nwalkers, 4))
-        x = jnp.asarray(p0.reshape(2, nwalkers // 2, 4))
-        logp = sampler.batched_logp(x.reshape(-1, 4)).reshape(2, nwalkers // 2)
+                         size=(sampler.total_walkers, 4))
+        shape = sampler._state_shape()
+        x = jnp.asarray(p0.reshape(shape))
+        logp = sampler.batched_logp(x.reshape(-1, 4)).reshape(shape[:-1])
         run = sampler._compiled_run(nsteps, 1)
-        keys = jr.split(jr.PRNGKey(1), nsteps)
-        out = run(x, logp, keys)  # warmup (compile + one full run)
+
+        def step_keys(seed):
+            keys = jr.split(jr.PRNGKey(seed), nsteps * replicas)
+            return keys.reshape((nsteps, replicas) + keys.shape[1:]) if replicas > 1 else keys
+
+        out = run(x, logp, step_keys(1))  # warmup (compile + one full run)
         jax.block_until_ready(out)
         times = []
         for i in range(repeats):
-            keys_i = jr.split(jr.PRNGKey(2 + i), nsteps)
             t0 = time.perf_counter()
-            out = run(x, logp, keys_i)
+            out = run(x, logp, step_keys(2 + i))
             jax.block_until_ready(out)
             times.append(time.perf_counter() - t0)
         elapsed = min(times)
-        return nwalkers * nsteps / elapsed, elapsed, float(np.asarray(out[4]).mean())
+        return (sampler.total_walkers * nsteps / elapsed, elapsed,
+                float(np.asarray(out[4]).mean()))
 
     # headline: population-scale ensemble (32 transients' worth of walkers in
-    # one chain kernel); secondary: the reference-default-scale single fit
+    # one chain kernel); secondary: the reference-default-scale fit, both as a
+    # lone ensemble and replica-batched (the production small-fit path)
     value, elapsed, accept = measure(32768, 300)
-    value_1k, elapsed_1k, _ = measure(1024, 300)
+    value_1k, elapsed_1k, _ = measure(1024, 300, replicas=32)
+    value_1k_single, _, _ = measure(1024, 300)
 
     baseline = 1e7  # north-star target (BASELINE.json)
     result = {
@@ -77,6 +87,8 @@ def main():
             "elapsed_s": elapsed,
             "acceptance_check": accept,
             "evals_per_sec_at_1024_walkers": float(value_1k),
+            "evals_at_1024_walkers_replicas": 32,
+            "evals_per_sec_at_1024_walkers_single_ensemble": float(value_1k_single),
             "device": str(jax.devices()[0]),
         },
     }

@@ -20,6 +20,7 @@ import os
 import warnings
 
 import numpy as np
+import jax
 import jax.numpy as jnp
 import matplotlib.pyplot as plt
 from scipy.optimize import curve_fit, OptimizeWarning
@@ -167,11 +168,18 @@ def spectrum_mcmc(spectrum, epoch1, priors, starting_guesses, z=0.0, ebv=0.0,
                                                 use_sigma, sigma_type)
         # verify the spectrum function traces (arbitrary Python callables may
         # not): eval_shape forces abstract tracing through the vmapped path
-        import jax
         jax.eval_shape(jax.vmap(log_posterior),
                        jnp.zeros((2, ndim), dtype=jnp.asarray(0.0).dtype))
         sampler = EnsembleSampler(nwalkers, ndim, log_posterior, seed=seed)
-    except Exception:
+    except (TypeError, jax.errors.TracerArrayConversionError,
+            jax.errors.ConcretizationTypeError) as exc:
+        # Only untraceable user spectrum functions drop to the slow host
+        # sampler; genuine bugs in the jax path must surface, not be
+        # swallowed (an earlier blanket `except Exception` hid them).
+        import logging
+        logging.getLogger(__name__).info(
+            "spectrum function %r is not jax-traceable (%s); "
+            "falling back to the host sampler", getattr(spectrum, "__name__", spectrum), exc)
         # host fallback: numpy stretch move over Filter.synthesize, exactly the
         # reference's generic path (bolometric.py:154-164)
         from .parallel.host_sampler import HostEnsembleSampler
@@ -219,113 +227,128 @@ def spectrum_mcmc(spectrum, epoch1, priors, starting_guesses, z=0.0, ebv=0.0,
     return sampler
 
 
+def _style_sed_axes(ax, yscale):
+    """Frequency on top, luminosity on the right — the inset sits in the
+    corner plot's upper-right triangle, so labels face outward."""
+    ax.xaxis.tick_top()
+    ax.set_xlabel("Frequency (THz)")
+    ax.xaxis.set_label_position("top")
+    ax.yaxis.tick_right()
+    ax.set_ylabel(f"Luminosity $L_\\nu$ (10$^{{{np.log10(yscale):.0f}}}$ W Hz$^{{-1}}$)")
+    ax.yaxis.set_label_position("right")
+
+
+def _blank_axes(ax):
+    ax.set_frame_on(False)
+    ax.xaxis.set_major_locator(plt.NullLocator())
+    ax.yaxis.set_major_locator(plt.NullLocator())
+    ax.set_xlabel("")
+    ax.set_ylabel("")
+
+
+def _sed_inset_axes(fig, ndim, yscale):
+    """Allocate the SED inset inside a corner figure: the top-right pair-plot
+    cell alone for 1-D posteriors, else a rectangle spanning from mid-grid to
+    the top-right corner (its footprint computed from the existing cells)."""
+    grid = np.reshape(fig.get_axes(), (ndim, ndim))
+    anchor = grid[0, -1]
+    anchor.set_frame_on(True)
+    anchor.xaxis.set_major_locator(plt.AutoLocator())
+    anchor.yaxis.set_major_locator(plt.AutoLocator())
+    _style_sed_axes(anchor, yscale)
+    fig.tight_layout(h_pad=0.05, w_pad=0.05)
+    if ndim == 1:
+        return anchor
+
+    to_figure = fig.transFigure.inverted()
+    inner = grid[ndim // 2 - 1, (ndim + 1) // 2].bbox.transformed(to_figure)
+    outer = anchor.bbox.transformed(to_figure)
+    ax = fig.add_axes([inner.xmin, inner.ymin,
+                       outer.xmax - inner.xmin, outer.ymax - inner.ymin])
+    _style_sed_axes(ax, yscale)
+    _blank_axes(anchor)
+    return ax
+
+
 def spectrum_corner(spectrum, epoch1, sampler_flatchain, z=0.0, ebv=0.0,
                     spectrum_kwargs=None, use_sigma=False, labels=None, freq_min=100.0,
                     freq_max=1000.0, save_plot_as=""):
-    """Corner plot with an SED inset (reference bolometric.py:193-287)."""
+    """Corner plot with an SED inset showing the observed points and 100
+    posterior-draw spectra (behavioral spec: reference bolometric.py:193-287)."""
     from .utils.corner import corner as _corner
 
     ndim = sampler_flatchain.shape[-1]
-    if spectrum_kwargs is None:
-        spectrum_kwargs = {}
+    fig = _corner(sampler_flatchain, labels=labels)
 
-    f4 = _corner(sampler_flatchain, labels=labels)
-
-    ps = sampler_flatchain[np.random.choice(sampler_flatchain.shape[0], 100)].T
+    draws = sampler_flatchain[np.random.choice(sampler_flatchain.shape[0], 100)].T
+    params = draws[:-1] if use_sigma else draws
     filters = list(epoch1["filter"])
-    xmin = min(freq_min, max(filters).freq_eff.value)
-    xmax = max(freq_max, min(filters).freq_eff.value)
-    xfit = np.arange(xmin, xmax)
-    freq = xfit * (1.0 + z)
-    yfit = spectrum(freq, *ps[: -1 if use_sigma else None], **spectrum_kwargs) \
-        * extinction_law(freq, ebv)
+    observed = np.arange(min(freq_min, max(filters).freq_eff.value),
+                         max(freq_max, min(filters).freq_eff.value))
+    emitted = observed * (1.0 + z)
+    yfit = spectrum(emitted, *params, **(spectrum_kwargs or {})) \
+        * extinction_law(emitted, ebv)
     yscale = 10.0 ** np.floor(np.log10(yfit.max()))
 
-    all_axes = np.reshape(f4.get_axes(), (ndim, ndim))
-    top_right = all_axes[0, -1]
-    top_right.set_frame_on(True)
-    top_right.xaxis.set_major_locator(plt.AutoLocator())
-    top_right.xaxis.tick_top()
-    top_right.set_xlabel("Frequency (THz)")
-    top_right.xaxis.set_label_position("top")
-    top_right.yaxis.set_major_locator(plt.AutoLocator())
-    top_right.yaxis.tick_right()
-    top_right.set_ylabel(f"Luminosity $L_\\nu$ (10$^{{{np.log10(yscale):.0f}}}$ W Hz$^{{-1}}$)")
-    top_right.yaxis.set_label_position("right")
-    f4.tight_layout(h_pad=0.05, w_pad=0.05)
-
-    bottom_left = all_axes[ndim // 2 - 1, (ndim + 1) // 2] if ndim > 1 else top_right
-    if bottom_left is top_right:
-        ax = top_right
-    else:
-        bbox0 = bottom_left.bbox.transformed(f4.transFigure.inverted())
-        bbox1 = top_right.bbox.transformed(f4.transFigure.inverted())
-        ax = f4.add_axes([bbox0.xmin, bbox0.ymin, bbox1.xmax - bbox0.xmin,
-                          bbox1.ymax - bbox0.ymin])
-        ax.xaxis.tick_top()
-        ax.set_xlabel("Frequency (THz)")
-        ax.xaxis.set_label_position("top")
-        ax.yaxis.tick_right()
-        ax.set_ylabel(f"Luminosity $L_\\nu$ (10$^{{{np.log10(yscale):.0f}}}$ W Hz$^{{-1}}$)")
-        ax.yaxis.set_label_position("right")
-        top_right.set_frame_on(False)
-        top_right.xaxis.set_major_locator(plt.NullLocator())
-        top_right.set_xlabel("")
-        top_right.yaxis.set_major_locator(plt.NullLocator())
-        top_right.set_ylabel("")
-
+    ax = _sed_inset_axes(fig, ndim, yscale)
     for row in epoch1:
         ax.errorbar(row["freq"], row["lum"] / yscale, row["dlum"] / yscale, marker="o",
                     **row["filter"].plotstyle)
-    ax.plot(xfit, yfit.T / yscale, color="k", alpha=0.05)
+    ax.plot(observed, yfit.T / yscale, color="k", alpha=0.05)
 
     if save_plot_as:
-        f4.savefig(save_plot_as)
+        fig.savefig(save_plot_as)
         print("saving figure as " + save_plot_as)
+    return fig
 
-    return f4
+
+def _snap_to_grid(mjd, res):
+    """Round times onto a ``res``-day grid whose phase is chosen so the
+    typical observation lands mid-cell (keeps nightly cadences together even
+    when nights straddle integer MJDs)."""
+    scaled = np.asarray(mjd, float) / res
+    typical_frac = np.median(scaled - np.trunc(scaled))
+    return np.round(scaled - typical_frac + np.round(typical_frac)) * res
 
 
 def group_by_epoch(lc, res=1.0, also_group_by=()):
-    """Group photometry into epochs at resolution ``res`` days; a manual 'epoch'
-    column overrides (reference bolometric.py:383-416)."""
+    """Split photometry into single-SED epochs at resolution ``res`` days,
+    ordered by median MJD; rows with a manual 'epoch' value keep it
+    (behavioral spec: reference bolometric.py:383-416)."""
     epochs = lc.get("epoch").astype(float)
-    mask = np.ma.getmaskarray(epochs)
-    if mask.any():
-        x = np.asarray(lc["MJD"], float)[mask] / res
-        frac = np.median(x - np.trunc(x))
-        epochs[mask] = np.round(x - frac + np.round(frac)) * res
+    missing = np.ma.getmaskarray(epochs)
+    if missing.any():
+        epochs[missing] = _snap_to_grid(np.asarray(lc["MJD"], float)[missing], res)
     lc["epoch"] = np.ma.filled(epochs)
-    group_by = ["epoch"] + list(also_group_by)
     for col in also_group_by:
         if np.ma.is_masked(lc[col]):
             lc[col] = lc[col].filled()
-    grouped = lc.group_by(group_by)
-    mjdavg = [np.median(np.asarray(g["MJD"], float)) for g in grouped.groups]
-    groups = [grouped.groups[i] for i in np.argsort(mjdavg)]
-    return groups
+    grouped = lc.group_by(["epoch", *also_group_by])
+    order = np.argsort([np.median(np.asarray(g["MJD"], float)) for g in grouped.groups])
+    return [grouped.groups[i] for i in order]
 
 
 def stefan_boltzmann(temp, radius, dtemp=None, drad=None, covTR=None):
-    """L = 4 pi R^2 sigma T^4 (W; T in kK, R in kRsun) with optional linear
-    error propagation (reference bolometric.py:422-453)."""
-    lum = 4 * np.pi * np.asarray(radius) ** 2 * sigma_sb * np.asarray(temp) ** 4
+    """L = 4 pi R^2 sigma T^4 (W; T in kK, R in 1000 Rsun), optionally with
+    first-order error propagation through dL/dR = 2L/R and dL/dT = 4L/T
+    (behavioral spec: reference bolometric.py:422-453)."""
+    temp = np.asarray(temp)
+    radius = np.asarray(radius)
+    lum = 4.0 * np.pi * sigma_sb * radius ** 2 * temp ** 4
     if dtemp is None or drad is None or covTR is None:
         return lum
-    dlum = 8 * np.pi * sigma_sb * (radius ** 2 * temp ** 8 * drad ** 2
-                                   + 4 * radius ** 4 * temp ** 6 * dtemp ** 2
-                                   + 4 * radius ** 3 * temp ** 7 * covTR) ** 0.5
-    return lum, dlum
+    dl_dr = 2.0 * lum / radius
+    dl_dt = 4.0 * lum / temp
+    var = dl_dr ** 2 * drad ** 2 + dl_dt ** 2 * dtemp ** 2 + 2.0 * dl_dr * dl_dt * covTR
+    return lum, np.sqrt(var)
 
 
 def median_and_unc(x, perc_contained=68.0):
-    """Median and equal-tailed interval half-widths (reference
-    bolometric.py:456-480)."""
-    q = 50.0 + np.array([-perc_contained / 2.0, 0.0, perc_contained / 2.0])
-    percentiles = np.percentile(np.asarray(x, float), q, axis=0)
-    median = percentiles[1]
-    lower, upper = np.diff(percentiles, axis=0)
-    return median, lower, upper
+    """Median and the half-widths of the equal-tailed ``perc_contained``%
+    interval (behavioral spec: reference bolometric.py:456-480)."""
+    tail = (100.0 - perc_contained) / 2.0
+    lo, med, hi = np.percentile(np.asarray(x, float), [tail, 50.0, 100.0 - tail], axis=0)
+    return med, med - lo, hi - med
 
 
 def blackbody_lstsq(epoch1, z, p0=None, T_range=(1.0, 100.0), R_range=(0.01, 1000.0),
@@ -366,32 +389,28 @@ def integrate_sed(epoch1):
     return np.trapezoid(lums, freqs) * 1e12  # W/Hz * THz -> W
 
 
+def _one_color(epoch1, color):
+    """(value, uncertainty, lolim, uplim) for one color string like 'B-V'.
+    Missing bands give a fully-masked entry; two nondetections give an
+    unconstrained color; one nondetection becomes a one-sided limit."""
+    blue, red = (filtdict[name] for name in color.split("-"))
+    available = list(epoch1["filter"])
+    if blue not in available or red not in available:
+        return np.nan, np.nan, True, True
+    rows = {f: epoch1.where(filter=f)[["absmag", "dmag", "nondet"]][0]
+            for f in (blue, red)}
+    (m_b, dm_b, lim_b), (m_r, dm_r, lim_r) = rows[blue], rows[red]
+    value = np.nan if (lim_b and lim_r) else m_b - m_r
+    return value, np.hypot(dm_b, dm_r), bool(lim_b), bool(lim_r)
+
+
 def calc_colors(epoch1, colors):
-    """Colors from one epoch's SED (reference bolometric.py:560-605)."""
-    mags = []
-    dmags = []
-    lolims = []
-    uplims = []
-    for color in colors:
-        f0, f1 = [filtdict[f] for f in color.split("-")]
-        filters = list(epoch1["filter"])
-        if f0 in filters and f1 in filters:
-            m0, dm0, n0 = epoch1.where(filter=f0)[["absmag", "dmag", "nondet"]][0]
-            m1, dm1, n1 = epoch1.where(filter=f1)[["absmag", "dmag", "nondet"]][0]
-            if n0 and n1:
-                m0_m1 = np.nan
-            else:
-                m0_m1 = m0 - m1
-            dm0_m1 = (dm0 ** 2.0 + dm1 ** 2.0) ** 0.5
-            mags.append(m0_m1)
-            dmags.append(dm0_m1)
-            lolims.append(bool(n0))
-            uplims.append(bool(n1))
-        else:
-            mags.append(np.nan)
-            dmags.append(np.nan)
-            lolims.append(True)
-            uplims.append(True)
+    """Colors from one epoch's SED, with nondetection limit flags
+    (behavioral spec: reference bolometric.py:560-605)."""
+    results = [_one_color(epoch1, color) for color in colors]
+    if not results:
+        return [], [], [], []
+    mags, dmags, lolims, uplims = (list(col) for col in zip(*results))
     return mags, dmags, lolims, uplims
 
 
@@ -503,57 +522,101 @@ class _FlatchainSampler:
         self.flatchain = flatchain
 
 
-def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_steps=200,
-                         steps=100, priors=None, save_table_as=None, min_nfilt=3,
-                         cutoff_freq=np.inf, show=False, colors=None, do_mcmc=True,
-                         save_chains=False, use_sigma=False, sigma_type="relative",
-                         also_group_by=(), seed=None, save_corners=True,
-                         batch_mode=False):
-    """Full bolometric light curve from broadband photometry (reference
-    bolometric.py:648-832). Adds ``seed`` for reproducibility, ``save_corners``
-    to skip per-epoch corner PDFs, and ``batch_mode`` to run every multi-filter
-    epoch's MCMC concurrently in one jitted vmap on device (identical
-    statistics; starting guesses centered on the default p0 rather than the
-    previous epoch's curve_fit solution). Single-filter epochs always run
-    sequentially so the KDE temperature-prior chaining (reference :753-759)
-    is preserved."""
-    if z:
-        warnings.warn('The z keyword is deprecated. Include the redshift in `lc.meta["redshift"]` instead.')
-    z = lc.meta.get("redshift", z)
+# result-table schema (names and dtypes follow the reference's documented
+# output, bolometric.py:712-726); per-color and source columns are appended
+_SED_FIT_COLUMNS = (
+    ("MJD", float), ("dMJD0", float), ("dMJD1", float),
+    ("temp", float), ("radius", float), ("dtemp", float), ("dradius", float),
+    ("L_bol", float), ("dL_bol", float), ("L", float),
+    ("temp_mcmc", float), ("radius_mcmc", float),
+    ("dtemp_mcmc0", float), ("dtemp_mcmc1", float),
+    ("dradius_mcmc0", float), ("dradius_mcmc1", float),
+    ("L_bol_mcmc", float), ("dL_bol_mcmc0", float), ("dL_bol_mcmc1", float),
+    ("L_mcmc", float), ("dL_mcmc0", float), ("dL_mcmc1", float),
+    ("L_int", float), ("npoints", int),
+)
 
-    if colors is None:
-        colors = []
+_LSTSQ_FIELDS = ("temp", "radius", "dtemp", "dradius", "L_bol", "dL_bol", "L")
+_MCMC_FIELDS = ("temp_mcmc", "radius_mcmc", "dtemp_mcmc0", "dtemp_mcmc1",
+                "dradius_mcmc0", "dradius_mcmc1", "L_bol_mcmc", "dL_bol_mcmc0",
+                "dL_bol_mcmc1", "L_mcmc", "dL_mcmc0", "dL_mcmc1")
 
-    use_src = "source" in lc.colnames
-    t0 = LC(names=["MJD", "dMJD0", "dMJD1",
-                   "temp", "radius", "dtemp", "dradius",
-                   "L_bol", "dL_bol",
-                   "L",
-                   "temp_mcmc", "radius_mcmc", "dtemp_mcmc0", "dtemp_mcmc1",
-                   "dradius_mcmc0", "dradius_mcmc1",
-                   "L_bol_mcmc", "dL_bol_mcmc0", "dL_bol_mcmc1",
-                   "L_mcmc", "dL_mcmc0", "dL_mcmc1",
-                   "L_int",
-                   "npoints"]
-            + colors + ["d({})".format(c) for c in colors]
-            + ["lolims({})".format(c) for c in colors]
-            + ["uplims({})".format(c) for c in colors] + ["filts"]
-            + (["source"] if use_src else []),
-            dtype=[float] * 23 + [int]
-            + [float] * 2 * len(colors) + [bool] * 2 * len(colors) + ["S6"]
-            + ([object] if use_src else []),
-            masked=True)
 
-    if priors is None:
-        priors = [UniformPrior(1.0, 100.0), LogUniformPrior(0.01, 1000.0)]
-        if use_sigma:
-            priors.append(GaussianPrior(0.0, 10.0))
+def _result_table(colors, with_source):
+    names = [name for name, _ in _SED_FIT_COLUMNS]
+    dtypes = [dt for _, dt in _SED_FIT_COLUMNS]
+    for template, dt in ((("{}"), float), (("d({})"), float),
+                         (("lolims({})"), bool), (("uplims({})"), bool)):
+        names += [template.format(c) for c in colors]
+        dtypes += [dt] * len(colors)
+    names.append("filts")
+    dtypes.append("S6")
+    if with_source:
+        names.append("source")
+        dtypes.append(object)
+    return LC(names=names, dtype=dtypes, masked=True)
 
-    sampler = None
-    finite = np.isfinite(np.ma.filled(np.ma.MaskedArray(lc["dmag"]).astype(float), np.nan))
-    lc = lc[finite & np.ma.filled(np.ma.MaskedArray(lc["dmag"]) > 0.0, False)]
-    rng = np.random.default_rng(seed)
 
+def _missing(value):
+    """Mask rule for one result cell: NaN floats and empty strings are
+    masked; booleans never are."""
+    if isinstance(value, (bool, np.bool_, int, np.integer)):
+        return False
+    if isinstance(value, (str, bytes)):
+        return not value
+    try:
+        return bool(np.isnan(value))
+    except TypeError:
+        return not bool(value)
+
+
+def _append_record(t0, record):
+    values = [record[name] for name in t0.colnames]
+    t0.add_row(values, mask=[_missing(v) for v in values])
+
+
+def _lstsq_record(epoch1, z, p0, priors, cutoff_freq):
+    """Bounded least-squares stage; optimization failure degrades to masked
+    cells, not a crash (reference bolometric.py:767-771)."""
+    T_range = (priors[0].p_min, priors[0].p_max)
+    R_range = (priors[1].p_min, priors[1].p_max)
+    try:
+        fitted = blackbody_lstsq(epoch1, z, p0, T_range, R_range, cutoff_freq)
+        return dict(zip(_LSTSQ_FIELDS, fitted)), np.array(fitted[:2])
+    except RuntimeError:
+        return {field: np.nan for field in _LSTSQ_FIELDS}, p0
+
+
+def _mcmc_record(flatchain, z, cutoff_freq):
+    """Posterior summaries of the MCMC stage: T/R medians with asymmetric
+    errors, plus Stefan-Boltzmann and pseudobolometric luminosity sample
+    distributions (reference bolometric.py:786-798)."""
+    bol_samples = stefan_boltzmann(flatchain[:, 0], flatchain[:, 1])
+    opt_samples = pseudo(flatchain[:, 0], flatchain[:, 1], z, cutoff_freq=cutoff_freq)
+    (T, R), (dT0, dR0), (dT1, dR1) = median_and_unc(flatchain[:, :2])
+    L_bol, dL_bol0, dL_bol1 = median_and_unc(bol_samples)
+    L_opt, dL_opt0, dL_opt1 = median_and_unc(opt_samples)
+    return {"temp_mcmc": T, "radius_mcmc": R,
+            "dtemp_mcmc0": dT0, "dtemp_mcmc1": dT1,
+            "dradius_mcmc0": dR0, "dradius_mcmc1": dR1,
+            "L_bol_mcmc": L_bol, "dL_bol_mcmc0": dL_bol0, "dL_bol_mcmc1": dL_bol1,
+            "L_mcmc": L_opt, "dL_mcmc0": dL_opt0, "dL_mcmc1": dL_opt1}
+
+
+def _color_record(epoch1, colors):
+    mags, dmags, lolims, uplims = calc_colors(epoch1, colors)
+    record = {}
+    for c, mag, dmag, lo, up in zip(colors, mags, dmags, lolims, uplims):
+        record[c] = mag
+        record[f"d({c})"] = dmag
+        record[f"lolims({c})"] = lo
+        record[f"uplims({c})"] = up
+    return record
+
+
+def _prepare_epoch_seds(lc, res, also_group_by):
+    """Per epoch: flux -> single bin -> mags -> luminosities, plus effective
+    frequencies (reference bolometric.py:736-740)."""
     groups = []
     for epoch1 in group_by_epoch(lc, res, also_group_by):
         epoch1.calcFlux()
@@ -567,6 +630,42 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
         epoch1["lum"].unit = u.W / u.Hz
         epoch1["dlum"].unit = u.W / u.Hz
         groups.append(epoch1)
+    return groups
+
+
+def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_steps=200,
+                         steps=100, priors=None, save_table_as=None, min_nfilt=3,
+                         cutoff_freq=np.inf, show=False, colors=None, do_mcmc=True,
+                         save_chains=False, use_sigma=False, sigma_type="relative",
+                         also_group_by=(), seed=None, save_corners=True,
+                         batch_mode=False):
+    """Full bolometric light curve from broadband photometry (behavioral
+    spec: reference bolometric.py:648-832). Adds ``seed`` for
+    reproducibility, ``save_corners`` to skip per-epoch corner PDFs, and
+    ``batch_mode`` to run every multi-filter epoch's MCMC concurrently in one
+    jitted vmap on device (identical statistics; starting guesses centered on
+    the default p0 rather than the previous epoch's curve_fit solution).
+    Single-filter epochs always run sequentially so the KDE temperature-prior
+    chaining (reference :753-759) is preserved."""
+    if z:
+        warnings.warn('The z keyword is deprecated. Include the redshift in `lc.meta["redshift"]` instead.')
+    z = lc.meta.get("redshift", z)
+
+    colors = list(colors) if colors is not None else []
+    use_src = "source" in lc.colnames
+    t0 = _result_table(colors, use_src)
+
+    if priors is None:
+        priors = [UniformPrior(1.0, 100.0), LogUniformPrior(0.01, 1000.0)]
+        if use_sigma:
+            priors.append(GaussianPrior(0.0, 10.0))
+
+    sampler = None
+    finite = np.isfinite(np.ma.filled(np.ma.MaskedArray(lc["dmag"]).astype(float), np.nan))
+    lc = lc[finite & np.ma.filled(np.ma.MaskedArray(lc["dmag"]) > 0.0, False)]
+    rng = np.random.default_rng(seed)
+
+    groups = _prepare_epoch_seds(lc, res, also_group_by)
 
     # batch mode: fit all multi-filter epochs concurrently in one device call
     batched_chains = {}
@@ -605,31 +704,30 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
             batched_chains = {i: flat[j] for j, i in enumerate(eligible)}
 
     for i_epoch, epoch1 in enumerate(groups):
-        filts = set(epoch1.where(nondet=False)["filter"])
-        nfilt = len(filts)
+        detected = set(epoch1.where(nondet=False)["filter"])
+        nfilt = len(detected)
         if nfilt < min_nfilt:
             continue
 
         if nfilt > 1:
             p0 = np.array([10.0, 10.0])
         elif sampler is not None:
+            # single-filter epoch: previous posterior's temperature becomes
+            # the prior (KDE chaining, reference bolometric.py:753-759)
             priors[0] = KDEPrior(sampler.flatchain[:, 0])
             p0 = np.median(sampler.flatchain, axis=0)
         else:
             continue
 
         mjdavg, dmjd0, dmjd1 = median_and_unc(np.asarray(epoch1["MJD"], float), 100.0)
-        filtstr = "".join([f.char for f in sorted(filts)])
+        record = {"MJD": mjdavg, "dMJD0": dmjd0, "dMJD1": dmjd1, "npoints": nfilt,
+                  "filts": "".join([f.char for f in sorted(detected)])}
+        if use_src:
+            record["source"] = epoch1["source"][0]
 
-        # blackbody - least squares
-        T_range = (priors[0].p_min, priors[0].p_max)
-        R_range = (priors[1].p_min, priors[1].p_max)
-        try:
-            temp, radius, dtemp, drad, L_bol, dL_bol, L = blackbody_lstsq(
-                epoch1, z, p0, T_range, R_range, cutoff_freq)
-            p0 = np.array([temp, radius])
-        except RuntimeError:  # optimization failed
-            temp = radius = dtemp = drad = L_bol = dL_bol = L = np.nan
+        # stage 1: bounded least squares (also recenters the MCMC guesses)
+        lstsq, p0 = _lstsq_record(epoch1, z, p0, priors, cutoff_freq)
+        record.update(lstsq)
 
         starting_guesses = rng.normal(size=(nwalkers, 2)) + p0
         starting_guesses[starting_guesses <= 0.0] = 1.0
@@ -639,7 +737,7 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
                                          np.abs(rng.normal(size=(nwalkers, 1))), axis=1)
             labels.append("$\\sigma$")
 
-        # blackbody - MCMC
+        # stage 2: MCMC posterior (batched chain if precomputed above)
         try:
             if not do_mcmc:
                 raise ValueError("do_mcmc=False")
@@ -662,38 +760,15 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
                                         steps=steps, show=show, save_chains=save_chains,
                                         use_sigma=use_sigma, sigma_type=sigma_type,
                                         labels=labels, seed=seed, make_corner=save_corners)
-
-            L_bol_mcmc_samples = stefan_boltzmann(sampler.flatchain[:, 0], sampler.flatchain[:, 1])
-            L_mcmc_samples = pseudo(sampler.flatchain[:, 0], sampler.flatchain[:, 1], z,
-                                    cutoff_freq=cutoff_freq)
-
-            (T_mcmc, R_mcmc), (dT0_mcmc, dR0_mcmc), (dT1_mcmc, dR1_mcmc) = \
-                median_and_unc(sampler.flatchain[:, :2])
-            L_mcmc_bol, dL_mcmc0_bol, dL_mcmc1_bol = median_and_unc(L_bol_mcmc_samples)
-            L_mcmc, dL_mcmc0, dL_mcmc1 = median_and_unc(L_mcmc_samples)
-
+            record.update(_mcmc_record(sampler.flatchain, z, cutoff_freq))
         except ValueError as e:
             print(e)
-            T_mcmc = R_mcmc = dT0_mcmc = dR0_mcmc = dT1_mcmc = dR1_mcmc = np.nan
-            L_mcmc = dL_mcmc0 = dL_mcmc1 = L_mcmc_bol = dL_mcmc0_bol = dL_mcmc1_bol = np.nan
+            record.update({field: np.nan for field in _MCMC_FIELDS})
 
-        # direct integration
-        L_int = integrate_sed(epoch1)
-
-        # colors
-        color_mags, color_dmags, color_lolims, color_uplims = calc_colors(epoch1, colors)
-
-        row = [mjdavg, dmjd0, dmjd1,
-               temp, radius, dtemp, drad, L_bol, dL_bol, L,
-               T_mcmc, R_mcmc, dT0_mcmc, dT1_mcmc, dR0_mcmc, dR1_mcmc,
-               L_mcmc_bol, dL_mcmc0_bol, dL_mcmc1_bol, L_mcmc, dL_mcmc0, dL_mcmc1,
-               L_int, nfilt] + color_mags + color_dmags
-        row_bool = color_lolims + color_uplims
-        row_string = [filtstr] + ([epoch1["source"][0]] if use_src else [])
-        mask = np.concatenate([np.isnan(np.asarray(row, float)),
-                               np.zeros_like(row_bool, dtype=bool),
-                               ~np.array([bool(rs) for rs in row_string])])
-        t0.add_row(row + row_bool + row_string, mask=mask)
+        # stage 3: direct SED integration + colors
+        record["L_int"] = integrate_sed(epoch1)
+        record.update(_color_record(epoch1, colors))
+        _append_record(t0, record)
 
     # keep deprecated column names for now (reference bolometric.py:824-827)
     for old, new in DEPRECATED_BOLOMETRIC_COLNAMES:

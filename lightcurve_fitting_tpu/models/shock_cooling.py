@@ -156,7 +156,13 @@ class ShockCooling2(BaseShockCooling):
 
     @staticmethod
     def t_min(p, kappa=1.0):
-        return NotImplemented
+        # the scaled parametrization cannot express SW17's validity floor
+        # (the reference defines no t_min for ShockCooling2 either); raising
+        # beats returning the truthy NotImplemented constant, which would
+        # surface later as a confusing TypeError in arithmetic
+        raise NotImplementedError(
+            "ShockCooling2 has no validity lower bound; its scaled parameters "
+            "(T_1, L_1, t_tr) do not determine SW17's t_min")
 
     def t_max(self, p, kappa=1.0):
         """t_max = (8.12 kK / T_1)^(1/eps_T) + t_exp (reference models.py:422-430)."""

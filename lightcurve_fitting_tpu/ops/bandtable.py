@@ -147,23 +147,3 @@ class BandLuminosityTable:
         c = self._coeffs[np.asarray(band_ids)]
         return jnp.asarray(c) if device else c
 
-    def eval_points_unused(self, coeffs_pt, T, R):
-        """Band-averaged L_nu per point: coeffs_pt (N, 4, S), T/R (..., N).
-
-        Matches the quadrature semantics: T <= 0 -> 0. T outside the table
-        range clamps to the edge segment (the Wien edge already underflows
-        to ~exp(-690) ~ 0).
-        """
-        pos = T > 0.0
-        logT = jnp.log(jnp.where(pos, T, 1.0))
-        u = (logT - self.log_T_lo) / self.dlogT
-        idx = jnp.clip(u.astype(jnp.int32), 0, self.n_T - 2)
-        t = (u - idx) * self.dlogT
-        # coeffs_pt: (N, 4, S); idx: (..., N) -> gather along S per point
-        n_idx = jnp.arange(coeffs_pt.shape[0])
-        c0 = coeffs_pt[n_idx, 0, idx]
-        c1_ = coeffs_pt[n_idx, 1, idx]
-        c2_ = coeffs_pt[n_idx, 2, idx]
-        c3_ = coeffs_pt[n_idx, 3, idx]
-        ln_g = ((c0 * t + c1_) * t + c2_) * t + c3_
-        return jnp.where(pos, R * R * jnp.exp(ln_g), 0.0)

@@ -5,6 +5,7 @@ from .sampler import EnsembleSampler, make_stretch_kernel  # noqa: F401
 from .mesh import ShardedEnsembleSampler, walker_mesh, make_sharded_stretch_step  # noqa: F401
 from .batched import pack_epochs, batched_blackbody_mcmc  # noqa: F401
 from .population import pack_population, fit_population  # noqa: F401
-from .hmc import HMCSampler  # noqa: F401
+from .hmc import HMCSampler, BoundsTransform, WhitenedPosterior  # noqa: F401
+from . import distributed  # noqa: F401
 from .host_sampler import HostEnsembleSampler  # noqa: F401
 from .diagnostics import split_rhat, effective_sample_size, summarize_chain  # noqa: F401

@@ -97,7 +97,7 @@ def _parse_flux_unit(bunit):
     low = s.lower().replace("**", "").replace("^", "").replace(" ", "")
     if "jy" in low:
         factor = 1e-26 if low.startswith("jy") else 1e-29  # Jy or mJy in W/m2/Hz
-        return scale * factor * 1e3 * 1e-10 * 0 + scale * factor, "fnu"
+        return scale * factor, "fnu"
     if "hz" in low:
         # W m-2 Hz-1 (or erg s-1 cm-2 Hz-1)
         factor = 1e-3 if "erg" in low else 1.0  # erg/s/cm2/Hz = 1e-3 W/m2/Hz
@@ -155,100 +155,144 @@ def readOSCspec(filepath):
     return superdict["filename"], times, tel, inst, wl, fx, np.ones(len(rows))
 
 
-_DATE_KEYWORDS = ["MJD-OBS", "MJD_OBS", "MJD", "JD", "DATE-AVG", "UTMIDDLE", "DATE-OBS",
-                  "DATE_BEG", "UTSHUT", "OBS_DATE", "AVE_MJD"]
+# ---------------------------------------------------------------------------
+# observation-date heuristics: an ordered strategy table tried until one
+# parses (behavioral spec: reference speccal.py:243-299)
+# ---------------------------------------------------------------------------
+
+def _parse_mjd_card(hdr, kwd, val):
+    return Time(float(val), format="mjd")
+
+
+def _parse_jd_card(hdr, kwd, val):
+    jd = float(val)
+    # two-digit-truncated JDs (e.g. 57500.2) are actually reduced JDs
+    return Time(jd if jd > 2400000 else jd + 2400000, format="jd")
+
+
+def _parse_datetime_card(hdr, kwd, val):
+    text = str(val)
+    if "T" in text:
+        return Time(val)
+    if kwd == "OBS_DATE":
+        return Time(text.split("+")[0])
+    if "-" not in text:
+        raise ValueError(f"{val!r} is not a date")
+    # a bare date: look for a time-of-day card to append
+    for time_kwd in ("UTMIDDLE", "EXPSTART", "UT"):
+        tod = hdr.get(time_kwd) if hasattr(hdr, "get") else None
+        if isinstance(tod, str) and ":" in tod:
+            return Time(text + "T" + tod)
+        if tod is not None:
+            hours = float(tod)
+            hms = "{:02d}:{:02d}:{:02d}".format(
+                int(hours), int(hours * 60) % 60, int(hours * 3600) % 60)
+            return Time(text + "T" + hms)
+    return Time(text)
+
+
+_HEADER_DATE_CARDS = [
+    ("MJD-OBS", _parse_mjd_card), ("MJD_OBS", _parse_mjd_card), ("MJD", _parse_mjd_card),
+    ("JD", _parse_jd_card),
+    ("DATE-AVG", _parse_datetime_card), ("UTMIDDLE", _parse_datetime_card),
+    ("DATE-OBS", _parse_datetime_card), ("DATE_BEG", _parse_datetime_card),
+    ("UTSHUT", _parse_datetime_card), ("OBS_DATE", _parse_datetime_card),
+    ("AVE_MJD", _parse_mjd_card),
+]
+
+
+def _date_from_header(hdr):
+    for kwd, parse in _HEADER_DATE_CARDS:
+        if kwd not in hdr or not hdr[kwd]:
+            continue
+        try:
+            return parse(hdr, kwd, hdr[kwd])
+        except (ValueError, TypeError):
+            continue
+    return None
+
+
+def _filename_jd(match):
+    return Time(float(match.group()), format="jd")
+
+
+def _filename_tns(match):
+    day, clock = match.group().split("_")
+    return Time(day + "T" + clock.replace("-", ":"))
+
+
+def _filename_isodate(match):
+    year, month, day, frac = match.groups()
+    date = Time("-".join((year, month, day)))
+    return date + float(frac) if frac is not None else date
+
+
+def _filename_mjd3(match):
+    return Time(float(match.group()[:-1]), format="mjd")
+
+
+def _filename_mjd5(match):
+    return Time(float(match.group()), format="mjd")
+
+
+_FILENAME_DATE_PATTERNS = [
+    (r"24[0-9][0-9][0-9][0-9][0-9]\.[0-9]+", _filename_jd),
+    (r"(19|20)[0-9][0-9]-(0[0-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])"
+     r"_([01][0-9]|2[0-4])-[0-5][0-9]-[0-5][0-9]", _filename_tns),
+    (r"([12][90][0-9][0-9])-?(0[0-9]|1[0-2])-?(0[1-9]|[12][0-9]|3[01])(\.[0-9]+)?",
+     _filename_isodate),
+    (r"[0-9][0-9][0-9]d", _filename_mjd3),
+    (r"[0-9][0-9][0-9][0-9][0-9](\.[0-9]+)?", _filename_mjd5),
+]
+
+
+def _date_from_filename(filename):
+    for pattern, build in _FILENAME_DATE_PATTERNS:
+        match = re.search(pattern, filename)
+        if match is not None:
+            return build(match)
+    return None
+
+
+def _first_header_string(hdr, keys):
+    for k in keys:
+        v = hdr.get(k) if hasattr(hdr, "get") else None
+        if v:
+            return str(v).strip()
+    return ""
+
+
+def _read_raw_spectrum(f):
+    """Dispatch on extension: FITS, OSC JSON, or ASCII with '# key = value'
+    comment headers."""
+    ext = os.path.splitext(f)[1]
+    if ext == ".fits":
+        return readfitsspec(f, header=True)
+    if ext == ".json":
+        return readOSCspec(f)
+    t = Table.read(f, format="ascii")
+    hdr = {}
+    for line in t.meta.get("comments", []):
+        match = re.search("([^ ]*) *[=:] *([^/]*)", line)
+        if match is not None:
+            kwd, val = match.groups()
+            hdr[kwd.strip(" #")] = val.strip(" \"'")
+    return (np.asarray(t[t.colnames[0]], float),
+            np.asarray(t[t.colnames[1]], float), hdr)
 
 
 def readspec(f, verbose=False, return_header=False):
-    """Read a spectrum and identify when/where it was observed (reference
-    speccal.py:197-327): header keywords first, then filename patterns."""
-    ext = os.path.splitext(f)[1]
-    if ext == ".fits":
-        x, y, hdr = readfitsspec(f, header=True)
-    elif ext == ".json":
-        x, y, hdr = readOSCspec(f)
-    else:  # assume ASCII
-        t = Table.read(f, format="ascii")
-        x = np.asarray(t[t.colnames[0]], float)
-        y = np.asarray(t[t.colnames[1]], float)
-        hdr = {}
-        comments = t.meta.get("comments", [])
-        for line in comments:
-            match = re.search("([^ ]*) *[=:] *([^/]*)", line)
-            if match is None:
-                continue
-            kwd, val = match.groups()
-            hdr[kwd.strip(" #")] = val.strip(" \"'")
-
-    date = None
-    for kwd in _DATE_KEYWORDS:
-        if kwd in hdr and hdr[kwd]:
-            val = hdr[kwd]
-            try:
-                if "MJD" in kwd:
-                    date = Time(float(val), format="mjd")
-                elif "JD" in kwd and float(hdr["JD"]) > 2400000:
-                    date = Time(float(val), format="jd")
-                elif "JD" in kwd:
-                    date = Time(float(val) + 2400000, format="jd")
-                elif "T" in str(val):
-                    date = Time(val)
-                elif kwd == "OBS_DATE":
-                    date = Time(str(val).split("+")[0])
-                elif "-" in str(val):
-                    for kwd2 in ["UTMIDDLE", "EXPSTART", "UT"]:
-                        v2 = hdr.get(kwd2) if hasattr(hdr, "get") else None
-                        if isinstance(v2, str) and ":" in v2:
-                            date = Time(str(val) + "T" + v2)
-                            break
-                        elif v2 is not None:
-                            h = int(np.floor(float(v2)))
-                            m = int(np.floor((float(v2) * 60) % 60))
-                            s = int(np.floor((float(v2) * 3600) % 60))
-                            date = Time(str(val) + "T{:02d}:{:02d}:{:02d}".format(h, m, s))
-                            break
-                    else:
-                        date = Time(str(val))
-                else:
-                    continue
-                break
-            except (ValueError, TypeError):
-                continue
-    if date is None:  # hope it's in the filename (reference speccal.py:272-299)
-        m1 = re.search(r"24[0-9][0-9][0-9][0-9][0-9]\.[0-9]+", f)
-        m_tns = re.search(
-            r"(19|20)[0-9][0-9]-(0[0-9]|1[0-2])-(0[1-9]|[12][0-9]|3[01])_([01][0-9]|2[0-4])-[0-5][0-9]-[0-5][0-9]",
-            f)
-        m2 = re.search(r"([12][90][0-9][0-9])-?(0[0-9]|1[0-2])-?(0[1-9]|[12][0-9]|3[01])(\.[0-9]+)?", f)
-        m3 = re.search(r"[0-9][0-9][0-9]d", f)
-        m4 = re.search(r"[0-9][0-9][0-9][0-9][0-9](\.[0-9]+)?", f)
-        if m1 is not None:
-            date = Time(float(m1.group()), format="jd")
-        elif m_tns is not None:
-            d, t_ = m_tns.group().split("_")
-            date = Time(d + "T" + t_.replace("-", ":"))
-        elif m2 is not None:
-            groups = m2.groups()
-            date = Time("-".join(groups[:3]))
-            if groups[3] is not None:
-                date = date + float(groups[-1])
-        elif m3 is not None:
-            date = Time(float(m3.group()[:-1]), format="mjd")
-        elif m4 is not None:
-            date = Time(float(m4.group()), format="mjd")
-
-    def _hdr_str(*keys):
-        for k in keys:
-            v = hdr.get(k) if hasattr(hdr, "get") else None
-            if v:
-                return str(v).strip()
-        return ""
-
-    telescope = _hdr_str("TELESCOP", "TELESCOPE", "OBSERVAT")
-    instrument = _hdr_str("INSTRUME", "INSTRUMENT", "INSTR", "INSTRUMENT_ID")
-
+    """Read a spectrum and identify when/where it was observed: header date
+    cards first, then filename patterns (behavioral spec: reference
+    speccal.py:197-327)."""
+    x, y, hdr = _read_raw_spectrum(f)
+    date = _date_from_header(hdr)
+    if date is None:
+        date = _date_from_filename(f)
+    telescope = _first_header_string(hdr, ("TELESCOP", "TELESCOPE", "OBSERVAT"))
+    instrument = _first_header_string(hdr, ("INSTRUME", "INSTRUMENT", "INSTR",
+                                            "INSTRUMENT_ID"))
     x, y = convert_spectrum_units(x, y, hdr)
-
     if verbose:
         print(date.isot if date else "????", f)
     if return_header:
@@ -256,23 +300,60 @@ def readspec(f, verbose=False, return_header=False):
     return x, y, date, telescope, instrument
 
 
+def _spectrum_to_fnu(wl, flux, subtract_percentile=None):
+    """(wavelength [A], F_lambda [erg/s/cm2/A]) -> frequency-ascending
+    (nu [THz], F_nu [W/m2/Hz]), dropping NaN fluxes."""
+    good = ~np.isnan(flux)
+    lam = wl[good]
+    nu = C_AA_THZ / lam
+    # F_nu = F_lambda * lambda / nu; cgs -> SI is 1e-7 J/erg over 1e-4 m2/cm2
+    fnu = flux[good] * 1e-3 * lam / (nu * 1e12)
+    nu, fnu = nu[::-1], fnu[::-1]
+    if subtract_percentile is not None:
+        fnu = fnu - np.nanpercentile(fnu, subtract_percentile)
+    return good, nu, fnu
+
+
+def _sorted_transmission(filt):
+    """The filter's normalized transmission on a frequency-ascending grid."""
+    freq = np.asarray(filt.trans["freq"], float)
+    tnorm = np.asarray(filt.trans["T_norm_per_freq"], float)
+    order = np.argsort(freq)
+    return freq[order], tnorm[order]
+
+
+def _band_scale_ratio(filt, lc, trans, nu, fnu, mjd, max_extrapolate):
+    """Photometric/synthetic flux ratio for one band at the spectrum's MJD,
+    or None (with a printed reason) when the band can't constrain it."""
+    lo = filt.freq_eff.value - filt.freq_range[0]
+    hi = filt.freq_range[1] + filt.freq_eff.value
+    if hi < nu.min() or lo > nu.max():
+        print(filt, "and spectrum don't overlap")
+        return None
+    criteria = {"nondet": False} if "nondet" in lc.colnames else {}
+    obs = lc.where(filter=filt, **criteria)
+    mjds = np.asarray(obs["MJD"], float) if len(obs) else np.array([])
+    if len(obs) == 0 or mjd - mjds.max() > max_extrapolate or mjd < mjds.min():
+        print(filt, "not observed before and after spectrum")
+        return None
+    flux_lc = np.interp(mjd, mjds, np.asarray(obs["flux"], float))
+    t_on_spec = np.interp(nu, *trans)
+    flux_spec = np.trapezoid(fnu * t_on_spec, nu) / np.trapezoid(t_on_spec, nu)
+    return flux_lc / flux_spec, lo, hi, flux_lc
+
+
 def calibrate_spectra(spectra, lc, filters=None, order=0, subtract_percentile=None,
                       max_extrapolate=1.0, show=False):
     """Calibrate spectra to an observed light curve; write ``photcal_*.txt``
-    files (reference speccal.py:330-439)."""
+    files (behavioral spec: reference speccal.py:330-439). Per spectrum: the
+    mean photometric/synthetic flux ratio over usable bands sets the scale,
+    optionally warped by a polynomial in frequency when ``order`` >= 1; in
+    interactive mode each scale must be accepted before writing."""
     if filters is not None:
         lc = lc.where(filter=filters)
     lc.calcFlux()
     lc.sort("MJD")
-    filts = set(lc["filter"])
-
-    trans_sorted = {}
-    for filt in filts:
-        trans = filt.trans
-        freq = np.asarray(trans["freq"], float)
-        tnorm = np.asarray(trans["T_norm_per_freq"], float)
-        order_idx = np.argsort(freq)
-        trans_sorted[filt] = (freq[order_idx], tnorm[order_idx])
+    transmissions = {filt: _sorted_transmission(filt) for filt in set(lc["filter"])}
 
     if show:
         plt.ion()
@@ -289,70 +370,51 @@ def calibrate_spectra(spectra, lc, filters=None, order=0, subtract_percentile=No
             ax1.set_xlabel("MJD")
             ax1.set_ylabel("$F_\\nu$ (W Hz$^{-1}$)")
             ax2 = plt.subplot(212)
-        good = ~np.isnan(flux)
-        lam = wl[good]                       # angstrom
-        Flam = flux[good]                    # erg / (s cm2 angstrom)
-        nu = C_AA_THZ / lam                  # THz
-        # F_nu = F_lambda * lambda^2 / c, converted to W / (Hz m2)
-        Fnu = (Flam * 1e-7 * 1e4) * lam / (nu * 1e12)  # W/m2/A * A / Hz
-        Fnu = Fnu[::-1]
-        nu = nu[::-1]
-        if subtract_percentile is not None:
-            Fnu = Fnu - np.nanpercentile(Fnu, subtract_percentile)
+        good, nu, fnu = _spectrum_to_fnu(wl, flux, subtract_percentile)
+
         freqs = []
         ratios = []
-        for filt in filts:
-            freq0 = filt.freq_eff.value - filt.freq_range[0]
-            freq1 = filt.freq_range[1] + filt.freq_eff.value
-            if freq1 < np.min(nu) or freq0 > np.max(nu):
-                print(filt, "and spectrum don't overlap")
+        for filt, trans in transmissions.items():
+            result = _band_scale_ratio(filt, lc, trans, nu, fnu, mjd, max_extrapolate)
+            if result is None:
                 continue
-            criteria = {"nondet": False} if "nondet" in lc.colnames else {}
-            lc_filt = lc.where(filter=filt, **criteria)
-            if (len(lc_filt) == 0
-                    or mjd - np.max(np.asarray(lc_filt["MJD"], float)) > max_extrapolate
-                    or mjd < np.min(np.asarray(lc_filt["MJD"], float))):
-                print(filt, "not observed before and after spectrum")
-                continue
-            flux_lc = np.interp(mjd, np.asarray(lc_filt["MJD"], float),
-                                np.asarray(lc_filt["flux"], float))
-            tf, tn = trans_sorted[filt]
-            trans_interp = np.interp(nu, tf, tn)
-            flux_spec = np.trapezoid(Fnu * trans_interp, nu) / np.trapezoid(trans_interp, nu)
-            ratio = flux_lc / flux_spec
-            if show:
-                ax2.axvspan(freq0, freq1, color=filt.color, alpha=0.2)
-                ax2.plot(filt.freq_eff.value, flux_lc, marker="o", zorder=5, **filt.plotstyle)
+            ratio, lo, hi, flux_lc = result
             ratios.append(ratio)
             freqs.append(filt.freq_eff.value)
+            if show:
+                ax2.axvspan(lo, hi, color=filt.color, alpha=0.2)
+                ax2.plot(filt.freq_eff.value, flux_lc, marker="o", zorder=5,
+                         **filt.plotstyle)
         if not ratios:
             print("no filters for", spec)
             if show:
                 plt.close(fig)
             continue
+
         scale = np.mean(ratios)
         if order:
-            p = np.polyfit(freqs, np.array(ratios) / scale, order)
-            corr = np.polyval(p, nu) * scale
-            print(spec, scale, p[:-1])
+            warp = np.polyfit(freqs, np.array(ratios) / scale, order)
+            corr = np.polyval(warp, nu) * scale
+            print(spec, scale, warp[:-1])
         else:
             corr = np.array([scale])
             print(spec, scale)
+
         if show:
-            ax2.plot(nu, Fnu * scale, label="rescaled")
+            ax2.plot(nu, fnu * scale, label="rescaled")
             ax2.set_xlabel("Frequency (THz)")
             ax2.set_ylabel("$F_\\nu$ (W Hz$^{-1}$)")
             if order:
-                ax2.plot(nu, Fnu * corr, color="C2", label="rescaled & warped")
+                ax2.plot(nu, fnu * corr, color="C2", label="rescaled & warped")
                 plt.legend(loc="best")
             plt.pause(0.1)
-            ans = input("accept this scale? [Y/n] ")
-        if not show or ans.lower() != "n":
-            data_out = np.array([wl[good], flux[good] * corr[::-1]]).T
-            path_in, filename_in = os.path.split(spec)
-            filename_out = os.path.join(path_in, "photcal_" + filename_in).replace(".fits", ".txt")
-            np.savetxt(filename_out, data_out, fmt="%.1f %.2e")
-            print(filename_out)
+            if input("accept this scale? [Y/n] ").lower() == "n":
+                continue
+        path_in, filename_in = os.path.split(spec)
+        outfile = os.path.join(path_in, "photcal_" + filename_in).replace(".fits", ".txt")
+        np.savetxt(outfile, np.column_stack([wl[good], flux[good] * corr[::-1]]),
+                   fmt="%.1f %.2e")
+        print(outfile)
     if show:
         return fig
     plt.close(fig)
@@ -376,9 +438,68 @@ _WISEREP_DEFAULTS_LINE = ("\t\t\t\tNULL\t[default=11 (Angstrom)]\t[default=1 (Ai
                           "\t[Comma delim.]\tNULL\tNULL\tNULL\tNULL\tNULL\tNULL\tNULL")
 
 
+_WL_UNIT_IDS = {"angstrom": 11, "nm": 12, "um": 13}
+
+
+def _header_card(hdr, key, cast=None):
+    value = hdr.get(key) if hasattr(hdr, "get") else None
+    if value is None or value == "":
+        return None
+    return cast(value) if cast else value
+
+
+def _wiserep_record(ascii_file, specfile, date, inst_id, hdr, groups, bibcode,
+                    quality, date_fmt):
+    """One upload row as a column-name -> value mapping (serialized in
+    ``_WISEREP_COLUMNS`` order). Unspecified columns default to None/NULL."""
+    cunit = str(_header_card(hdr, "CUNIT1") or _header_card(hdr, "XUNITS")
+                or "angstrom").lower()
+    if date is not None:
+        date_str = date.iso if date_fmt == "iso" else f"{date.jd:.5f}"
+    else:
+        date_str = None
+    record = dict.fromkeys(_WISEREP_COLUMNS)
+    record.update({
+        "Ascii-filename*": ascii_file,
+        "FITS-filename*": specfile if specfile.endswith(".fits") else None,
+        "Obs-date* [YYYY-MM-DD HH:MM:SS] / JD": date_str,
+        "Instrument-Id*": inst_id,
+        "Exp-time (sec)": _header_card(hdr, "exptime") or _header_card(hdr, "EXPTIME"),
+        "WL Units-id": _WL_UNIT_IDS.get(cunit, 11),
+        "WL Medium-Id": 1,
+        "Flux Unit Coeff": 1.0,
+        "Flux Units-Id": 6,
+        "Flux Calib. By-Id": 2 if specfile.startswith("photcal") else 1,
+        "Extinction-Corrected-Id": 0,
+        "Observer/s      ": _header_card(hdr, "OBSERVER") or "Unknown",
+        "Reducer/s   ": _header_card(hdr, "REDUCER"),
+        "Aperture (Slit)": _header_card(hdr, "APERWID", float),
+        "Dichroic": _header_card(hdr, "DICHROIC"),
+        "Grism": _header_card(hdr, "GRISM"),
+        "Grating": _header_card(hdr, "GRATING"),
+        "Blaze": _header_card(hdr, "BLAZE", float),
+        "Airmass": _header_card(hdr, "AIRMASS", float),
+        "Hour Angle": _header_card(hdr, "HA") or None,
+        "Spec Type-Id": 10,
+        "Spec Quality-Id": quality,
+        "Spec. Prop-period value": 0.0,
+        "Prop-period units": "days",
+        "Assoc. Groups": groups,
+        "Publish (bibcode)": bibcode or None,
+    })
+    return record
+
+
+def _tsv_cell(value):
+    if value in (None, "", "None", "UNKNOWN"):
+        return "NULL"
+    return str(value)
+
+
 def create_wiserep_tsv(specpaths, wiserep_dir, verbose=False, instruments=None, date_fmt="iso"):
     """Prepare a WISeREP upload TSV and collect/convert the spectrum files
-    (reference speccal.py:442-590)."""
+    (behavioral spec: reference speccal.py:442-590). Interactive: prompts for
+    the bibcode, per-spectrum group IDs, and unknown instrument IDs."""
     if os.path.exists(wiserep_dir):
         ans = input(f"Are you sure you want to delete the directory {wiserep_dir}? [y/N] ")
         if ans.lower() != "y":
@@ -387,9 +508,8 @@ def create_wiserep_tsv(specpaths, wiserep_dir, verbose=False, instruments=None, 
     os.mkdir(wiserep_dir)
 
     bibcode = input("bibcode: ")
-    rows = []
-    if instruments is None:
-        instruments = {}
+    instruments = {} if instruments is None else instruments
+    records = []
     for specpath in specpaths:
         if isinstance(specpath, tuple):
             specpath, quality = specpath
@@ -401,76 +521,39 @@ def create_wiserep_tsv(specpaths, wiserep_dir, verbose=False, instruments=None, 
         print()
         wl, flux, date, tel, inst, hdr = readspec(specpath, verbose=True, return_header=True)
         groups = input("https://www.wiserep.org/groups\ngroup IDs (comma sep.): ")
-        if inst not in instruments:
+        if inst in instruments:
+            inst_id = instruments[inst]
+        else:
             inst_id = input(f"https://www.wiserep.org/aux\nlook up instrument ID for {inst} (required): ")
             if inst and inst_id:
                 instruments[inst] = int(inst_id)
-        else:
-            inst_id = instruments[inst]
-
-        def hget(key, cast=None):
-            v = hdr.get(key) if hasattr(hdr, "get") else None
-            if v is None or v == "":
-                return None
-            return cast(v) if cast else v
-
-        if date is not None:
-            date_str = date.iso if date_fmt == "iso" else f"{date.jd:.5f}"
-        else:
-            date_str = None
-        row = [ascii_file,
-               specfile if specfile.endswith(".fits") else None,
-               date_str,
-               inst_id,
-               hget("exptime") or hget("EXPTIME"),
-               {"angstrom": 11, "nm": 12, "um": 13}.get(
-                   str(hdr.get("CUNIT1", hdr.get("XUNITS", "angstrom"))
-                       if hasattr(hdr, "get") else "angstrom").lower(), 11),
-               1, 1.0, 6,
-               2 if specfile.startswith("photcal") else 1,
-               0,
-               hget("OBSERVER") or "Unknown",
-               hget("REDUCER"),
-               None,
-               hget("APERWID", float),
-               hget("DICHROIC"),
-               hget("GRISM"),
-               hget("GRATING"),
-               hget("BLAZE", float),
-               hget("AIRMASS", float),
-               hget("HA") or None,
-               10, quality, 0.0, "days", groups, None,
-               bibcode or None, None, None, None, None, None]
-        rows.append(row)
+        records.append(_wiserep_record(ascii_file, specfile, date, inst_id, hdr,
+                                       groups, bibcode, quality, date_fmt))
 
         if not specfile.endswith(".csv"):
             shutil.copy(specpath, wiserep_dir)
             if verbose:
                 print(f"copied {specfile} to {wiserep_dir}")
-        if specfile.endswith(".fits") or specfile.endswith(".csv"):
-            data_out = np.transpose([wl, flux])
-            np.savetxt(os.path.join(wiserep_dir, ascii_file), data_out, fmt=("%f", "%e"),
-                       header=repr(hdr))
+        if specfile.endswith((".fits", ".csv")):
+            np.savetxt(os.path.join(wiserep_dir, ascii_file), np.transpose([wl, flux]),
+                       fmt=("%f", "%e"), header=repr(hdr))
             if verbose:
                 print(f"wrote {wiserep_dir}/{ascii_file}")
-
-    def fmt(v):
-        if v is None or v == "" or v == "None" or v == "UNKNOWN":
-            return "NULL"
-        return str(v)
 
     lines = ["TSV-type:\tspectra",
              "\t".join(_WISEREP_COLUMNS),
              _WISEREP_DEFAULTS_LINE]
-    for row in rows:
-        lines.append("\t".join(fmt(v) for v in row))
+    lines += ["\t".join(_tsv_cell(rec[col]) for col in _WISEREP_COLUMNS)
+              for rec in records]
     with open(wiserep_dir + ".tsv", "w") as f:
         f.write("\n".join(lines) + "\n")
     if verbose:
         print(f"\nwrote {wiserep_dir}.tsv")
 
-    t = Table(rows=rows, names=_WISEREP_COLUMNS) if rows else None
-    return t
+    if not records:
+        return None
+    return Table(rows=[[rec[col] for col in _WISEREP_COLUMNS] for rec in records],
+                 names=_WISEREP_COLUMNS)
 
 
 def main(argv=None):

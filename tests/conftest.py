@@ -1,5 +1,7 @@
 import os
 
+import pytest
+
 # 8 virtual CPU devices so multi-chip sharding paths are testable without TPUs
 os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
@@ -10,3 +12,22 @@ import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # the axon env pins JAX_PLATFORMS=tpu-tunnel
 jax.config.update("jax_enable_x64", True)
+
+
+def pytest_addoption(parser):
+    parser.addoption("--runslow", action="store_true", default=False,
+                     help="also run tests marked slow (long statistical runs)")
+
+
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long statistical/integration runs, skipped unless --runslow")
+
+
+def pytest_collection_modifyitems(config, items):
+    if config.getoption("--runslow"):
+        return
+    skip_slow = pytest.mark.skip(reason="slow test: run with --runslow")
+    for item in items:
+        if "slow" in item.keywords:
+            item.add_marker(skip_slow)

@@ -96,7 +96,7 @@ def test_integrate_sed():
     assert L == pytest.approx(np.trapezoid(lm, fr) * 1e12)
 
 
-@pytest.mark.parametrize("use_sigma", [False, True])
+@pytest.mark.parametrize("use_sigma", [False, pytest.param(True, marks=pytest.mark.slow)])
 def test_spectrum_mcmc_recovers_blackbody(use_sigma, tmp_path):
     from lightcurve_fitting_tpu.models import planck_fast, UniformPrior, LogUniformPrior, GaussianPrior
     filters = [filtdict[n] for n in ["U", "B", "V", "g", "r", "i"]]
@@ -155,6 +155,7 @@ def test_calculate_bolometric_e2e(tmp_path):
     plt.close("all")
 
 
+@pytest.mark.slow
 def test_batch_mode_matches_sequential(tmp_path):
     """Batched (vmapped-epochs) MCMC agrees statistically with the sequential
     path on the same epochs."""
@@ -210,6 +211,7 @@ def test_spectrum_mcmc_generic_python_spectrum(tmp_path):
     plt.close("all")
 
 
+@pytest.mark.slow
 def test_bolometric_options(tmp_path):
     """do_mcmc=False, cutoff_freq, also_group_by, save_chains, use_sigma."""
     lc = load_lc().where(MJD_min=57468.0, MJD_max=57472.0)
@@ -262,7 +264,7 @@ def test_single_filter_epoch_kde_chaining(tmp_path):
             names=["MJD", "mag", "dmag", "filter"])
     lc.meta.update(dm=30.0, redshift=0.0, extinction={})
     t0 = bol.calculate_bolometric(lc, outpath=str(tmp_path), res=0.5, nwalkers=10,
-                                  burnin_steps=100, steps=80, min_nfilt=1, seed=2,
+                                  burnin_steps=60, steps=50, min_nfilt=1, seed=2,
                                   save_corners=False)
     assert len(t0) == 2
     temp = np.asarray(t0["temp_mcmc"], float)

@@ -1,0 +1,104 @@
+"""Multi-host scaffolding: jax.distributed wiring + process-local transient
+sharding, exercised with two real CPU processes over a localhost coordinator
+(SURVEY.md §5: cross-host population fitting over DCN with zero inner
+collectives)."""
+
+import os
+import socket
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from lightcurve_fitting_tpu.parallel.distributed import local_shard
+
+REPO = os.path.join(os.path.dirname(__file__), "..")
+
+WORKER = """
+import os, sys
+proc_id, nproc, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+sys.path.insert(0, {repo!r})
+import numpy as np
+from lightcurve_fitting_tpu.parallel import distributed
+from lightcurve_fitting_tpu.lightcurve import LC
+from lightcurve_fitting_tpu.filters import filtdict
+from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+
+did_init = distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                                  num_processes=nproc, process_id=proc_id)
+assert did_init and distributed.is_initialized()
+assert jax.process_count() == nproc and jax.process_index() == proc_id
+
+TRUTHS = [(12.0, 2.0, 35.0), (18.0, 3.0, 45.0), (9.0, 1.5, 30.0), (15.0, 2.5, 40.0)]
+
+def make_lc(seed, T1, L1, ttr):
+    rng = np.random.default_rng(seed)
+    filters = [filtdict[n] for n in ["U", "B", "V", "g", "r", "i"]]
+    t = np.repeat(np.linspace(1.0, 8.0, 4), len(filters))
+    f = np.array(filters * 4)
+    y_true = ShockCooling2()(t, f, T1, L1, ttr, 0.0)
+    dy = 0.05 * y_true
+    return LC([t, f, y_true + rng.normal(scale=dy), dy],
+              names=["MJD", "filter", "lum", "dlum"])
+
+lcs = [make_lc(i, *tr) for i, tr in enumerate(TRUTHS)]
+models = [ShockCooling2(lc) for lc in lcs]
+priors = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0), UniformPrior(5.0, 100.0)]
+mine, (flat, acc) = distributed.fit_population_local_shard(
+    models, lcs, priors, p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
+    nwalkers=16, nsteps=120, nsteps_burnin=120, seed=1)
+np.savez(os.path.join(outdir, "shard_" + str(proc_id) + ".npz"),
+         indices=mine, medians=np.median(np.asarray(flat), axis=1), acc=np.asarray(acc))
+print("proc", proc_id, "fit transients", list(mine), flush=True)
+"""
+
+
+def _free_port():
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        return s.getsockname()[1]
+
+
+def test_local_shard_partitions_evenly():
+    for n, procs in [(4, 2), (5, 2), (1, 2), (7, 3), (3, 8)]:
+        shards = [local_shard(n, pid, procs) for pid in range(procs)]
+        combined = np.concatenate(shards)
+        assert sorted(combined.tolist()) == list(range(n))
+        sizes = [len(s) for s in shards]
+        assert max(sizes) - min(sizes) <= 1
+
+
+def test_two_process_population_fit(tmp_path):
+    """Two jax.distributed processes each fit their transient shard; together
+    they cover the population and recover the truths."""
+    worker = tmp_path / "worker.py"
+    worker.write_text(WORKER.format(repo=os.path.abspath(REPO)))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen([sys.executable, str(worker), str(pid), "2", str(port),
+                               str(tmp_path)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+             for pid in range(2)]
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outputs.append(out.decode())
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out
+
+    TRUTHS = [(12.0, 2.0, 35.0), (18.0, 3.0, 45.0), (9.0, 1.5, 30.0), (15.0, 2.5, 40.0)]
+    covered = {}
+    for pid in range(2):
+        data = np.load(tmp_path / f"shard_{pid}.npz")
+        assert np.all(data["acc"] > 0.1)
+        for row, idx in enumerate(data["indices"]):
+            covered[int(idx)] = data["medians"][row]
+    assert sorted(covered) == [0, 1, 2, 3]
+    for i, (T1, L1, ttr) in enumerate(TRUTHS):
+        assert covered[i][0] == pytest.approx(T1, rel=0.25), i
+        assert covered[i][1] == pytest.approx(L1, rel=0.35), i

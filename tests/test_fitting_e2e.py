@@ -65,6 +65,7 @@ def test_fit_converges_to_published_region(fit):
     assert 0.1 < sampler.acceptance_fraction.mean() < 0.9
 
 
+@pytest.mark.slow
 def test_posterior_matches_independent_mh(fit):
     """Cross-validate the ensemble posterior against a long numpy random-walk
     Metropolis chain on the same log posterior (statistical 1sigma/sqrt(Neff))."""

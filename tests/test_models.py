@@ -102,7 +102,8 @@ def test_shockcooling_validity_times():
     assert tmin == pytest.approx(0.2 * 2.0 / 1.2 * max(0.5, 2.0 ** 0.4 * 10.0 ** -0.2 * 1.2 ** -0.7) + 57468.0)
     assert tmax == pytest.approx(7.4 * 2.0 ** 0.55 + 57468.0)
     m2 = ShockCooling2()
-    assert m2.t_min([15.0, 2.0, 40.0, 57468.0]) is NotImplemented
+    with pytest.raises(NotImplementedError):
+        m2.t_min([15.0, 2.0, 40.0, 57468.0])
     assert m2.t_max([15.0, 2.0, 40.0, 57468.0]) == pytest.approx(
         (8.12 / 15.0) ** (1.0 / (2 * 0.027 - 0.5)) + 57468.0)
 

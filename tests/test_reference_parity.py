@@ -74,6 +74,7 @@ def reference_log_posterior(lc):
     return logpost
 
 
+@pytest.mark.slow
 def test_device_pipeline_matches_reference_pipeline(lc_early):
     # --- reference-style run (pure numpy, native grids, host stretch move)
     logpost_ref = reference_log_posterior(lc_early)
@@ -105,7 +106,9 @@ def test_device_pipeline_matches_reference_pipeline(lc_early):
 def test_likelihood_values_match_reference_formula(lc_early):
     """Pointwise: the device log-likelihood equals the reference formula
     evaluated with native-grid synthesize (band-table error budget <1e-3
-    absolute in log L)."""
+    absolute in log L). This is the fast default-screen for reference parity;
+    the distribution-level chain comparison above is marked slow
+    (19 evals/s pure-Python path) and runs with --runslow."""
     logpost_ref = reference_log_posterior(lc_early)
     model = ShockCooling2(lc_early)
     from lightcurve_fitting_tpu.fitting import make_log_posterior
