@@ -318,27 +318,26 @@ class LC(Table):
                                              self.get("nondet", False), self.nondetSigmas)
 
     # -------------------------------------------------------------- binning
+    def _bin_one_group(self, group, key, delta):
+        """Bin one {filter, source} group and re-attach its key columns."""
+        mjd, flux, dflux = binflux(group["MJD"], group["flux"], group["dflux"], delta)
+        binned = LC([mjd, flux, dflux], names=["MJD", "flux", "dflux"])
+        for col in (self.groupby if key is not None else ()):
+            binned[col] = key[col]
+        return binned
+
     def bin(self, delta=0.3, groupby=None):
         """Average points within ``delta`` days, grouped by {filter, source}
         (spec: reference lightcurve.py:206-238)."""
-        if groupby is not None:
-            self.groupby = groupby
-        subtabs = []
-        self.groupby = list(set(self.groupby) & set(self.colnames))
+        self.groupby = list(set(groupby if groupby is not None else self.groupby)
+                            & set(self.colnames))
         if self.groupby:
             grouped = self.group_by(self.groupby)
-            pairs = zip(grouped.groups, grouped.groups.keys)
+            pairs = list(zip(grouped.groups, grouped.groups.keys))
         else:
             pairs = [(self, None)]
-        for g, k in pairs:
-            mjd, flux, dflux = binflux(g["MJD"], g["flux"], g["dflux"], delta)
-            binned = LC([mjd, flux, dflux], names=["MJD", "flux", "dflux"])
-            if k is not None:
-                for key in self.groupby:
-                    binned[key] = k[key]
-            subtabs.append(binned)
-        lc = vstack(subtabs)
-        out = LC(lc) if not isinstance(lc, LC) else lc
+        stacked = vstack([self._bin_one_group(g, k, delta) for g, k in pairs])
+        out = stacked if isinstance(stacked, LC) else LC(stacked)
         out.meta = self.meta
         return out
 

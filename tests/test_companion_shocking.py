@@ -115,7 +115,7 @@ def test_companion_shocking2_fit_recovers_truth():
     sampler = lightcurve_mcmc(lc, model, priors=priors,
                               p_lo=[57818.0, 0.2, 0.5, 57838.0, 0.8, -1.0, -1.0],
                               p_up=[57822.0, 1.0, 2.0, 57842.0, 1.2, 1.0, 1.0],
-                              nwalkers=32, nsteps=400, nsteps_burnin=400, seed=12)
+                              nwalkers=32, nsteps=250, nsteps_burnin=300, seed=12)
     med = np.median(sampler.flatchain, axis=0)
     assert med[0] == pytest.approx(truth["t_exp"], abs=1.0)
     assert med[3] == pytest.approx(truth["t_peak"], abs=1.0)

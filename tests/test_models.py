@@ -280,7 +280,7 @@ def test_shockcooling3_fit_recovers_truth():
     sampler = lightcurve_mcmc(lc, model, priors=priors,
                               p_lo=[0.5, 0.5, 5.0, 0.5, 39.99, 0.05, 0.0],
                               p_up=[2.5, 2.0, 20.0, 3.0, 40.01, 0.4, 0.6],
-                              nwalkers=32, nsteps=300, nsteps_burnin=400, seed=21)
+                              nwalkers=32, nsteps=200, nsteps_burnin=300, seed=21)
     med = np.median(sampler.flatchain, axis=0)
     # degenerate physical params; check the well-constrained combinations
     assert med[5] == pytest.approx(0.15, abs=0.1)       # E(B-V)
