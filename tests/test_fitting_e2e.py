@@ -173,3 +173,47 @@ def test_corner_with_filters_to_model(fit, tmp_path):
     lightcurve_model_plot(lc_early, model, sampler.flatchain, ax=ax,
                           filters_to_model=["g", "r"], num_models_to_plot=10)
     plt.close("all")
+
+
+def test_interval_tex_formatting():
+    """Sig-fig rounding incl. the double-round (0.098 -> 0.1 changes the
+    decimal place) and the symmetric +/- collapse."""
+    from lightcurve_fitting_tpu.fitting import _interval_tex
+    assert _interval_tex(4.74, 5.05, 6.05, 1) == "5.0^{+1.0}_{-0.3}"
+    # symmetric after rounding -> \pm form
+    assert _interval_tex(3.0, 5.0, 7.0, 1) == "5 \\pm 2"
+    # double rounding: 0.098 rounds to 0.1, moving the decimal place
+    assert _interval_tex(5.0 - 0.098, 5.0, 5.098, 1) == "5.0 \\pm 0.1"
+    # negative decimals clamp to integer display
+    assert _interval_tex(100.0, 150.0, 230.0, 1) == "150^{+80}_{-50}"
+
+
+def test_attach_units_preserves_reference_strip_quirk():
+    """Quantity units factor out as x 10^e; the reference then strips every
+    '.0}' inside the wrapped value (reference fitting.py:486-492)."""
+    from lightcurve_fitting_tpu.fitting import _attach_units
+    from lightcurve_fitting_tpu.utils import units as u
+    out = _attach_units(["5.0^{+1.0}_{-0.3}"], ["L_1"], [1e42 * u.erg / u.s])
+    (text,) = out
+    assert "\\times 10^{42}" in text            # 42.0 -> 42
+    assert "^{+1}" in text                      # +1.0} -> +1} (the quirk)
+    assert "_{-0.3}" in text                    # non-.0 values untouched
+    assert text.startswith("$L_1 = (")
+
+
+def test_calc_colors_limit_flags():
+    from lightcurve_fitting_tpu.bolometric import calc_colors
+    from lightcurve_fitting_tpu.lightcurve import LC
+    from lightcurve_fitting_tpu.filters import filtdict
+    epoch = LC([[57500.0, 57500.0], [filtdict["B"], filtdict["V"]],
+                [-17.0, -17.5], [0.05, 0.08], [False, True]],
+               names=["MJD", "filter", "absmag", "dmag", "nondet"])
+    mags, dmags, lolims, uplims = calc_colors(epoch, ["B-V", "g-r"])
+    assert mags[0] == pytest.approx(0.5)
+    assert dmags[0] == pytest.approx(np.hypot(0.05, 0.08))
+    assert (lolims[0], uplims[0]) == (False, True)   # V is a nondetection
+    assert np.isnan(mags[1]) and lolims[1] and uplims[1]  # g,r absent
+    # both nondetections -> unconstrained color
+    epoch["nondet"] = np.array([True, True])
+    mags2, _, lo2, up2 = calc_colors(epoch, ["B-V"])
+    assert np.isnan(mags2[0]) and lo2[0] and up2[0]

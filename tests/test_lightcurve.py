@@ -152,3 +152,60 @@ def test_write_roundtrip(lc, tmp_path):
     back = LC.read(str(out))
     assert len(back) == len(lc)
     assert back["filter"][0] is filtdict["unfilt."]
+
+
+def test_where_edge_cases(lc):
+    """List-valued criteria, _not with lists, None matching, and shared
+    marker-dict behavior of the criteria engine."""
+    both = lc.where(filter=["g", "r"])
+    assert set(f.name for f in both["filter"]) <= {"g", "r"}
+    neither = lc.where(filter_not=["g", "r"])
+    assert not any(f.name in ("g", "r") for f in neither["filter"])
+    # combined range + equality criteria AND together
+    sub = lc.where(MJD_min=57470.0, MJD_max=57480.0, nondet=False)
+    assert len(sub) and np.asarray(sub["MJD"]).min() >= 57470.0
+    assert not np.asarray(sub["nondet"]).any()
+    # selections share (not copy) the marker assignments
+    sel = lc.where(filter="g")
+    assert sel.markers is lc.markers
+
+
+def test_filtsetup_offset_collision_adds_column():
+    """Two systems in one row colliding on an offset duplicate that offset's
+    column instead of overwriting (reference lightcurve.py:865-872)."""
+    filts = {filtdict[n] for n in ["U", "B", "V", "R", "I", "u", "g", "r", "i", "z"]}
+    grid = filtsetup(filts)
+    placed = [f for f in grid.flatten() if f is not None]
+    assert len(placed) == len(filts)
+    assert grid[0, 0] is not None
+
+
+def test_custom_legend_above_variants(lc, tmp_path):
+    import matplotlib.pyplot as plt
+    from lightcurve_fitting_tpu.lightcurve import custom_legend
+    for loc in ("above", "above left", "above right"):
+        fig, ax = plt.subplots()
+        lines = [plt.Line2D([], [], marker="o", ls="none")] * 3
+        lgd = custom_legend(ax, list(lines), ["a", "b", "c"], loc=loc, ncol=2)
+        assert lgd is not None
+        plt.close(fig)
+    # loc='none' and loc=None draw nothing
+    fig, ax = plt.subplots()
+    assert custom_legend(ax, [], [], loc="none") is None
+    plt.close("all")
+
+
+def test_binflux_numpy_fallback_matches_native(monkeypatch):
+    """The numpy fallback (seeded-group labeling + bin combiner) must agree
+    exactly with the native kernel on the same data."""
+    from lightcurve_fitting_tpu.utils import native
+    rng = np.random.default_rng(2)
+    t = np.sort(rng.uniform(0, 30, 200))
+    f = rng.normal(5.0, 1.0, 200)
+    df = rng.uniform(0.1, 0.5, 200)
+    df[::17] = 0.0  # exercise the no-error-bar rule in some bins
+    ref = binflux(t, f, df, delta=0.7)
+    monkeypatch.setattr(native, "binflux_native", lambda *a, **k: None)
+    out = binflux(t, f, df, delta=0.7)
+    for a, b in zip(ref, out):
+        np.testing.assert_allclose(np.asarray(a, float), np.asarray(b, float), rtol=1e-12)

@@ -180,3 +180,37 @@ def test_thin_by():
     assert s.get_chain().shape == (50, 16, 2)
     # acceptance accounts for all 200 steps
     assert s._nsteps_total == 200
+
+
+def test_replicated_ensembles_sample_correctly():
+    """replicas=R runs R independent ensembles in one vmapped scan; pooled
+    chains reproduce the target moments and bookkeeping shapes scale by R."""
+    import jax.numpy as jnp
+    from lightcurve_fitting_tpu.parallel.sampler import EnsembleSampler
+
+    def logp(p):
+        return -0.5 * jnp.sum(p ** 2)
+
+    s = EnsembleSampler(16, 3, logp, seed=0, replicas=4)
+    assert s.total_walkers == 64
+    rng = np.random.default_rng(0)
+    pos, lp, _ = s.run_mcmc(rng.normal(size=(64, 3)), 50)
+    assert pos.shape == (64, 3) and lp.shape == (64,)
+    s.reset()
+    s.run_mcmc(None, 300)
+    flat = s.flatchain
+    assert flat.shape == (300 * 64, 3)
+    assert s.chain.shape == (64, 300, 3)
+    assert np.all(np.abs(flat.mean(0)) < 0.15)
+    assert np.all(np.abs(flat.std(0) - 1.0) < 0.15)
+    assert 0.2 < s.acceptance_fraction.mean() < 0.9
+    # checkpoint roundtrip preserves the replicated state
+    import tempfile, os
+    with tempfile.TemporaryDirectory() as d:
+        path = os.path.join(d, "ck.npz")
+        s.save_checkpoint(path)
+        s2 = EnsembleSampler(16, 3, logp, seed=1, replicas=4)
+        s2.load_checkpoint(path)
+        p1, l1, _ = s.run_mcmc(None, 1)
+        # same restored positions feed the next step
+        assert s2._pos_internal.shape == s._pos_internal.shape
