@@ -139,22 +139,25 @@ def _select_sampler(log_posterior, nwalkers, ndim, seed, replicas=1, mesh=None,
       counts).
     """
     if replicas > 1:
-        if shard:
+        if shard or mesh is not None:
             raise ValueError("replicas > 1 and walker sharding are mutually exclusive")
         return EnsembleSampler(nwalkers, ndim, log_posterior, seed=seed,
                                replicas=replicas, store_dtype=store_dtype)
 
     n_dev = mesh.devices.size if mesh is not None else jax.device_count()
-    divisible = n_dev > 1 and (nwalkers // 2) % n_dev == 0
-    want = shard if shard is not None else divisible
-    if want:
+    divisible = (nwalkers // 2) % n_dev == 0
+    # explicit requests (shard=True or a user-supplied mesh) always shard —
+    # or fail loudly; auto mode shards only when it can and it helps
+    explicit = shard is True or (shard is None and mesh is not None)
+    if shard is not False and (explicit or (n_dev > 1 and divisible)):
         from .parallel.mesh import ShardedEnsembleSampler, walker_mesh
         if not divisible:
             raise ValueError(f"nwalkers/2 = {nwalkers // 2} must divide evenly over "
                              f"{n_dev} devices for sharding; pass shard=False or "
                              "adjust nwalkers")
         return ShardedEnsembleSampler(nwalkers, ndim, log_posterior,
-                                      mesh=mesh or walker_mesh(), seed=seed)
+                                      mesh=mesh or walker_mesh(), seed=seed,
+                                      store_dtype=store_dtype)
     return EnsembleSampler(nwalkers, ndim, log_posterior, seed=seed,
                            store_dtype=store_dtype)
 
@@ -583,7 +586,10 @@ def lightcurve_model_plot(lc, model, sampler_flatchain, model_kwargs=None,
 
 def _decimals_for(uncertainty, sigfigs):
     """Decimal places that keep ``sigfigs`` significant figures of the
-    uncertainty."""
+    uncertainty. A degenerate (zero-width or non-finite) interval displays as
+    an integer rather than crashing on log10(0)."""
+    if not np.isfinite(uncertainty) or uncertainty <= 0.0:
+        return 0
     return sigfigs - int(np.floor(np.log10(uncertainty))) - 1
 
 

@@ -14,9 +14,10 @@ The implementation is organised around three small engines of our own:
   parses ``where()`` keywords into (column, relation, value) triples and
   evaluates each as a boolean mask (behavioral spec:
   reference lightcurve.py:87-134);
-* **conversion kernels** (:func:`_limits_to_fluxes`, :func:`flux2mag`,
-  :func:`mag2flux`) expressed through a shared masked-float coercion and
-  ``np.ma.where`` substitution (spec: reference lightcurve.py:878-941);
+* **conversion kernels** (:func:`flux2mag`, :func:`mag2flux`) expressed
+  through a shared masked-float coercion (:func:`_as_float_masked`) and
+  ``np.ma.where`` nondetection substitution (spec: reference
+  lightcurve.py:878-941);
 * a **plot styling resolver** (:class:`_StyleBook`) that maps each plotted
   group to its color/marker/edge styles, keeping :meth:`LC.plot` itself an
   orchestration loop (spec: reference lightcurve.py:419-668).
@@ -143,11 +144,11 @@ def _criterion_mask(table, column, relation, value):
         return np.asarray(data <= value)
 
     values = value if isinstance(value, list) else [value]
-    if any(v is None for v in values):
-        hit = np.array([row is None for row in data])
-    else:
-        hit = np.zeros(len(table), bool)
-        for v in values:
+    hit = np.zeros(len(table), bool)
+    for v in values:
+        if v is None:
+            hit |= np.array([row is None for row in data])
+        else:
             hit |= np.ma.filled(np.ma.MaskedArray(data == v), False)
     return ~hit if relation == "exclude" else hit
 
@@ -387,13 +388,16 @@ class LC(Table):
                           for f in self["filter"]]
         for requested, fallbacks, axis in ((xcol, ["phase", "MJD"], "x"),
                                            (ycol, ["absmag", "mag"], "y")):
-            chain = list(fallbacks)
-            while requested not in self.keys():
-                if requested in chain:
-                    chain.remove(requested)
-                if not chain:
+            if requested not in self.keys():
+                # only the documented fallback chains substitute silently
+                # (phase -> MJD, absmag -> mag); an unrecognized column is a
+                # loud error, as in the reference (lightcurve.py:497-509)
+                if requested not in fallbacks:
+                    raise Exception(f'no columns found for {axis}-axis ("{requested}")')
+                chain = fallbacks[fallbacks.index(requested) + 1:]
+                requested = next((c for c in chain if c in self.keys()), None)
+                if requested is None:
                     raise Exception(f"no columns found for {axis}-axis")
-                requested = chain[0]
             if axis == "x":
                 xcol = requested
             else:

@@ -55,8 +55,13 @@ def initialize(coordinator_address=None, num_processes=None, process_id=None,
         num_processes = int(os.environ.get("JAX_NUM_PROCESSES", "1"))
     if process_id is None:
         process_id = int(os.environ.get("JAX_PROCESS_ID", "0"))
-    if num_processes <= 1 or coordinator_address is None:
+    if num_processes <= 1:
         return False
+    if coordinator_address is None:
+        # a multi-process launch without a coordinator would leave every host
+        # believing it is process 0/1 and fitting the WHOLE population
+        raise ValueError("num_processes > 1 requires a coordinator address "
+                         "(JAX_COORDINATOR_ADDRESS or coordinator_address=)")
     jax.distributed.initialize(coordinator_address=coordinator_address,
                                num_processes=num_processes, process_id=process_id,
                                local_device_ids=local_device_ids)

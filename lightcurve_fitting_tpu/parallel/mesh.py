@@ -72,10 +72,11 @@ class ShardedEnsembleSampler(EnsembleSampler):
     half); chains/acceptance bookkeeping are gathered to host as usual."""
 
     def __init__(self, nwalkers, ndim, log_prob_fn, mesh=None, axis_name="walkers",
-                 a=2.0, seed=None, dtype=jnp.float64):
+                 a=2.0, seed=None, dtype=jnp.float64, store_dtype=None):
         self.mesh = mesh if mesh is not None else walker_mesh(axis_name=axis_name)
         self.axis_name = axis_name
-        super().__init__(nwalkers, ndim, log_prob_fn, a=a, seed=seed, dtype=dtype)
+        super().__init__(nwalkers, ndim, log_prob_fn, a=a, seed=seed, dtype=dtype,
+                         store_dtype=store_dtype)
         self._step = make_sharded_stretch_step(log_prob_fn, nwalkers, ndim,
                                                self.mesh, axis_name, a)
         self._run_jit = {}

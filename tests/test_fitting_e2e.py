@@ -217,3 +217,34 @@ def test_calc_colors_limit_flags():
     epoch["nondet"] = np.array([True, True])
     mags2, _, lo2, up2 = calc_colors(epoch, ["B-V"])
     assert np.isnan(mags2[0]) and lo2[0] and up2[0]
+
+
+def test_interval_tex_degenerate_width():
+    """Zero-width intervals format as integers instead of crashing on
+    log10(0)."""
+    from lightcurve_fitting_tpu.fitting import format_credible_interval
+    x = np.full((100, 2), 5.0)
+    x[:, 1] = np.linspace(0, 1, 100)
+    texts = format_credible_interval(x)
+    assert texts[0] == "5 \\pm 0"
+
+
+def test_explicit_mesh_always_shards():
+    """A user-supplied mesh= shards even on a 1-device mesh; indivisible
+    walker counts fail loudly instead of silently ignoring the mesh."""
+    import jax.numpy as jnp
+    from lightcurve_fitting_tpu.fitting import _select_sampler
+    from lightcurve_fitting_tpu.parallel.mesh import ShardedEnsembleSampler, walker_mesh
+
+    def logp(p):
+        return -0.5 * jnp.sum(p ** 2)
+
+    mesh1 = walker_mesh(1)
+    s = _select_sampler(logp, 8, 2, seed=0, mesh=mesh1)
+    assert isinstance(s, ShardedEnsembleSampler)
+    mesh8 = walker_mesh(8)
+    with pytest.raises(ValueError, match="divide evenly"):
+        _select_sampler(logp, 20, 2, seed=0, mesh=mesh8)
+    # shard=False always wins
+    s2 = _select_sampler(logp, 32, 2, seed=0, shard=False)
+    assert not isinstance(s2, ShardedEnsembleSampler)

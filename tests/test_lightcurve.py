@@ -209,3 +209,22 @@ def test_binflux_numpy_fallback_matches_native(monkeypatch):
     out = binflux(t, f, df, delta=0.7)
     for a, b in zip(ref, out):
         np.testing.assert_allclose(np.asarray(a, float), np.asarray(b, float), rtol=1e-12)
+
+
+def test_where_list_with_none_applies_all_entries():
+    """A None inside a list value matches alongside the other entries
+    (reference lightcurve.py:108-113 applies every list element)."""
+    t = LC([[1.0, 2.0, 3.0], [18.0, 18.5, 19.0], [0.1, 0.1, 0.1],
+            ["g", "g", "g"]], names=["MJD", "mag", "dmag", "filter"])
+    t["source"] = np.array([None, "ATLAS", "ZTF"], dtype=object)
+    both = t.where(source=[None, "ATLAS"])
+    assert len(both) == 2
+    neither = t.where(source_not=[None, "ATLAS"])
+    assert len(neither) == 1 and neither["source"][0] == "ZTF"
+
+
+def test_plot_unknown_column_raises(lc):
+    with pytest.raises(Exception, match="no columns found"):
+        lc.plot(ycol="bogus_quantity")
+    with pytest.raises(Exception, match="no columns found"):
+        lc.plot(xcol="bogus_x")
