@@ -17,6 +17,10 @@ Run: python examples/fit_hmc.py
 """
 
 import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))  # run without installing
+
 
 import numpy as np
 

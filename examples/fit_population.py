@@ -9,7 +9,11 @@ On one TPU v5e chip the 64-transient fit runs in ~1 s after compilation.
 Run: python examples/fit_population.py [n_transients]
 """
 
+import os
 import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))  # run without installing
+
 import time
 
 import numpy as np

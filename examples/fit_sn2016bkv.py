@@ -11,6 +11,9 @@ Run: python examples/fit_sn2016bkv.py [outdir]
 import os
 import sys
 
+sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))  # run without installing
+
+
 import matplotlib
 matplotlib.use("Agg")
 import matplotlib.pyplot as plt
