@@ -1,11 +1,12 @@
 #!/usr/bin/env python
-"""Gradient-based HMC on the SN 2016bkv ShockCooling2 posterior — inference the
+"""Gradient-based NUTS on the SN 2016bkv ShockCooling2 posterior — inference the
 reference package cannot perform (its numpy models are not differentiable).
 
 One call: ``lightcurve_hmc`` warm-starts from a short ensemble run, removes the
 hard prior box with a bounds bijection, whitens with the warm covariance, and
-runs adaptive HMC — no manual mass-matrix scales. Soft Gaussian priors keep
-gradients informative everywhere.
+runs the no-U-turn sampler (dynamic trajectories) — no manual mass-matrix or
+trajectory-length tuning. Soft Gaussian priors keep gradients informative
+everywhere.
 
 Note what the chains reveal (see tests/test_hmc.py and VALIDATION.md): this
 posterior is a *thin* ridge — HMC contracts onto it from a wide start ~50x

@@ -316,10 +316,11 @@ class _HMCFitResult:
 
 
 def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples=1000,
-                   n_warmup=800, n_leapfrog=32, use_sigma=False, sigma_type="relative",
-                   seed=None, warmup_walkers=64, warmup_steps=300,
+                   n_warmup=800, sampler="nuts", max_depth=9, n_leapfrog=32,
+                   use_sigma=False, sigma_type="relative", seed=None,
+                   warmup_walkers=64, warmup_steps=300,
                    save_sampler_as="", quiet=False):
-    """One-call Hamiltonian Monte Carlo fit of a light-curve model.
+    """One-call gradient-based fit of a light-curve model (NUTS by default).
 
     The flagship beyond-reference capability as a product API, shaped like
     :func:`lightcurve_mcmc` (reference fitting.py:16-168): takes an LC +
@@ -327,7 +328,7 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
     ``flatchain``/``chain``/``acceptance_fraction`` in parameter space.
 
     Geometry is handled automatically (the manual ``init_scales`` tuning the
-    raw :class:`HMCSampler` needs):
+    raw samplers need):
 
     1. a short stretch-move ensemble run locates the typical set;
     2. box prior bounds are removed by a Stan-style sigmoid/exp bijection
@@ -337,16 +338,22 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
     3. the warm samples' full covariance whitens the unbounded space
        (:class:`~.parallel.hmc.WhitenedPosterior`), aligning the unit mass
        with ridge-shaped degeneracies;
-    4. HMC runs in whitened space; chains are mapped back through both
-       bijections.
+    4. ``sampler="nuts"`` (default) runs the no-U-turn sampler in whitened
+       space — dynamic trajectories handle the residual nonlinear ridge
+       (R-hat ~ 1.02 on the flagship posterior, VALIDATION.md);
+       ``sampler="hmc"`` uses fixed ``n_leapfrog`` trajectories instead.
+    5. Chains are mapped back through both bijections.
     """
     from .parallel.hmc import HMCSampler, BoundsTransform, WhitenedPosterior
+    from .parallel.nuts import NUTSSampler
 
     _derive_fit_columns(lc, model)
     _ensure_sigma_param(model, use_sigma)
     ndim = model.nparams
     if len(priors) != ndim:
         raise Exception("priors must have length {:d}".format(ndim))
+    if sampler not in ("nuts", "hmc"):
+        raise ValueError('sampler must be "nuts" or "hmc"')
 
     log_posterior = make_log_posterior(model, lc, priors, use_sigma, sigma_type)
     lo, up = _hmc_init_window(priors, p_lo, p_up, ndim)
@@ -358,6 +365,7 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
     warm.run_mcmc(guesses, warmup_steps, progress=not quiet,
                   progress_kwargs={"desc": " HMC warm start"})
     warm_flat = warm.get_chain(flat=True, discard=warmup_steps // 2)
+    warm_logp = warm.get_log_prob(flat=True, discard=warmup_steps // 2)
 
     bounds = BoundsTransform([getattr(p, "p_min", -np.inf) for p in priors],
                              [getattr(p, "p_max", np.inf) for p in priors])
@@ -368,21 +376,35 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
         uvec = white.to_u(w)
         return log_posterior(bounds.to_bounded(uvec)) + bounds.log_jacobian(uvec)
 
-    w0 = white.to_w(warm_u[rng.choice(warm_u.shape[0], nchains, replace=False)])
-    hmc = HMCSampler(nchains, ndim, log_posterior_w, n_leapfrog=n_leapfrog, seed=seed)
-    hmc.run_mcmc(w0, nsamples, n_warmup=n_warmup)
+    # seed chains from the warm draws already inside the typical set: short
+    # warm runs still carry low-probability stragglers from the contraction
+    # transient, and a chain seeded on one wastes its whole warmup escaping
+    good = np.flatnonzero(warm_logp >= np.median(warm_logp))
+    seeds = good[rng.choice(good.size, nchains, replace=good.size < nchains)]
+    w0 = white.to_w(warm_u[seeds])
+    if sampler == "nuts":
+        engine = NUTSSampler(nchains, ndim, log_posterior_w, max_depth=max_depth,
+                             seed=seed)
+    else:
+        engine = HMCSampler(nchains, ndim, log_posterior_w, n_leapfrog=n_leapfrog,
+                            seed=seed)
+    engine.run_mcmc(w0, nsamples, n_warmup=n_warmup)
 
-    u_chain = white.u_from_w_chain(hmc._chain)
+    u_chain = white.u_from_w_chain(engine._chain)
     x_chain = np.asarray(bounds.to_bounded(jnp.asarray(u_chain)))
-    result = _HMCFitResult(hmc, x_chain)
+    result = _HMCFitResult(engine, x_chain)
 
     if save_sampler_as:
         np.save(save_sampler_as, result.flatchain)
         print("saving sampler.flatchain as " + save_sampler_as)
     if not quiet:
         from .parallel.diagnostics import split_rhat
-        print(f"HMC: step size {hmc.step_size:.3g}, mean acceptance "
-              f"{float(hmc.acceptance_fraction.mean()):.3f}")
+        extra = ""
+        if sampler == "nuts":
+            extra = (f", mean tree depth {engine.mean_tree_depth:.1f}, "
+                     f"divergence rate {engine.divergence_rate:.3f}")
+        print(f"{sampler.upper()}: step size {engine.step_size:.3g}, mean acceptance "
+              f"{float(engine.acceptance_fraction.mean()):.3f}{extra}")
         rhat = split_rhat(x_chain)
         for name, r in zip(model.input_names, np.atleast_1d(rhat)):
             print(f"  {name}: R-hat = {r:.3f}  (independent chains)")

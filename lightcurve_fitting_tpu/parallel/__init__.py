@@ -6,6 +6,7 @@ from .mesh import ShardedEnsembleSampler, walker_mesh, make_sharded_stretch_step
 from .batched import pack_epochs, batched_blackbody_mcmc  # noqa: F401
 from .population import pack_population, fit_population  # noqa: F401
 from .hmc import HMCSampler, BoundsTransform, WhitenedPosterior  # noqa: F401
+from .nuts import NUTSSampler  # noqa: F401
 from . import distributed  # noqa: F401
 from .host_sampler import HostEnsembleSampler  # noqa: F401
 from .diagnostics import split_rhat, effective_sample_size, summarize_chain  # noqa: F401

@@ -1,0 +1,311 @@
+"""No-U-Turn sampler (NUTS): dynamic-trajectory HMC, jit-compiled end-to-end.
+
+Why it exists here: round-2 validation (VALIDATION.md) showed the flagship
+posterior is a thin curved ridge on which fixed-length HMC needs hand-picked
+trajectory lengths and the stretch-move ensemble contracts for thousands of
+steps. NUTS adapts the trajectory per transition — the standard remedy
+(Hoffman & Gelman 2014; multinomial variant per Betancourt 2017). The
+reference package cannot offer any gradient-based sampler at all (numpy
+models, models.py throughout).
+
+TPU-first design decisions:
+
+* **Full-trajectory buffering.** Astronomy-model posteriors here are tiny
+  (ndim ~ 4-10), so a transition keeps *every* visited state in a fixed
+  ``(2^max_depth, ndim)`` buffer instead of the O(max_depth) checkpoint
+  stack classic implementations need. That turns the subtree U-turn checks
+  into masked vector reductions over static shapes — compiler-friendly, no
+  recursion, no dynamic shapes.
+* One transition is a ``lax.while_loop`` over tree doublings; each doubling
+  integrates ``2^depth`` leapfrog steps with a ``lax.fori_loop`` (traced trip
+  count). Chains are ``vmap``-ed; the whole chain history is one
+  ``lax.scan``.
+* Divergences (|dH| > 1000) invalidate the subtree, matching Stan.
+
+API parallels :class:`HMCSampler`; the product entry point is
+``fitting.lightcurve_hmc(..., sampler="nuts")``, which composes this with the
+bounds bijection + whitening.
+"""
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+import jax.random as jr
+
+__all__ = ["NUTSSampler"]
+
+_DIVERGENCE = 1000.0
+
+
+def _leapfrog(logp_and_grad, q, p, eps, inv_mass):
+    """One kick-drift-kick step; NaN-safe gradients (out-of-support points
+    carry zero gradient and are killed by their -inf weight instead)."""
+    _, g = logp_and_grad(q)
+    g = jnp.where(jnp.isfinite(g), g, 0.0)
+    p = p + 0.5 * eps * g
+    q = q + eps * inv_mass * p
+    logp, g2 = logp_and_grad(q)
+    g2 = jnp.where(jnp.isfinite(g2), g2, 0.0)
+    p = p + 0.5 * eps * g2
+    return q, p, logp
+
+
+def _subtree_turns(Q, P, n_new, direction, inv_mass, max_len):
+    """Any U-turn inside the freshly built subtree.
+
+    Q, P: (max_len, ndim) buffers holding the subtree's states in generation
+    order (only the first ``n_new`` rows are valid). The doubling structure
+    requires the check between the endpoints of every aligned power-of-two
+    block; blocks are enumerated per level with static shapes and masked by
+    validity. ``direction`` orients the displacement into forward time.
+    """
+    V = P * inv_mass
+    turned = jnp.asarray(False)
+    levels = int(np.log2(max_len)) if max_len > 1 else 0
+    for k in range(1, levels + 1):
+        size = 2 ** k
+        starts = jnp.arange(0, max_len, size)
+        ends = starts + size - 1
+        valid = ends < n_new
+        s = jnp.where(valid, starts, 0)
+        e = jnp.where(valid, ends, 0)
+        dq = direction * (Q[e] - Q[s])                      # (nblocks, ndim)
+        bad = (jnp.sum(V[s] * dq, axis=-1) < 0.0) | (jnp.sum(V[e] * dq, axis=-1) < 0.0)
+        turned = turned | jnp.any(bad & valid)
+    return turned
+
+
+def _ends_turn(q_l, p_l, q_r, p_r, inv_mass):
+    dq = q_r - q_l
+    return (jnp.sum(p_l * inv_mass * dq) < 0.0) | (jnp.sum(p_r * inv_mass * dq) < 0.0)
+
+
+def make_nuts_transition(log_prob_fn, ndim, max_depth=8):
+    """Build ``transition(q, logp, key, eps, inv_mass) -> (q', logp', stats)``
+    for one chain; vmap over chains. ``stats`` = (accept_stat, depth,
+    diverged)."""
+    logp_and_grad = jax.value_and_grad(log_prob_fn)
+    max_len = 2 ** (max_depth - 1) if max_depth > 1 else 1
+
+    def transition(q0, logp0, key, eps, inv_mass):
+        k_mom, k_loop = jr.split(key)
+        p0 = jr.normal(k_mom, (ndim,)) / jnp.sqrt(inv_mass)
+        h0 = -logp0 + 0.5 * jnp.sum(p0 * p0 * inv_mass)
+
+        def build_subtree(end_q, end_p, direction, n_steps, key):
+            """Integrate ``n_steps`` leapfrogs from one tree end; returns the
+            buffered states, their weights, the new end, the subtree's
+            multinomial proposal, and validity stats."""
+            Q = jnp.zeros((max_len, ndim), q0.dtype)
+            P = jnp.zeros((max_len, ndim), q0.dtype)
+            logw = jnp.full((max_len,), -jnp.inf, q0.dtype)
+            logps = jnp.zeros((max_len,), q0.dtype)
+            alphas = jnp.zeros((max_len,), q0.dtype)
+
+            def body(i, carry):
+                q, p, Q, P, logw, logps, alphas = carry
+                q, p, logp = _leapfrog(logp_and_grad, q, p, direction * eps, inv_mass)
+                h = -logp + 0.5 * jnp.sum(p * p * inv_mass)
+                h = jnp.where(jnp.isnan(h), jnp.inf, h)
+                Q = Q.at[i].set(q)
+                P = P.at[i].set(p)
+                logw = logw.at[i].set(h0 - h)
+                logps = logps.at[i].set(logp)
+                alphas = alphas.at[i].set(jnp.minimum(1.0, jnp.exp(h0 - h)))
+                return q, p, Q, P, logw, logps, alphas
+
+            q_e, p_e, Q, P, logw, logps, alphas = jax.lax.fori_loop(
+                0, n_steps, body, (end_q, end_p, Q, P, logw, logps, alphas))
+
+            in_range = jnp.arange(max_len) < n_steps
+            diverged = jnp.any(in_range & (logw < -_DIVERGENCE))
+            turned = _subtree_turns(Q, P, n_steps, direction, inv_mass, max_len)
+            logw_masked = jnp.where(in_range, logw, -jnp.inf)
+            logW = jax.scipy.special.logsumexp(logw_masked)
+            # multinomial draw from the subtree via Gumbel argmax
+            g = -jnp.log(-jnp.log(jr.uniform(key, (max_len,))))
+            idx = jnp.argmax(logw_masked + g)
+            alpha_sum = jnp.sum(jnp.where(in_range, alphas, 0.0))
+            return (Q[idx], logps[idx], logW, q_e, p_e, turned | diverged,
+                    diverged, alpha_sum)
+
+        # loop state: tree ends, proposal, total weight, flags, rng
+        init = (q0, p0, q0, p0,            # left end, right end
+                q0, logp0,                 # current proposal
+                jnp.asarray(0.0, q0.dtype),  # logW of the accepted tree (w0 = 1)
+                jnp.asarray(False), jnp.asarray(False),  # turned, diverged
+                jnp.asarray(0, jnp.int32),               # depth
+                jnp.asarray(0.0, q0.dtype), jnp.asarray(0.0, q0.dtype),  # alpha sum/count
+                k_loop)
+
+        def cond(state):
+            turned, diverged, depth = state[7], state[8], state[9]
+            return jnp.logical_and(depth < max_depth,
+                                   jnp.logical_not(turned | diverged))
+
+        def body(state):
+            (q_l, p_l, q_r, p_r, q_prop, logp_prop, logW, turned, diverged,
+             depth, a_sum, a_cnt, key) = state
+            key, k_dir, k_sel, k_acc = jr.split(key, 4)
+            direction = jnp.where(jr.bernoulli(k_dir), 1.0, -1.0).astype(q0.dtype)
+            n_steps = jnp.asarray(2, jnp.int32) ** depth
+            end_q = jnp.where(direction > 0, q_r, q_l)
+            end_p = jnp.where(direction > 0, p_r, p_l)
+            (q_new, logp_new, logW_new, q_e, p_e, bad_subtree, div_new,
+             alpha_sum) = build_subtree(end_q, end_p, direction, n_steps, k_sel)
+
+            # biased progressive sampling: take the new subtree's proposal
+            # with probability min(1, W_new / W_old)
+            take = jnp.log(jr.uniform(k_acc)) < (logW_new - logW)
+            take = take & jnp.logical_not(bad_subtree)
+            q_prop = jnp.where(take, q_new, q_prop)
+            logp_prop = jnp.where(take, logp_new, logp_prop)
+
+            q_l2 = jnp.where(direction > 0, q_l, q_e)
+            p_l2 = jnp.where(direction > 0, p_l, p_e)
+            q_r2 = jnp.where(direction > 0, q_e, q_r)
+            p_r2 = jnp.where(direction > 0, p_e, p_r)
+            # a bad subtree terminates growth without being merged
+            logW2 = jnp.where(bad_subtree, logW, jnp.logaddexp(logW, logW_new))
+            turned2 = bad_subtree | _ends_turn(q_l2, p_l2, q_r2, p_r2, inv_mass)
+            return (jnp.where(bad_subtree, q_l, q_l2), jnp.where(bad_subtree, p_l, p_l2),
+                    jnp.where(bad_subtree, q_r, q_r2), jnp.where(bad_subtree, p_r, p_r2),
+                    q_prop, logp_prop, logW2, turned2, diverged | div_new,
+                    depth + 1, a_sum + alpha_sum, a_cnt + n_steps.astype(q0.dtype), key)
+
+        out = jax.lax.while_loop(cond, body, init)
+        (q_l, p_l, q_r, p_r, q_prop, logp_prop, logW, turned, diverged,
+         depth, a_sum, a_cnt, _key) = out
+        accept_stat = a_sum / jnp.maximum(a_cnt, 1.0)
+        return q_prop, logp_prop, (accept_stat, depth, diverged)
+
+    return transition
+
+
+class NUTSSampler:
+    """Multi-chain adaptive NUTS. API parallels :class:`HMCSampler`:
+    ``run_mcmc(initial, n_samples, n_warmup)``, ``flatchain``, ``chain``,
+    ``acceptance_fraction`` (mean accept-stat), plus ``mean_tree_depth`` and
+    ``divergence_rate`` diagnostics."""
+
+    def __init__(self, nchains, ndim, log_prob_fn, max_depth=8, target_accept=0.8,
+                 init_step_size=0.1, init_scales=None, seed=None):
+        self.nchains = int(nchains)
+        self.ndim = int(ndim)
+        self.max_depth = int(max_depth)
+        self.target_accept = float(target_accept)
+        self.init_step_size = float(init_step_size)
+        self.init_scales = (np.ones(ndim) if init_scales is None
+                            else np.asarray(init_scales, float))
+        self._log_prob_fn = log_prob_fn
+        self._transition = make_nuts_transition(log_prob_fn, self.ndim, self.max_depth)
+        if seed is None:
+            seed = np.random.randint(0, 2 ** 31 - 1)
+        self._key = jr.PRNGKey(seed)
+        self.reset()
+
+    def reset(self):
+        self._chain = np.empty((0, self.nchains, self.ndim))
+        self._accept_sum = np.zeros(self.nchains)
+        self._depth_sum = np.zeros(self.nchains)
+        self._divergences = np.zeros(self.nchains)
+        self._nsteps = 0
+        self.step_size = None
+        self.inv_mass = None
+
+    def run_mcmc(self, initial_state, n_samples, n_warmup=500):
+        x0 = jnp.asarray(np.asarray(initial_state, float))
+        if x0.shape != (self.nchains, self.ndim):
+            raise ValueError(f"initial_state must be {(self.nchains, self.ndim)}")
+        logp0 = jax.vmap(self._log_prob_fn)(x0)
+        if not bool(jnp.all(jnp.isfinite(logp0))):
+            raise ValueError("non-finite initial log-probability")
+
+        transition = self._transition
+        nchains = self.nchains
+        gamma, t0, kappa = 0.05, 10.0, 0.75
+
+        def make_warmup_step(mu):
+            def warmup_step(carry, key):
+                x, logp, inv_mass, log_eps, log_eps_bar, h_bar, m, mean, m2, i = carry
+                keys = jr.split(key, nchains)
+                eps = jnp.exp(log_eps)
+                x, logp, (astat, _depth, _div) = jax.vmap(
+                    lambda xi, li, ki: transition(xi, li, ki, eps, inv_mass)
+                )(x, logp, keys)
+                a = jnp.mean(astat)
+                h_bar = (1.0 - 1.0 / (i + 1 + t0)) * h_bar \
+                    + (self.target_accept - a) / (i + 1 + t0)
+                log_eps = mu - jnp.sqrt(i + 1.0) / gamma * h_bar
+                w = (i + 1.0) ** (-kappa)
+                log_eps_bar = w * log_eps + (1.0 - w) * log_eps_bar
+                m = m + nchains
+                delta = x - mean
+                mean = mean + jnp.sum(delta, axis=0) / m
+                m2 = m2 + jnp.sum(delta * (x - mean), axis=0)
+                return (x, logp, inv_mass, log_eps, log_eps_bar, h_bar,
+                        m, mean, m2, i + 1.0), None
+            return warmup_step
+
+        def sample_step(carry, key):
+            x, logp, eps, inv_mass = carry
+            keys = jr.split(key, nchains)
+            x, logp, stats = jax.vmap(
+                lambda xi, li, ki: transition(xi, li, ki, eps, inv_mass)
+            )(x, logp, keys)
+            return (x, logp, eps, inv_mass), (x, stats)
+
+        @jax.jit
+        def run(x, logp, wkeys1, wkeys2, skeys):
+            inv_mass0 = jnp.asarray(self.init_scales ** 2)
+            mu = jnp.log(10.0 * self.init_step_size)
+            carry = (x, logp, inv_mass0, jnp.log(self.init_step_size),
+                     jnp.log(self.init_step_size), 0.0, 0.0,
+                     jnp.zeros(self.ndim), jnp.zeros(self.ndim), 0.0)
+            carry, _ = jax.lax.scan(make_warmup_step(mu), carry, wkeys1)
+            x, logp, _, _, log_eps_bar, _, m, mean, m2, _ = carry
+            var = m2 / jnp.maximum(m - 1.0, 1.0)
+            inv_mass = jnp.maximum(var, 1e-20)
+            mu2 = jnp.log(10.0) + log_eps_bar
+            carry = (x, logp, inv_mass, log_eps_bar, log_eps_bar, 0.0, 0.0,
+                     jnp.zeros(self.ndim), jnp.zeros(self.ndim), 0.0)
+            carry, _ = jax.lax.scan(make_warmup_step(mu2), carry, wkeys2)
+            x, logp, _, _, log_eps_bar, _, _, _, _, _ = carry
+            eps = jnp.exp(log_eps_bar)
+            (x, logp, eps, inv_mass), (xs, stats) = jax.lax.scan(
+                sample_step, (x, logp, eps, inv_mass), skeys)
+            return xs, stats, eps, inv_mass
+
+        self._key, k1, k1b, k2 = jr.split(self._key, 4)
+        n_w1 = (2 * n_warmup) // 3
+        xs, (astat, depth, div), eps, inv_mass = run(
+            x0, logp0, jr.split(k1, n_w1), jr.split(k1b, n_warmup - n_w1),
+            jr.split(k2, n_samples))
+        self._chain = np.concatenate([self._chain, np.asarray(xs)])
+        self._accept_sum += np.asarray(astat).sum(0)
+        self._depth_sum += np.asarray(depth, float).sum(0)
+        self._divergences += np.asarray(div, float).sum(0)
+        self._nsteps += n_samples
+        self.step_size = float(eps)
+        self.inv_mass = np.asarray(inv_mass)
+        return np.asarray(xs[-1])
+
+    @property
+    def chain(self):
+        return np.swapaxes(self._chain, 0, 1)
+
+    @property
+    def flatchain(self):
+        return self._chain.reshape(-1, self.ndim)
+
+    @property
+    def acceptance_fraction(self):
+        return self._accept_sum / max(self._nsteps, 1)
+
+    @property
+    def mean_tree_depth(self):
+        return float(self._depth_sum.sum() / max(self._nsteps * self.nchains, 1))
+
+    @property
+    def divergence_rate(self):
+        return float(self._divergences.sum() / max(self._nsteps * self.nchains, 1))
