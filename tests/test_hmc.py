@@ -77,6 +77,55 @@ def test_gradients_flow_through_model_likelihood():
     assert 5.0 < np.median(flat[:, 0]) < 80.0
 
 
+def _flagship_lc_and_model():
+    import os
+    from lightcurve_fitting_tpu.lightcurve import LC
+    from lightcurve_fitting_tpu.models import ShockCooling2
+
+    example = os.path.join(os.path.dirname(__file__), "..",
+                           "lightcurve_fitting_tpu", "data", "SN2016bkv.csv")
+    lc = LC.read(example)
+    lc.meta.update(dm=30.79, redshift=0.002, extinction={
+        "U": 0.069, "B": 0.061, "g": 0.055, "V": 0.045, "0": 0.035,
+        "r": 0.038, "R": 0.035, "i": 0.028, "I": 0.020})
+    lc.calcAbsMag()
+    lc.calcLum()
+    lc_early = lc.where(MJD_min=57468.0, MJD_max=57485.0)
+    return lc_early, ShockCooling2(lc_early)
+
+
+def _flagship_priors():
+    from lightcurve_fitting_tpu.models import GaussianPrior
+    return [GaussianPrior(0.0, 100.0, 30.0, 15.0),
+            GaussianPrior(0.0, 100.0, 4.0, 3.0),
+            GaussianPrior(0.0, 100.0, 30.0, 15.0),
+            GaussianPrior(57468.0, 57468.7, 57468.5, 0.2)]
+
+
+def test_lightcurve_hmc_fast_screening():
+    """Cheap default-suite variant of the flagship NUTS parity test: the same
+    one-call ``lightcurve_hmc`` public path on SN 2016bkv, thinned to screening
+    size. Checks the machinery (warm start, whitening, NUTS, result object)
+    lands on the posterior ridge; the tight moment/R-hat assertions live in the
+    ``slow``-marked full run below."""
+    from lightcurve_fitting_tpu.fitting import lightcurve_hmc
+
+    lc_early, model = _flagship_lc_and_model()
+    result = lightcurve_hmc(lc_early, model, _flagship_priors(), nchains=4,
+                            nsamples=30, n_warmup=80, max_depth=7,
+                            warmup_walkers=32, warmup_steps=100, seed=3,
+                            quiet=True)
+    assert result.flatchain.shape == (30 * 4, 4)
+    assert np.isfinite(result.flatchain).all()
+    assert result.acceptance_fraction.mean() > 0.4
+    med = np.median(result.flatchain, axis=0)
+    # on the ridge (loose: short warmup), not back at the wide prior start
+    assert 35.0 < med[0] < 40.5, med
+    assert 5.0 < med[1] < 5.7, med
+    assert 57468.69 < med[3] < 57468.705, med
+
+
+@pytest.mark.slow
 def test_lightcurve_hmc_matches_ensemble_posterior():
     """One-call gradient fit (NUTS default) of SN 2016bkv reproduces the
     converged ensemble posterior. Ground truth was established carefully: a
@@ -89,26 +138,10 @@ def test_lightcurve_hmc_matches_ensemble_posterior():
     reaches the same narrow posterior from a wide warm start with
     R-hat ~ 1.02 (fixed-length HMC: R-hat O(10); wide-start ensemble:
     still transient)."""
-    import os
-    from lightcurve_fitting_tpu.lightcurve import LC
-    from lightcurve_fitting_tpu.models import ShockCooling2, GaussianPrior
     from lightcurve_fitting_tpu.fitting import lightcurve_hmc
 
-    example = os.path.join(os.path.dirname(__file__), "..",
-                           "lightcurve_fitting_tpu", "data", "SN2016bkv.csv")
-    lc = LC.read(example)
-    lc.meta.update(dm=30.79, redshift=0.002, extinction={
-        "U": 0.069, "B": 0.061, "g": 0.055, "V": 0.045, "0": 0.035,
-        "r": 0.038, "R": 0.035, "i": 0.028, "I": 0.020})
-    lc.calcAbsMag()
-    lc.calcLum()
-    lc_early = lc.where(MJD_min=57468.0, MJD_max=57485.0)
-    model = ShockCooling2(lc_early)
-    priors = [GaussianPrior(0.0, 100.0, 30.0, 15.0),
-              GaussianPrior(0.0, 100.0, 4.0, 3.0),
-              GaussianPrior(0.0, 100.0, 30.0, 15.0),
-              GaussianPrior(57468.0, 57468.7, 57468.5, 0.2)]
-    result = lightcurve_hmc(lc_early, model, priors, nchains=8, nsamples=150,
+    lc_early, model = _flagship_lc_and_model()
+    result = lightcurve_hmc(lc_early, model, _flagship_priors(), nchains=8, nsamples=150,
                             n_warmup=400, max_depth=9, warmup_walkers=64,
                             warmup_steps=250, seed=3, quiet=True)
     assert result.flatchain.shape == (150 * 8, 4)
