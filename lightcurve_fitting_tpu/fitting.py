@@ -34,7 +34,7 @@ from .parallel.sampler import EnsembleSampler
 from .utils import units as u
 from .utils.corner import corner as _corner
 
-__all__ = ["lightcurve_mcmc", "lightcurve_hmc", "lightcurve_corner",
+__all__ = ["lightcurve_mcmc", "lightcurve_hmc", "lightcurve_map", "lightcurve_corner",
            "lightcurve_model_plot", "format_credible_interval", "make_log_posterior"]
 
 PRIOR_WARNING = "The p_max/p_min keywords are deprecated. Use the priors keyword instead."
@@ -408,6 +408,115 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
         rhat = split_rhat(x_chain)
         for name, r in zip(model.input_names, np.atleast_1d(rhat)):
             print(f"  {name}: R-hat = {r:.3f}  (independent chains)")
+    return result
+
+
+class _MAPFitResult:
+    """MAP point estimate plus its Laplace approximation, exposing the same
+    ``flatchain`` surface as the samplers so corner/model plots work directly.
+
+    Attributes: ``parameters`` (ndim,), ``log_posterior`` (float at the mode),
+    ``covariance`` (ndim, ndim), ``stderr`` (ndim,), ``at_bound`` (bool mask:
+    parameter pinned against a prior bound — its stderr is 0 and the
+    curvature of the others is conditional on the pinned value),
+    ``covariance_ok`` (False when the free-parameter curvature is not
+    positive definite; the diagonal is then order-of-magnitude only), and
+    ``flatchain``: Gaussian draws from the Laplace approximation, pinned
+    parameters held at the bound (a boundary mode is really half-Gaussian —
+    use MCMC/HMC for honest tails there)."""
+
+    def __init__(self, parameters, log_posterior, covariance, covariance_ok,
+                 at_bound, nsamples, seed):
+        self.parameters = parameters
+        self.log_posterior = log_posterior
+        self.covariance = covariance
+        self.covariance_ok = covariance_ok
+        self.at_bound = at_bound
+        self.stderr = np.sqrt(np.maximum(np.diag(covariance), 0.0))
+        rng = np.random.default_rng(seed)
+        self.flatchain = rng.multivariate_normal(parameters, covariance,
+                                                 size=nsamples,
+                                                 method="eigh")
+
+
+def lightcurve_map(lc, model, priors, p_lo=None, p_up=None, n_starts=64,
+                   n_iter=1000, learning_rate=0.05, use_sigma=False,
+                   sigma_type="relative", seed=None, nsamples=1000, quiet=False):
+    """One-call maximum-a-posteriori fit with Laplace uncertainties.
+
+    The instant-answer counterpart to :func:`lightcurve_mcmc`: a multi-start
+    Adam ascent of the log-posterior (all ``n_starts`` starting points share
+    one jitted scan — see ``parallel/optimize.py``), with prior box bounds
+    enforced by the same sigmoid/exp bijection the HMC driver uses, and the
+    posterior curvature at the mode inverted into a covariance. Runs in well
+    under a second where a full MCMC fit takes minutes; the reference has no
+    optimizer path for light-curve models at all (its only least-squares fit
+    is the per-epoch blackbody, reference bolometric.py:483-534).
+
+    The MAP is taken in the model's own parameter space (no bijection
+    Jacobian in the objective — the transform only keeps iterates inside the
+    prior box).
+
+    Returns a :class:`_MAPFitResult`; ``result.flatchain`` (Laplace draws)
+    feeds :func:`lightcurve_corner` unchanged.
+    """
+    from .parallel.hmc import BoundsTransform
+    from .parallel.optimize import multistart_maximize, laplace_covariance
+
+    _derive_fit_columns(lc, model)
+    _ensure_sigma_param(model, use_sigma)
+    ndim = model.nparams
+    if len(priors) != ndim:
+        raise Exception("priors must have length {:d}".format(ndim))
+
+    log_posterior = make_log_posterior(model, lc, priors, use_sigma, sigma_type)
+    lo, up = _hmc_init_window(priors, p_lo, p_up, ndim)
+    bounds = BoundsTransform([getattr(p, "p_min", -np.inf) for p in priors],
+                             [getattr(p, "p_max", np.inf) for p in priors])
+
+    rng = np.random.default_rng(seed)
+    x0 = rng.uniform(lo, up, size=(n_starts, ndim))
+    u0 = bounds.to_unbounded(x0)
+    u_fin, logp_fin = multistart_maximize(
+        lambda uvec: log_posterior(bounds.to_bounded(uvec)), u0,
+        n_iter=n_iter, learning_rate=learning_rate)
+    logp_fin = np.asarray(logp_fin)
+    if not np.isfinite(logp_fin).any():
+        raise RuntimeError("no optimizer start reached finite posterior "
+                           "probability; widen p_lo/p_up or check the priors")
+    best = int(np.nanargmax(np.where(np.isfinite(logp_fin), logp_fin, -np.inf)))
+    x_map = np.asarray(bounds.to_bounded(u_fin[best]))
+
+    # KKT-style boundary-mode detection: a parameter sits ON a prior bound
+    # (not merely near it) when the iterate is within 1e-3 of the bound in
+    # scaled units AND the x-space gradient still pushes outward — at an
+    # interior mode the gradient vanishes, so this cannot misfire on a
+    # genuinely tight interior posterior. Laplace then runs conditional on
+    # the pinned values (the full-space quadratic model is wrong at a
+    # boundary mode: the gradient does not vanish there).
+    g_map = np.asarray(jax.grad(log_posterior)(jnp.asarray(x_map)))
+    scale = np.where(bounds.two_sided, bounds.upper - bounds.lower,
+                     np.maximum(np.abs(x_map), 1.0))
+    near_lo = np.isfinite(bounds.lower) & (x_map - bounds.lower < 1e-3 * scale)
+    near_up = np.isfinite(bounds.upper) & (bounds.upper - x_map < 1e-3 * scale)
+    at_bound = (near_lo & (g_map < 0)) | (near_up & (g_map > 0))
+    # x_map itself stays strictly inside the box (priors are exclusive at the
+    # bounds, so the curvature must be evaluated in the interior)
+    cov, ok = laplace_covariance(log_posterior, x_map, free=~at_bound)
+    result = _MAPFitResult(x_map, float(logp_fin[best]), cov, ok,
+                           at_bound, nsamples, seed)
+    if not quiet:
+        spread = logp_fin[np.isfinite(logp_fin)]
+        print(f"MAP: log-posterior {result.log_posterior:.2f} "
+              f"({(spread >= spread.max() - 1.0).sum()}/{n_starts} starts "
+              f"within 1 nat of the best)")
+        if not ok:
+            print("  curvature not positive definite (ridge saddle): "
+                  "stderr values are order-of-magnitude only")
+        for name, val, err, pinned in zip(model.input_names, x_map,
+                                          result.stderr, at_bound):
+            note = "  (at prior bound)" if pinned else ""
+            print(f"  {name} = {val:.6g} +/- {err:.2g}{note}")
     return result
 
 
