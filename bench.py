@@ -5,8 +5,11 @@ Workload: the reference's flagship fit — ShockCooling2 on the SN 2016bkv early
 light curve (149 photometry points, 9 bands, Chebyshev band-integral tables) —
 run as the framework's production configuration: jit-compiled stretch-move
 ensemble MCMC, whole chain in one lax.scan, float32 hot path with float64
-time/parameter arithmetic. Headline at 32768 walkers; the reference-default
-scale (1024 walkers) is also measured replica-batched (32 independent
+time/parameter arithmetic. Headline at 131072 walkers (population scale:
+128 transients' worth of reference-default ensembles; throughput saturates
+here, ~4.7e7 — the 0.1 ms per-scan-iteration tunnel floor is amortized);
+detail records 32768 walkers and the reference-default scale (1024
+walkers), the latter both alone and replica-batched (32 independent
 ensembles in one vmapped scan), which is how lightcurve_mcmc(replicas=...)
 runs small fits on TPU.
 
@@ -99,10 +102,12 @@ def main():
         return (sampler.total_walkers * nsteps / elapsed, elapsed,
                 float(np.asarray(out[4]).mean()))
 
-    # headline: population-scale ensemble (32 transients' worth of walkers in
-    # one chain kernel); secondary: the reference-default-scale fit, both as a
-    # lone ensemble and replica-batched (the production small-fit path)
-    value, elapsed, accept = measure(32768, 300)
+    # headline: population-scale ensemble (128 transients' worth of walkers in
+    # one chain kernel, the throughput asymptote); secondary: 32768 walkers and
+    # the reference-default-scale fit, the latter both as a lone ensemble and
+    # replica-batched (the production small-fit path)
+    value, elapsed, accept = measure(131072, 300)
+    value_32k, _, _ = measure(32768, 300)
     value_1k, elapsed_1k, _ = measure(1024, 300, replicas=32)
     value_1k_single, _, _ = measure(1024, 300)
     binning = _bench_host_binning()
@@ -117,10 +122,11 @@ def main():
             "workload": "ShockCooling2 x SN2016bkv early LC (149 pts, 9 bands), "
                         "jitted stretch-move ensemble, Chebyshev band tables, "
                         "f32 hot path + f64 epochs",
-            "nwalkers": 32768,
+            "nwalkers": 131072,
             "nsteps": 300,
             "elapsed_s": elapsed,
             "acceptance_check": accept,
+            "evals_per_sec_at_32768_walkers": float(value_32k),
             "evals_per_sec_at_1024_walkers": float(value_1k),
             "evals_at_1024_walkers_replicas": 32,
             "evals_per_sec_at_1024_walkers_single_ensemble": float(value_1k_single),
