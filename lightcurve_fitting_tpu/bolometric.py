@@ -103,7 +103,7 @@ def _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, spectrum_kwargs,
         from .ops.bandtable import ChebyshevBandTable
         table = ChebyshevBandTable(bank, z=z,
                                    cutoff_freq=spectrum_kwargs.get("cutoff_freq", np.inf))
-        table_coeffs = table.gather(ids)
+        table_gathered = table.gather(ids)
 
     if spectrum is planck_fast:
         def spec_fn(nu, *p):
@@ -125,10 +125,9 @@ def _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, spectrum_kwargs,
             log_prior = log_prior + prior(p[i])
         n_model = p.shape[0] - (1 if use_sigma else 0)
         if table is not None:
-            from .ops.bandtable import chebyshev_bandflux
-            y_fit = chebyshev_bandflux(table_coeffs, jnp.broadcast_to(p[0], y.shape),
-                                       jnp.broadcast_to(p[1], y.shape),
-                                       table.log_T_lo, table.log_T_hi) * inv_yscale
+            y_fit = table.eval_points(table_gathered,
+                                      jnp.broadcast_to(p[0], y.shape),
+                                      jnp.broadcast_to(p[1], y.shape)) * inv_yscale
         else:
             lnu = spec_fn(nodes, *[p[i] for i in range(n_model)])
             if ext is not None:

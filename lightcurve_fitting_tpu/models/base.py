@@ -107,7 +107,8 @@ class Model:
         quad = {"nodes": nodes, "weights": weights, "k_ext": k_ext, "band_ids": ids}
         if self.use_band_table:
             table = self.table_for(bank)
-            quad["bb_coeffs"] = table.gather(ids, device=False)
+            quad["bb_coeffs"], quad["bb_s_a"], quad["bb_s_b"] = \
+                table.gather(ids, device=False)
         return quad
 
     def table_for(self, bank):
@@ -117,9 +118,7 @@ class Model:
         if key not in cache:
             cache[key] = ChebyshevBandTable(bank, z=self.z,
                                             cutoff_freq=self.cutoff_freq)
-        table = cache[key]
-        self._table_consts = (table.log_T_lo, table.log_T_hi)
-        return table
+        return cache[key]
 
     prepare_quad_host = prepare_quad
 
@@ -128,8 +127,8 @@ class Model:
         path when available, exact quadrature otherwise."""
         if "bb_coeffs" in quad:
             from ..ops.bandtable import chebyshev_bandflux
-            lo, hi = self._table_consts
-            return chebyshev_bandflux(quad["bb_coeffs"], T, R, lo, hi)
+            return chebyshev_bandflux(quad["bb_coeffs"], T, R,
+                                      quad["bb_s_a"], quad["bb_s_b"])
         from .blackbody import bandflux_pointwise
         return bandflux_pointwise(quad["nodes"], quad["weights"], T, R,
                                   cutoff_freq=self.cutoff_freq)

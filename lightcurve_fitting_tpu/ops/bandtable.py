@@ -7,10 +7,11 @@ For a blackbody, the band-averaged spectral luminosity factorizes exactly:
 
 so the K-node quadrature only ever needs to be evaluated on a 1-D temperature
 grid — once, at fit setup, in float64 on the host, using the *exact* native-grid
-weights. On device, each (walker, point) evaluation is then a uniform-grid
-cubic-spline lookup of ln g_b plus one exp: ~20 flops instead of K~100
-transcendental quadrature nodes. Interpolation error of ln g on a 2048-point
-log-T grid is ~1e-9, far below the reference's own quadrature error.
+weights. On device, each (walker, point) evaluation is then a short Clenshaw
+recurrence on static per-point coefficients plus one exp — pure VPU work, no
+gathers (piecewise-table lookups need per-element dynamic gathers, measured
+20x slower than the raw quadrature on TPU; a piecewise-cubic variant was
+implemented, benchmarked, and removed — docs/design.md "Pallas decision").
 
 Static per fit: redshift, cutoff frequency, and any *fixed* E(B-V) are baked
 into the table. Models with a *sampled* E(B-V) (ShockCooling3) keep the full
@@ -21,83 +22,125 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.constants import c1, c2
-from .interpolate import natural_cubic_coeffs
+from ..core import config
 
-__all__ = ["ChebyshevBandTable", "BandLuminosityTable"]
+__all__ = ["ChebyshevBandTable", "chebyshev_bandflux"]
 
 
 class ChebyshevBandTable:
-    """ln g_b(ln T) as per-band Chebyshev series — the TPU-preferred form.
+    """ln g_b(ln T) as one Chebyshev series per band, each over its own
+    temperature range.
 
-    Piecewise-table lookups need per-element dynamic gathers, which are
-    pathologically slow on TPU (measured 20x slower than the raw quadrature).
-    A global degree-``deg`` Chebyshev series per band instead evaluates with
-    ``deg`` fused multiply-adds on static per-point coefficients — pure VPU
-    work, no gathers. Degree 64 over T in [0.05, 500] kK reaches
-    |Delta ln g| < 1e-5 (checked against the exact quadrature in tests), and
-    the Wien-edge clamp maps out-of-range temperatures to effectively zero
-    flux, matching the reference's power() semantics.
+    The fit domain is where the band actually has signal: per band, the low
+    edge ``T_lo_b`` is placed (by bisection on the exact quadrature) where the
+    flux has fallen ``suppression`` e-folds below its value at ``T_max`` —
+    blue optical bands get ~0.9 kK, JWST MIRI ~0.02 kK. That keeps the
+    polynomial's dynamic range uniform across bands, so degree 24 reaches
+    |Delta ln g| < 1e-6 on every registry band (measured; the former global
+    [0.05, 500] kK domain needed degree 64 for 7e-6) — and the Clenshaw
+    recurrence, which dominates the likelihood at large walker counts, runs
+    in ~40% of the flops.
+
+    Out-of-range temperatures clamp to the domain edge: below ``T_lo_b`` the
+    returned flux is e^-46 of the hot-end value (indistinguishable from the
+    true sub-range value at data scale), above ``T_max`` the Wien-end series
+    value saturates — both match the reference's power() semantics of
+    "unphysical proposals produce negligible/finite flux, never NaN".
+
+    The per-point s-map is affine, ``s = a_n * ln T - b_n``, so per-band
+    ranges cost one extra fused multiply-add per element over a global range.
     """
 
-    def __init__(self, bank, z=0.0, cutoff_freq=np.inf, deg=64, T_min=0.05, T_max=500.0):
+    def __init__(self, bank, z=0.0, cutoff_freq=np.inf, deg=24, T_max=500.0,
+                 suppression=46.0):
         self.bank = bank
         self.z = z
         self.cutoff_freq = cutoff_freq
         self.deg = int(deg)
-        self.log_T_lo = float(np.log(T_min))
-        self.log_T_hi = float(np.log(T_max))
+        self.T_max = float(T_max)
         nodes = bank.emitted_nodes(z)
         weights = bank.weights
         factor = np.minimum(1.0, cutoff_freq / nodes)
+        B = len(bank)
 
+        def ln_g(T):
+            """Exact quadrature ln g_b for a vector of temperatures: (B, nT)."""
+            T = np.atleast_1d(np.asarray(T, float))
+            with np.errstate(over="ignore"):
+                x = c1 * nodes[None, :, :] / T[:, None, None]
+                denom = np.expm1(x)
+                integrand = np.where(denom > 0,
+                                     c2 * nodes ** 3 * factor
+                                     / np.where(denom > 0, denom, 1.0), 0.0)
+            return np.log(np.maximum(np.einsum("tbk,bk->bt", integrand, weights),
+                                     1e-300))
+
+        ln_hot = ln_g(self.T_max)[:, 0]
+        # per-band low edge: ln g(T_lo) = ln g(T_max) - suppression, bisected
+        # on the (monotone) Wien decline in log T
+        lo = np.full(B, 1e-3)
+        hi = np.full(B, self.T_max)
+        for _ in range(50):
+            mid = np.sqrt(lo * hi)
+            ln_mid = ln_g(mid)[np.arange(B), np.arange(B)]
+            cold = ln_mid < ln_hot - suppression
+            lo = np.where(cold, mid, lo)
+            hi = np.where(cold, hi, mid)
+        T_lo = hi
+        self.T_lo = T_lo
+
+        log_lo = np.log(T_lo)
+        log_hi = np.log(self.T_max)
+        coef = np.empty((B, self.deg + 1))
         n_fit = max(4 * self.deg, 512)
         k = np.arange(n_fit + 1)
-        u = (self.log_T_lo + self.log_T_hi) / 2 \
-            + (self.log_T_hi - self.log_T_lo) / 2 * np.cos(np.pi * k / n_fit)
-        T = np.exp(u)
-        with np.errstate(over="ignore"):
-            x = c1 * nodes[None, :, :] / T[:, None, None]
-            denom = np.expm1(x)
-            integrand = np.where(denom > 0,
-                                 c2 * nodes ** 3 * factor / np.where(denom > 0, denom, 1.0),
-                                 0.0)
-        g = np.einsum("tbk,bk->bt", integrand, weights)
-        ln_g = np.log(np.maximum(g, 1e-300))
-        s = 2 * (u - self.log_T_lo) / (self.log_T_hi - self.log_T_lo) - 1
-        coef = np.stack([np.polynomial.chebyshev.chebfit(s, ln_g[b], self.deg)
-                         for b in range(len(bank))])  # (B, deg+1)
+        cos_k = np.cos(np.pi * k / n_fit)
+        for b in range(B):
+            u = (log_lo[b] + log_hi) / 2 + (log_hi - log_lo[b]) / 2 * cos_k
+            s = 2 * (u - log_lo[b]) / (log_hi - log_lo[b]) - 1
+            coef[b] = np.polynomial.chebyshev.chebfit(s, ln_g(np.exp(u))[b], self.deg)
         self._coef = coef
-        self.coef = jnp.asarray(coef)
+        # affine s-map constants: s = s_a[b] * ln T - s_b[b]
+        self._s_a = 2.0 / (log_hi - log_lo)
+        self._s_b = self._s_a * log_lo + 1.0
 
     def gather(self, band_ids, device=True):
-        """Per-point coefficient rows (N, deg+1) — a static gather at setup."""
-        c = self._coef[np.asarray(band_ids)]
-        return jnp.asarray(c) if device else c
+        """Per-point constants for :func:`chebyshev_bandflux`: coefficient
+        rows (N, deg+1) and the affine s-map pair (N,), (N,) — a static
+        gather at setup."""
+        ids = np.asarray(band_ids)
+        out = (self._coef[ids], self._s_a[ids], self._s_b[ids])
+        return tuple(jnp.asarray(a) for a in out) if device else out
 
-    def eval_points(self, coef_pt, T, R):
-        """Band-averaged L_nu per point: coef_pt (N, deg+1), T/R (..., N)."""
-        return chebyshev_bandflux(coef_pt, T, R, self.log_T_lo, self.log_T_hi)
+    def eval_points(self, gathered, T, R):
+        """Band-averaged L_nu per point: ``gathered`` from :meth:`gather`,
+        T/R shaped (..., N)."""
+        coef_pt, s_a, s_b = gathered
+        return chebyshev_bandflux(coef_pt, T, R, s_a, s_b)
 
 
-def chebyshev_bandflux(coef_pt, T, R, log_T_lo, log_T_hi):
+def chebyshev_bandflux(coef_pt, T, R, s_a, s_b):
     """R^2 * exp(Chebyshev(ln T)) with Clenshaw recurrence; no dynamic gathers.
 
     coef_pt: (N, D+1) per-point Chebyshev coefficients of ln g_b.
+    s_a, s_b: (N,) per-point affine map s = s_a ln T - s_b onto [-1, 1].
     T, R: (..., N). T <= 0 -> 0 (reference power() semantics); T outside the
-    fitted range clamps (the Wien edge is already ~exp(-1400) ~ 0).
+    fitted range clamps (edges are ~e-46 of the in-band flux / the Wien-end
+    series value).
     """
-    from ..core import config
     out_dtype = jnp.result_type(T)
     dt = config.get_compute_dtype()
     if dt is not None:
-        # all Clenshaw quantities are O(1)-O(1e3): float32-safe, and the TPU's
+        # all Clenshaw quantities are O(1)-O(1e2): float32-safe, and the TPU's
         # emulated float64 would be ~10x slower per op
         coef_pt = coef_pt.astype(dt)
         T = T.astype(dt)
         R = R.astype(dt)
+        s_a = s_a.astype(dt)
+        s_b = s_b.astype(dt)
     pos = T > 0.0
     logT = jnp.log(jnp.where(pos, T, 1.0))
-    s = jnp.clip(2.0 * (logT - log_T_lo) / (log_T_hi - log_T_lo) - 1.0, -1.0, 1.0)
+    s = jnp.clip(logT * s_a - s_b, -1.0, 1.0)
     two_s = 2.0 * s
     D = coef_pt.shape[-1] - 1
     b1 = jnp.zeros_like(s)
@@ -106,44 +149,3 @@ def chebyshev_bandflux(coef_pt, T, R, log_T_lo, log_T_hi):
         b1, b2 = two_s * b1 - b2 + coef_pt[..., :, k], b1
     ln_g = s * b1 - b2 + coef_pt[..., :, 0]
     return jnp.where(pos, R * R * jnp.exp(ln_g), 0.0).astype(out_dtype)
-
-
-class BandLuminosityTable:
-    """ln g_b(ln T) as per-band piecewise cubics on a uniform log-T grid."""
-
-    def __init__(self, bank, z=0.0, cutoff_freq=np.inf, ebv=0.0, rv=3.1,
-                 n_T=2048, T_min=1e-2, T_max=1e4):
-        self.bank = bank
-        self.z = z
-        self.cutoff_freq = cutoff_freq
-        nodes = bank.emitted_nodes(z)          # (B, K)
-        weights = bank.weights                 # (B, K)
-        factor = np.minimum(1.0, cutoff_freq / nodes)
-        if np.any(ebv):
-            k_ext = bank.ext_curve(z, rv)
-            factor = factor * 10.0 ** (np.asarray(ebv) * k_ext / -2.5)
-
-        logT = np.linspace(np.log(T_min), np.log(T_max), n_T)
-        T = np.exp(logT)
-        # g[b, i] = sum_k w[b,k] * c2 * nu^3 * factor / expm1(c1 nu / T_i)
-        with np.errstate(over="ignore"):
-            x = c1 * nodes[None, :, :] / T[:, None, None]          # (nT, B, K)
-            denom = np.expm1(x)
-            integrand = np.where(denom > 0, c2 * nodes ** 3 * factor / np.where(denom > 0, denom, 1.0), 0.0)
-        g = np.einsum("tbk,bk->bt", integrand, weights)            # (B, nT)
-        g = np.maximum(g, 1e-300)
-        ln_g = np.log(g)
-
-        self.log_T_lo = float(logT[0])
-        self.dlogT = float(logT[1] - logT[0])
-        self.n_T = n_T
-        # (B, 4, nT-1) natural-cubic coefficients of ln g vs ln T
-        coeffs = np.stack([natural_cubic_coeffs(logT, ln_g[b]) for b in range(len(bank))])
-        self._coeffs = coeffs
-        self.coeffs = jnp.asarray(coeffs)
-
-    def gather(self, band_ids, device=True):
-        """Per-point coefficient stacks (N, 4, nT-1)."""
-        c = self._coeffs[np.asarray(band_ids)]
-        return jnp.asarray(c) if device else c
-
