@@ -194,7 +194,7 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
                     nwalkers=100, nsteps=1000, nsteps_burnin=1000, model_kwargs=None,
                     show=False, save_plot_as="", save_sampler_as="", use_sigma=False,
                     sigma_type="relative", seed=None, replicas=1, mesh=None, shard=None,
-                    store_dtype=None, quiet=False):
+                    store_dtype=None, init="window", quiet=False):
     """Fit an analytical model to observed photometry with ensemble MCMC.
 
     Same signature and behavior as the reference (fitting.py:16-168) plus:
@@ -207,6 +207,13 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
     * ``replicas`` — run R independent ensembles of ``nwalkers`` in one
       vmapped scan (pooled in ``flatchain``); recovers large-batch TPU
       throughput at reference-default walker counts;
+    * ``init`` — ``"window"`` (reference behavior: uniform in [p_lo, p_up])
+      or ``"map"``: seed walkers from the Laplace approximation at the MAP
+      (:func:`lightcurve_map`). On thin-ridge posteriors wide-start
+      ensembles spend thousands of steps contracting (VALIDATION.md);
+      MAP-seeded walkers start inside the typical set, so a short burn-in
+      suffices. Parameters pinned at a prior bound are jittered just inside
+      the support (a zero-spread dimension would freeze the stretch move);
     * ``quiet=False`` prints acceptance + autocorrelation/ESS after the
       production run.
 
@@ -236,7 +243,14 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
                               mesh=mesh, shard=shard, store_dtype=store_dtype)
 
     rng = np.random.RandomState(seed) if seed is not None else np.random
-    starting_guesses = rng.rand(sampler.total_walkers, ndim) * (p_up - p_lo) + p_lo
+    if init == "map":
+        starting_guesses = _laplace_starting_guesses(
+            lc, model, priors, p_lo, p_up, sampler.total_walkers,
+            use_sigma, sigma_type, seed, quiet, rng)
+    elif init == "window":
+        starting_guesses = rng.rand(sampler.total_walkers, ndim) * (p_up - p_lo) + p_lo
+    else:
+        raise ValueError('init must be "window" or "map"')
     pos, _, _ = sampler.run_mcmc(starting_guesses, nsteps_burnin, progress=not quiet,
                                  progress_kwargs={"desc": " Burn-in"})
 
@@ -409,6 +423,32 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
         for name, r in zip(model.input_names, np.atleast_1d(rhat)):
             print(f"  {name}: R-hat = {r:.3f}  (independent chains)")
     return result
+
+
+def _laplace_starting_guesses(lc, model, priors, p_lo, p_up, n_walkers,
+                              use_sigma, sigma_type, seed, quiet, rng):
+    """Walker starting positions drawn from the Laplace approximation at the
+    MAP (``init="map"``). Draws outside the prior support, and parameters
+    pinned at a bound (zero Laplace variance), are jittered uniformly into a
+    thin band just inside the bound so every dimension keeps nonzero spread."""
+    result = lightcurve_map(lc, model, priors, p_lo=p_lo, p_up=p_up,
+                            use_sigma=use_sigma, sigma_type=sigma_type,
+                            seed=seed, nsamples=n_walkers, quiet=quiet)
+    draws = result.flatchain[:n_walkers].copy()
+    lo_s = np.array([getattr(p, "p_min", -np.inf) for p in priors])
+    up_s = np.array([getattr(p, "p_max", np.inf) for p in priors])
+    width = np.where(np.isfinite(up_s - lo_s), up_s - lo_s,
+                     np.maximum(np.abs(result.parameters), 1.0))
+    band = 1e-3 * width
+    jitter = rng.rand(*draws.shape)
+    # pinned columns carry zero Laplace variance: spread them through the
+    # thin band just inside their bound (which bound: the one the MAP sits on)
+    pin_up = result.at_bound & (up_s - result.parameters < result.parameters - lo_s)
+    low_viol = (draws <= lo_s) | (result.at_bound & ~pin_up)
+    up_viol = (draws >= up_s) | pin_up
+    draws = np.where(low_viol, lo_s + band * jitter, draws)
+    draws = np.where(up_viol, up_s - band * jitter, draws)
+    return draws
 
 
 class _MAPFitResult:

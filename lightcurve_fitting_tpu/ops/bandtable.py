@@ -35,11 +35,16 @@ class ChebyshevBandTable:
     edge ``T_lo_b`` is placed (by bisection on the exact quadrature) where the
     flux has fallen ``suppression`` e-folds below its value at ``T_max`` —
     blue optical bands get ~0.9 kK, JWST MIRI ~0.02 kK. That keeps the
-    polynomial's dynamic range uniform across bands, so degree 24 reaches
-    |Delta ln g| < 1e-6 on every registry band (measured; the former global
-    [0.05, 500] kK domain needed degree 64 for 7e-6) — and the Clenshaw
-    recurrence, which dominates the likelihood at large walker counts, runs
-    in ~40% of the flops.
+    polynomial's dynamic range uniform across bands, so narrow bands reach
+    |Delta ln g| < 1e-5 by degree 24 and even the broadband pseudobolometric
+    filters by 32 (the former global [0.05, 500] kK domain needed degree 64
+    for 7e-6). The degree is chosen *per table*: each band's fit is verified
+    against the exact quadrature on a dense grid and the degree raised until
+    the error is below ``tol``, then all bands pad to the maximum — the
+    Clenshaw recurrence, which dominates the likelihood at large walker
+    counts, runs at the smallest degree the requested bands actually need
+    (deg 40 for the flagship set whose broadband pseudobolometric filter is
+    the stiffest, deg 24 for griz-type sets: 40-60% of the old flops).
 
     Out-of-range temperatures clamp to the domain edge: below ``T_lo_b`` the
     returned flux is e^-46 of the hot-end value (indistinguishable from the
@@ -51,12 +56,14 @@ class ChebyshevBandTable:
     ranges cost one extra fused multiply-add per element over a global range.
     """
 
-    def __init__(self, bank, z=0.0, cutoff_freq=np.inf, deg=24, T_max=500.0,
+    DEGREES = (24, 32, 40, 48)
+
+    def __init__(self, bank, z=0.0, cutoff_freq=np.inf, tol=1e-5, T_max=500.0,
                  suppression=46.0):
         self.bank = bank
         self.z = z
         self.cutoff_freq = cutoff_freq
-        self.deg = int(deg)
+        self.tol = float(tol)
         self.T_max = float(T_max)
         nodes = bank.emitted_nodes(z)
         weights = bank.weights
@@ -91,14 +98,27 @@ class ChebyshevBandTable:
 
         log_lo = np.log(T_lo)
         log_hi = np.log(self.T_max)
-        coef = np.empty((B, self.deg + 1))
-        n_fit = max(4 * self.deg, 512)
-        k = np.arange(n_fit + 1)
-        cos_k = np.cos(np.pi * k / n_fit)
+        cheb = np.polynomial.chebyshev
+        per_band = []
+        self.fit_err = np.empty(B)
         for b in range(B):
-            u = (log_lo[b] + log_hi) / 2 + (log_hi - log_lo[b]) / 2 * cos_k
-            s = 2 * (u - log_lo[b]) / (log_hi - log_lo[b]) - 1
-            coef[b] = np.polynomial.chebyshev.chebfit(s, ln_g(np.exp(u))[b], self.deg)
+            sg = np.linspace(-1.0, 1.0, 2001)           # dense verification grid
+            y_true = ln_g(np.exp(log_lo[b] + (sg + 1) / 2 * (log_hi - log_lo[b])))[b]
+            for deg in self.DEGREES:
+                n_fit = max(4 * deg, 512)
+                u = (log_lo[b] + log_hi) / 2 \
+                    + (log_hi - log_lo[b]) / 2 * np.cos(np.pi * np.arange(n_fit + 1) / n_fit)
+                s = 2 * (u - log_lo[b]) / (log_hi - log_lo[b]) - 1
+                c = cheb.chebfit(s, ln_g(np.exp(u))[b], deg)
+                err = np.max(np.abs(cheb.chebval(sg, c) - y_true))
+                if err < self.tol or deg == self.DEGREES[-1]:
+                    break
+            per_band.append(c)
+            self.fit_err[b] = err
+        self.deg = max(len(c) - 1 for c in per_band)
+        coef = np.zeros((B, self.deg + 1))
+        for b, c in enumerate(per_band):
+            coef[b, :len(c)] = c                        # pad to the table max
         self._coef = coef
         # affine s-map constants: s = s_a[b] * ln T - s_b[b]
         self._s_a = 2.0 / (log_hi - log_lo)

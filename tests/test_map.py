@@ -56,6 +56,29 @@ def test_laplace_covariance_conditional_on_pinned():
     np.testing.assert_allclose(cov[0, 0], 0.5)  # 1/prec[0,0], conditional
 
 
+def test_lightcurve_mcmc_init_map_short_burnin():
+    """``init="map"`` seeds walkers from the Laplace draws: the flagship fit
+    reaches the converged posterior with a 100-step burn-in, where wide-start
+    ensembles are still contracting after thousands of steps (VALIDATION.md).
+    Pinned t_0 walkers are jittered into the band inside the bound, so the
+    stretch move keeps exploring that dimension."""
+    from lightcurve_fitting_tpu.fitting import lightcurve_mcmc
+    from tests.test_hmc import _flagship_lc_and_model, _flagship_priors
+
+    lc_early, model = _flagship_lc_and_model()
+    s = lightcurve_mcmc(lc_early, model, priors=_flagship_priors(),
+                        p_lo=[20, 2, 20, 57468.4], p_up=[50, 5, 50, 57468.69],
+                        nwalkers=64, nsteps=150, nsteps_burnin=100,
+                        init="map", seed=1, quiet=True)
+    med = np.median(s.flatchain, axis=0)
+    std = s.flatchain.std(axis=0)
+    truth_med = [37.58, 5.326, 16.25, 57468.6999]
+    truth_std = [0.145, 0.053, 0.110, 0.00018]
+    for d in range(4):
+        assert abs(med[d] - truth_med[d]) < 4 * truth_std[d], (d, med[d])
+        assert truth_std[d] / 2 < std[d] < truth_std[d] * 2, (d, std[d])
+
+
 def test_lightcurve_map_flagship():
     """MAP of the SN 2016bkv ShockCooling2 fit reproduces the converged
     ensemble posterior (truth recorded in test_hmc.py): mode at the medians,

@@ -105,10 +105,16 @@ def test_device_pipeline_matches_reference_pipeline(lc_early):
 
 def test_likelihood_values_match_reference_formula(lc_early):
     """Pointwise: the device log-likelihood equals the reference formula
-    evaluated with native-grid synthesize (band-table error budget <1e-3
-    absolute in log L). This is the fast default-screen for reference parity;
-    the distribution-level chain comparison above is marked slow
-    (19 evals/s pure-Python path) and runs with --runslow."""
+    evaluated with native-grid synthesize. This is the fast default-screen
+    for reference parity; the distribution-level chain comparison above is
+    marked slow (19 evals/s pure-Python path) and runs with --runslow.
+
+    Tolerance: the band table guarantees per-point |d ln g| < 1e-5
+    (ChebyshevBandTable tol, verified at build); in the Gaussian
+    log-likelihood that error is amplified by sum(|r_i| y_i/dy_i), which for
+    the badly-fitting random window draws here is of order |log L| itself —
+    so the budget is 1e-5 * |log L| (plus a 1e-3 floor for near-perfect
+    fits, the regime the docstring's "<1e-3 absolute" refers to)."""
     logpost_ref = reference_log_posterior(lc_early)
     model = ShockCooling2(lc_early)
     from lightcurve_fitting_tpu.fitting import make_log_posterior
@@ -118,4 +124,4 @@ def test_likelihood_values_match_reference_formula(lc_early):
         p = rng.uniform(P_LO, P_UP)
         ref_val = logpost_ref(p)
         dev_val = float(logpost_dev(np.asarray(p)))
-        assert dev_val == pytest.approx(ref_val, abs=max(1e-3, 1e-6 * abs(ref_val))), p
+        assert dev_val == pytest.approx(ref_val, abs=max(1e-3, 1e-5 * abs(ref_val))), p
