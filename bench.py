@@ -96,7 +96,11 @@ def main():
         for i in range(repeats):
             t0 = time.perf_counter()
             out = run(x, logp, step_keys(2 + i))
-            jax.block_until_ready(out)
+            # force a host transfer inside the timed region: on this tunnel
+            # block_until_ready alone can return before execution (CLAUDE.md
+            # measurement gotcha); the scalar readback costs one ~30 ms round
+            # trip, <5% of these run times and uniform across repeats
+            float(jnp.sum(out[1]))
             times.append(time.perf_counter() - t0)
         elapsed = min(times)
         return (sampler.total_walkers * nsteps / elapsed, elapsed,

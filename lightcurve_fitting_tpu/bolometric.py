@@ -170,15 +170,18 @@ def spectrum_mcmc(spectrum, epoch1, priors, starting_guesses, z=0.0, ebv=0.0,
         jax.eval_shape(jax.vmap(log_posterior),
                        jnp.zeros((2, ndim), dtype=jnp.asarray(0.0).dtype))
         sampler = EnsembleSampler(nwalkers, ndim, log_posterior, seed=seed)
-    except (TypeError, jax.errors.TracerArrayConversionError,
-            jax.errors.ConcretizationTypeError) as exc:
-        # Only untraceable user spectrum functions drop to the slow host
-        # sampler; genuine bugs in the jax path must surface, not be
-        # swallowed (an earlier blanket `except Exception` hid them).
-        import logging
-        logging.getLogger(__name__).info(
-            "spectrum function %r is not jax-traceable (%s); "
-            "falling back to the host sampler", getattr(spectrum, "__name__", spectrum), exc)
+    except Exception as exc:
+        # Any failure to build/trace the device path drops to the slow host
+        # sampler — arbitrary Python spectrum callables can raise anything at
+        # trace time (numba TypingErrors, their own ValueErrors), not just
+        # jax tracer errors. Unlike the round-1 blanket except this is LOUD:
+        # a visible warning names the exception so genuine jax-path bugs are
+        # seen, not silently absorbed into a 19-evals/s run.
+        warnings.warn(
+            f"device SED path unavailable for spectrum function "
+            f"{getattr(spectrum, '__name__', spectrum)!r} "
+            f"({type(exc).__name__}: {exc}); falling back to the host sampler "
+            f"(reference-parity path, orders of magnitude slower)")
         # host fallback: numpy stretch move over Filter.synthesize, exactly the
         # reference's generic path (bolometric.py:154-164)
         from .parallel.host_sampler import HostEnsembleSampler
@@ -557,8 +560,12 @@ def _result_table(colors, with_source):
 
 
 def _missing(value):
-    """Mask rule for one result cell: NaN floats and empty strings are
-    masked; booleans never are."""
+    """Mask rule for one result cell: numpy-masked values, NaN floats, and
+    empty strings are masked; booleans never are."""
+    if np.ma.is_masked(value):
+        # a masked scalar would otherwise fall through every test below as
+        # "present" and expose its fill value in the output table
+        return True
     if isinstance(value, (bool, np.bool_, int, np.integer)):
         return False
     if isinstance(value, (str, bytes)):

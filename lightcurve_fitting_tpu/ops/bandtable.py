@@ -70,30 +70,33 @@ class ChebyshevBandTable:
         factor = np.minimum(1.0, cutoff_freq / nodes)
         B = len(bank)
 
-        def ln_g(T):
-            """Exact quadrature ln g_b for a vector of temperatures: (B, nT)."""
+        def ln_g(T, b):
+            """Exact quadrature ln g for ONE band at a vector of temperatures
+            (sliced to the band so table setup stays O(B), not O(B^2) — setup
+            cost recurs per distinct redshift in population fits)."""
             T = np.atleast_1d(np.asarray(T, float))
+            nu, w, fac = nodes[b], weights[b], factor[b]
             with np.errstate(over="ignore"):
-                x = c1 * nodes[None, :, :] / T[:, None, None]
+                x = c1 * nu / T[:, None]
                 denom = np.expm1(x)
                 integrand = np.where(denom > 0,
-                                     c2 * nodes ** 3 * factor
+                                     c2 * nu ** 3 * fac
                                      / np.where(denom > 0, denom, 1.0), 0.0)
-            return np.log(np.maximum(np.einsum("tbk,bk->bt", integrand, weights),
-                                     1e-300))
+            return np.log(np.maximum(integrand @ w, 1e-300))
 
-        ln_hot = ln_g(self.T_max)[:, 0]
         # per-band low edge: ln g(T_lo) = ln g(T_max) - suppression, bisected
         # on the (monotone) Wien decline in log T
-        lo = np.full(B, 1e-3)
-        hi = np.full(B, self.T_max)
-        for _ in range(50):
-            mid = np.sqrt(lo * hi)
-            ln_mid = ln_g(mid)[np.arange(B), np.arange(B)]
-            cold = ln_mid < ln_hot - suppression
-            lo = np.where(cold, mid, lo)
-            hi = np.where(cold, hi, mid)
-        T_lo = hi
+        T_lo = np.empty(B)
+        for b in range(B):
+            ln_hot = ln_g(self.T_max, b)[0]
+            lo, hi = 1e-3, self.T_max
+            for _ in range(50):
+                mid = np.sqrt(lo * hi)
+                if ln_g(mid, b)[0] < ln_hot - suppression:
+                    lo = mid
+                else:
+                    hi = mid
+            T_lo[b] = hi
         self.T_lo = T_lo
 
         log_lo = np.log(T_lo)
@@ -103,13 +106,13 @@ class ChebyshevBandTable:
         self.fit_err = np.empty(B)
         for b in range(B):
             sg = np.linspace(-1.0, 1.0, 2001)           # dense verification grid
-            y_true = ln_g(np.exp(log_lo[b] + (sg + 1) / 2 * (log_hi - log_lo[b])))[b]
+            y_true = ln_g(np.exp(log_lo[b] + (sg + 1) / 2 * (log_hi - log_lo[b])), b)
             for deg in self.DEGREES:
                 n_fit = max(4 * deg, 512)
                 u = (log_lo[b] + log_hi) / 2 \
                     + (log_hi - log_lo[b]) / 2 * np.cos(np.pi * np.arange(n_fit + 1) / n_fit)
                 s = 2 * (u - log_lo[b]) / (log_hi - log_lo[b]) - 1
-                c = cheb.chebfit(s, ln_g(np.exp(u))[b], deg)
+                c = cheb.chebfit(s, ln_g(np.exp(u), b), deg)
                 err = np.max(np.abs(cheb.chebval(sg, c) - y_true))
                 if err < self.tol or deg == self.DEGREES[-1]:
                     break

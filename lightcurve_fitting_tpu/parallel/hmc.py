@@ -186,6 +186,13 @@ class HMCSampler:
         logp0 = jax.vmap(self._log_prob_fn)(x0)
         if not bool(jnp.all(jnp.isfinite(logp0))):
             raise ValueError("non-finite initial log-probability")
+        if n_warmup == 0:
+            # continuation: sample with the previously adapted kinetic terms
+            # (an empty warmup scan would silently collapse inv_mass to 1e-20)
+            return self._run_adapted(x0, logp0, n_samples)
+        if n_warmup < 2:
+            raise ValueError("n_warmup must be 0 (continue a previously "
+                             "adapted sampler) or >= 2")
 
         mu = jnp.log(10.0 * self.init_step_size)
         gamma, t0, kappa = 0.05, 10.0, 0.75
@@ -257,6 +264,34 @@ class HMCSampler:
         self._nsteps += n_samples
         self.step_size = float(eps)
         self.inv_mass = np.asarray(inv_mass)
+        return np.asarray(xs[-1])
+
+    def _run_adapted(self, x0, logp0, n_samples):
+        """Sampling-only scan at the stored (step_size, inv_mass)."""
+        if self.step_size is None or self.inv_mass is None:
+            raise ValueError("n_warmup=0 requires a previous adapted run "
+                             "(no stored step_size/inv_mass)")
+        eps = jnp.asarray(self.step_size)
+        inv_mass = jnp.asarray(self.inv_mass)
+
+        @jax.jit
+        def run(x, logp, skeys):
+            def sample_step(carry, key):
+                x, logp = carry
+                keys = jr.split(key, self.nchains)
+                x, logp, aprob = jax.vmap(
+                    lambda xi, li, ki: self._transition(xi, li, ki, eps, inv_mass)
+                )(x, logp, keys)
+                return (x, logp), (x, aprob)
+
+            _, (xs, aprob) = jax.lax.scan(sample_step, (x, logp), skeys)
+            return xs, aprob
+
+        self._key, k2 = jr.split(self._key)
+        xs, aprob = run(x0, logp0, jr.split(k2, n_samples))
+        self._chain = np.concatenate([self._chain, np.asarray(xs)])
+        self._accept_prob_sum += np.asarray(aprob).sum(0)
+        self._nsteps += n_samples
         return np.asarray(xs[-1])
 
     @property

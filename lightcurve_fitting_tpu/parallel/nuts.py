@@ -220,6 +220,13 @@ class NUTSSampler:
         logp0 = jax.vmap(self._log_prob_fn)(x0)
         if not bool(jnp.all(jnp.isfinite(logp0))):
             raise ValueError("non-finite initial log-probability")
+        if n_warmup == 0:
+            # continuation: sample with the previously adapted kinetic terms
+            # (an empty warmup scan would silently collapse inv_mass to 1e-20)
+            return self._run_adapted(x0, logp0, n_samples)
+        if n_warmup < 2:
+            raise ValueError("n_warmup must be 0 (continue a previously "
+                             "adapted sampler) or >= 2")
 
         transition = self._transition
         nchains = self.nchains
@@ -288,6 +295,38 @@ class NUTSSampler:
         self._nsteps += n_samples
         self.step_size = float(eps)
         self.inv_mass = np.asarray(inv_mass)
+        return np.asarray(xs[-1])
+
+    def _run_adapted(self, x0, logp0, n_samples):
+        """Sampling-only scan at the stored (step_size, inv_mass)."""
+        if self.step_size is None or self.inv_mass is None:
+            raise ValueError("n_warmup=0 requires a previous adapted run "
+                             "(no stored step_size/inv_mass)")
+        eps = jnp.asarray(self.step_size)
+        inv_mass = jnp.asarray(self.inv_mass)
+        transition = self._transition
+        nchains = self.nchains
+
+        @jax.jit
+        def run(x, logp, skeys):
+            def sample_step(carry, key):
+                x, logp = carry
+                keys = jr.split(key, nchains)
+                x, logp, stats = jax.vmap(
+                    lambda xi, li, ki: transition(xi, li, ki, eps, inv_mass)
+                )(x, logp, keys)
+                return (x, logp), (x, stats)
+
+            _, (xs, stats) = jax.lax.scan(sample_step, (x, logp), skeys)
+            return xs, stats
+
+        self._key, k2 = jr.split(self._key)
+        xs, (astat, depth, div) = run(x0, logp0, jr.split(k2, n_samples))
+        self._chain = np.concatenate([self._chain, np.asarray(xs)])
+        self._accept_sum += np.asarray(astat).sum(0)
+        self._depth_sum += np.asarray(depth, float).sum(0)
+        self._divergences += np.asarray(div, float).sum(0)
+        self._nsteps += n_samples
         return np.asarray(xs[-1])
 
     @property

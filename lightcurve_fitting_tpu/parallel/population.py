@@ -64,6 +64,15 @@ def pack_population(models, lcs, use_sigma=False):
                 v = np.concatenate([v, pad], axis=0)
             padded[k] = v
         quads.append(padded)
+    # bb_coeffs width is the table's adaptive Chebyshev degree, which can
+    # differ between transients' filter sets: pad with trailing zeros to the
+    # population max (zero coefficients are exact no-ops in Clenshaw)
+    if "bb_coeffs" in quads[0]:
+        D = max(q["bb_coeffs"].shape[-1] for q in quads)
+        for q in quads:
+            d = q["bb_coeffs"].shape[-1]
+            if d < D:
+                q["bb_coeffs"] = np.pad(q["bb_coeffs"], [(0, 0), (0, D - d)])
     stacked_quad = {k: jnp.asarray(np.stack([q[k] for q in quads])) for k in quads[0]}
     yscale = np.array([np.median(np.abs(yy[mm])) if mm.any() else 1.0
                        for yy, mm in zip(y, mask)])

@@ -272,3 +272,19 @@ def test_single_filter_epoch_kde_chaining(tmp_path):
     # the chained epoch's temperature stays near the first epoch's posterior
     assert temp[1] == pytest.approx(temp[0], rel=0.4)
     plt.close("all")
+
+
+def test_missing_masks_numpy_masked_values():
+    """np.ma.masked cells (e.g. a color from a masked absmag) must be masked
+    in the output table, not written as their fill value."""
+    from lightcurve_fitting_tpu.bolometric import _missing
+
+    arr = np.ma.MaskedArray([1.0, 2.0], mask=[True, False])
+    assert _missing(np.ma.masked)
+    assert _missing(arr[0])
+    assert not _missing(arr[1])
+    assert _missing(np.nan)
+    assert not _missing(0.0)
+    assert not _missing(False)
+    assert _missing("")
+    assert not _missing("src")

@@ -50,3 +50,50 @@ def test_nuts_scale_hierarchy_banana():
     assert flat[:, 0].std() == pytest.approx(2.0, rel=0.1)
     assert flat[:, 1].mean() == pytest.approx(0.25 * 4.0, abs=0.15)
     assert s.divergence_rate < 0.02
+
+
+def test_nuts_continuation_reuses_adaptation():
+    """n_warmup=0 continues with the stored (step_size, inv_mass) instead of
+    silently collapsing inv_mass to 1e-20 through an empty warmup scan; a
+    fresh sampler rejects it, as does n_warmup=1 (degenerate split)."""
+    import jax.numpy as jnp
+    from lightcurve_fitting_tpu.parallel.nuts import NUTSSampler
+
+    def logp(p):
+        return -0.5 * jnp.sum(p ** 2)
+
+    rng = np.random.default_rng(0)
+    x0 = rng.normal(size=(4, 2))
+    fresh = NUTSSampler(4, 2, logp, seed=0)
+    with pytest.raises(ValueError):
+        fresh.run_mcmc(x0, 10, n_warmup=0)
+    with pytest.raises(ValueError):
+        fresh.run_mcmc(x0, 10, n_warmup=1)
+
+    s = NUTSSampler(4, 2, logp, seed=0)
+    last = s.run_mcmc(x0, 100, n_warmup=100)
+    eps, inv_mass = s.step_size, s.inv_mass.copy()
+    s.run_mcmc(last, 200, n_warmup=0)
+    assert s.step_size == eps and np.array_equal(s.inv_mass, inv_mass)
+    tail = s._chain[-200:]
+    assert tail.reshape(-1, 2).std(axis=0) == pytest.approx([1.0, 1.0], rel=0.35)
+
+
+def test_hmc_continuation_reuses_adaptation():
+    import jax.numpy as jnp
+    from lightcurve_fitting_tpu.parallel.hmc import HMCSampler
+
+    def logp(p):
+        return -0.5 * jnp.sum(p ** 2)
+
+    rng = np.random.default_rng(1)
+    x0 = rng.normal(size=(8, 2))
+    fresh = HMCSampler(8, 2, logp, seed=0)
+    with pytest.raises(ValueError):
+        fresh.run_mcmc(x0, 10, n_warmup=0)
+
+    s = HMCSampler(8, 2, logp, seed=0)
+    last = s.run_mcmc(x0, 100, n_warmup=100)
+    s.run_mcmc(last, 200, n_warmup=0)
+    tail = s._chain[-200:]
+    assert tail.reshape(-1, 2).std(axis=0) == pytest.approx([1.0, 1.0], rel=0.35)

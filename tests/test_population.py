@@ -76,3 +76,32 @@ def test_fit_population_sharded_matches(population):
                                nwalkers=16, nsteps=300, nsteps_burnin=300, seed=1,
                                mesh=mesh)
     _check_recovery(flat, acc)
+
+
+def test_fit_population_heterogeneous_table_degrees():
+    """Transients whose filter sets land in different adaptive Chebyshev
+    degree classes (griz-only -> deg 24; with the broadband unfiltered '0'
+    -> deg 40) must still pack into one population: bb_coeffs rows pad with
+    trailing zeros (exact no-ops in Clenshaw)."""
+    truths = [(12.0, 2.0, 35.0, 0.0), (15.0, 2.5, 40.0, 0.0)]
+    rng = np.random.default_rng(0)
+    lcs = []
+    for i, (T1, L1, ttr, t0) in enumerate(truths):
+        names = ["g", "r", "i"] if i == 0 else ["g", "r", "i", "0"]
+        filters = [filtdict[n] for n in names]
+        t = np.repeat(t0 + np.linspace(1.0, 8.0, 4), len(filters))
+        f = np.array(filters * 4)
+        m = ShockCooling2()
+        y_true = m(t, f, T1, L1, ttr, t0)
+        dy = 0.05 * y_true
+        lcs.append(LC([t, f, y_true + rng.normal(scale=dy), dy],
+                      names=["MJD", "filter", "lum", "dlum"]))
+    models = [ShockCooling2(lc) for lc in lcs]
+    priors = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0), UniformPrior(5.0, 100.0)]
+    flat, acc = fit_population(models, lcs, priors,
+                               p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
+                               nwalkers=16, nsteps=200, nsteps_burnin=200, seed=2)
+    for s, (T1, L1, ttr, t0) in enumerate(truths):
+        med = np.median(flat[s], axis=0)
+        assert med[0] == pytest.approx(T1, rel=0.3), s
+        assert med[1] == pytest.approx(L1, rel=0.3), s
