@@ -34,8 +34,9 @@ from .parallel.sampler import EnsembleSampler
 from .utils import units as u
 from .utils.corner import corner as _corner
 
-__all__ = ["lightcurve_mcmc", "lightcurve_hmc", "lightcurve_map", "lightcurve_corner",
-           "lightcurve_model_plot", "format_credible_interval", "make_log_posterior"]
+__all__ = ["lightcurve_mcmc", "lightcurve_hmc", "lightcurve_map",
+           "lightcurve_evidence", "lightcurve_corner", "lightcurve_model_plot",
+           "format_credible_interval", "make_log_posterior"]
 
 PRIOR_WARNING = "The p_max/p_min keywords are deprecated. Use the priors keyword instead."
 MODEL_KWARGS_WARNING = "The model_kwargs keyword is deprecated. These are now included in the model intialization."
@@ -558,6 +559,96 @@ def lightcurve_map(lc, model, priors, p_lo=None, p_up=None, n_starts=64,
             note = "  (at prior bound)" if pinned else ""
             print(f"  {name} = {val:.6g} +/- {err:.2g}{note}")
     return result
+
+
+# --------------------------------------------------------------------------
+# Bayesian evidence (no reference counterpart: the reference has no
+# model-comparison machinery at all)
+# --------------------------------------------------------------------------
+
+def _prior_log_norm(prior):
+    """log of a prior's normalization constant over its support.
+
+    The Prior classes return *unnormalized* log-densities (reference parity:
+    reference models.py:1048-1098 never normalizes because MCMC doesn't care)
+    — but the evidence integral does care. Uniform priors normalize
+    analytically; everything else integrates numerically on a dense grid
+    (Gaussian tails are cut at 15 sigma; anything genuinely unbounded is
+    rejected, an improper prior has no evidence)."""
+    lo = getattr(prior, "p_min", -np.inf)
+    hi = getattr(prior, "p_max", np.inf)
+    if type(prior) is UniformPrior and np.isfinite(lo) and np.isfinite(hi):
+        return float(np.log(hi - lo))
+    if isinstance(prior, GaussianPrior):
+        lo = max(lo, prior.mean - 15.0 * prior.stddev)
+        hi = min(hi, prior.mean + 15.0 * prior.stddev)
+    if not (np.isfinite(lo) and np.isfinite(hi)):
+        raise ValueError(f"evidence requires proper (normalizable) priors; "
+                         f"{prior!r} has unbounded support")
+    # integrate the raw (unmasked) density on the CLOSED interval — the
+    # masked __call__ is -inf exactly at the bounds, which would drop the
+    # edge slivers (the density often peaks at a bound, e.g. a truncated
+    # Gaussian with its mean at p_min)
+    g = np.linspace(lo, hi, 4097)
+    vals = np.asarray(jax.vmap(prior.logp)(jnp.asarray(g)), float)
+    if np.any(np.isposinf(vals)):
+        raise ValueError(f"{prior!r} has a divergent density on its support; "
+                         "its evidence normalization is undefined")
+    m = vals[np.isfinite(vals)].max()
+    trapezoid = getattr(np, "trapezoid", np.trapz)
+    return float(m + np.log(trapezoid(np.exp(vals - m), g)))  # exp(-inf) -> 0
+
+
+def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
+                        n_rungs=32, nsteps=500, nsteps_burnin=500,
+                        use_sigma=False, sigma_type="relative", seed=None,
+                        quiet=False):
+    """log marginal likelihood (Bayesian evidence) of a model for this light
+    curve, by stepping-stone sampling over a ladder of power posteriors —
+    the whole ladder runs as one vmapped device kernel
+    (``parallel/evidence.py``), so this costs about one MCMC fit, not K.
+
+    Differences in the returned ``log_z`` between models are log Bayes
+    factors: ``lightcurve_evidence(lc, ShockCooling2(lc), priors2) -
+    lightcurve_evidence(lc, ShockCooling4(lc), priors4)`` > 0 means the data
+    prefer SW17 scaling over MSW23 *given those priors*. Priors are
+    normalized internally (the Prior classes are unnormalized, reference
+    parity); evidence is prior-sensitive by nature — report the priors with
+    the number.
+
+    Returns ``(log_z, log_z_err, info)``; ``info`` has the ladder, per-rung
+    terms, and per-rung acceptance.
+    """
+    from .parallel.evidence import stepping_stone_evidence
+
+    _derive_fit_columns(lc, model)
+    _ensure_sigma_param(model, use_sigma)
+    ndim = model.nparams
+    if len(priors) != ndim:
+        raise Exception("priors must have length {:d}".format(ndim))
+
+    log_norm = sum(_prior_log_norm(p) for p in priors)
+
+    def log_prior_fn(p):
+        out = -log_norm
+        for i, prior in enumerate(priors):
+            out = out + prior(p[i])
+        return out
+
+    log_like_fn = model.make_log_likelihood(lc, use_sigma=use_sigma,
+                                            sigma_type=sigma_type)
+    lo, up = _hmc_init_window(priors, p_lo, p_up, ndim)
+    rng = np.random.default_rng(seed)
+    p0 = rng.uniform(lo, up, size=(nwalkers, ndim))
+    log_z, log_z_err, info = stepping_stone_evidence(
+        log_prior_fn, log_like_fn, p0, n_rungs=n_rungs, nsteps=nsteps,
+        nsteps_burnin=nsteps_burnin, seed=seed if seed is not None else 0)
+    if not quiet:
+        print(f"log evidence: {log_z:.2f} +/- {log_z_err:.2f} "
+              f"({n_rungs} rungs x {nwalkers} walkers x {nsteps} steps; "
+              f"rung acceptance {info['acceptance'].min():.2f}-"
+              f"{info['acceptance'].max():.2f})")
+    return log_z, log_z_err, info
 
 
 # --------------------------------------------------------------------------
