@@ -96,3 +96,32 @@ def test_lightcurve_evidence_occam_factor():
     # Occam: ~ log of the prior-volume ratio ~ 4 log 10 ~ 9.2 nats
     assert z_snug - z_wide > 3.0, (z_snug, z_wide, e_snug, e_wide)
     assert z_snug - z_wide < 20.0, (z_snug, z_wide)
+
+
+@pytest.mark.slow
+def test_flagship_model_comparison_sw17_vs_msw23():
+    """Real-data Bayes factor: SW17 vs MSW23 on the SN 2016bkv early light
+    curve under shared physical priors (both models use (v_s*, M_env,
+    f_rho M, R, t_0)). Values recorded in VALIDATION.md."""
+    import sys, os
+    sys.path.insert(0, os.path.dirname(__file__))
+    from test_hmc import _flagship_lc_and_model
+    from lightcurve_fitting_tpu.models import (ShockCooling, ShockCooling4,
+                                               UniformPrior, LogUniformPrior)
+    from lightcurve_fitting_tpu.fitting import lightcurve_evidence
+
+    lc_early, _ = _flagship_lc_and_model()
+    priors = [UniformPrior(0.1, 20.0), UniformPrior(0.1, 30.0),
+              LogUniformPrior(0.01, 100.0), UniformPrior(0.01, 50.0),
+              UniformPrior(57468.0, 57468.7)]
+    kw = dict(p_lo=[0.5, 0.5, 0.1, 0.1, 57468.3],
+              p_up=[10.0, 20.0, 10.0, 20.0, 57468.7],
+              nwalkers=64, n_rungs=24, nsteps=400, nsteps_burnin=600,
+              seed=7, quiet=True)
+    z_sw17, e1, _ = lightcurve_evidence(lc_early, ShockCooling(lc_early), priors, **kw)
+    z_msw23, e2, _ = lightcurve_evidence(lc_early, ShockCooling4(lc_early), priors, **kw)
+    assert np.isfinite(z_sw17) and np.isfinite(z_msw23)
+    assert e1 < 20 and e2 < 20
+    # recorded: -12980 +/- 1.4 and -18730 +/- 6.1 (generous reproducibility bands)
+    assert -13100 < z_sw17 < -12900, z_sw17
+    assert -19000 < z_msw23 < -18400, z_msw23
