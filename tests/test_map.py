@@ -68,7 +68,7 @@ def test_lightcurve_mcmc_init_map_short_burnin():
     lc_early, model = _flagship_lc_and_model()
     s = lightcurve_mcmc(lc_early, model, priors=_flagship_priors(),
                         p_lo=[20, 2, 20, 57468.4], p_up=[50, 5, 50, 57468.69],
-                        nwalkers=64, nsteps=150, nsteps_burnin=100,
+                        nwalkers=48, nsteps=100, nsteps_burnin=80,
                         init="map", seed=1, quiet=True)
     med = np.median(s.flatchain, axis=0)
     std = s.flatchain.std(axis=0)

@@ -33,6 +33,7 @@ def test_nuts_correlated_gaussian_moments():
     assert np.abs(emp - cov).max() / np.abs(cov).max() < 0.15
 
 
+@pytest.mark.slow
 def test_nuts_scale_hierarchy_banana():
     """Strongly anisotropic + curved target: NUTS with mass adaptation must
     recover the marginals where fixed-length HMC needs manual tuning."""
@@ -71,11 +72,11 @@ def test_nuts_continuation_reuses_adaptation():
         fresh.run_mcmc(x0, 10, n_warmup=1)
 
     s = NUTSSampler(4, 2, logp, seed=0)
-    last = s.run_mcmc(x0, 100, n_warmup=100)
+    last = s.run_mcmc(x0, 60, n_warmup=60)
     eps, inv_mass = s.step_size, s.inv_mass.copy()
-    s.run_mcmc(last, 200, n_warmup=0)
+    s.run_mcmc(last, 150, n_warmup=0)
     assert s.step_size == eps and np.array_equal(s.inv_mass, inv_mass)
-    tail = s._chain[-200:]
+    tail = s._chain[-150:]
     assert tail.reshape(-1, 2).std(axis=0) == pytest.approx([1.0, 1.0], rel=0.35)
 
 
