@@ -58,3 +58,21 @@ def test_gradients_are_nan_free_under_debug_nans(debug_nans):
     logpost = make_log_posterior(model, lc_early, priors)
     grad = jax.grad(logpost)(np.array([30.0, 4.0, 30.0, 57468.6]))
     assert np.isfinite(np.asarray(grad)).all()
+
+
+def test_map_fit_is_nan_free_under_debug_nans(debug_nans):
+    """The optimizer path — bounds bijection, batched Adam value-and-grad,
+    and the Hessian at the mode — raises on no NaN primitive anywhere."""
+    from lightcurve_fitting_tpu.fitting import lightcurve_map
+    from lightcurve_fitting_tpu.models import GaussianPrior
+
+    lc_early = _early_lc()
+    model = ShockCooling2(lc_early)
+    priors = [GaussianPrior(0.0, 100.0, 30.0, 15.0),
+              GaussianPrior(0.0, 100.0, 4.0, 3.0),
+              GaussianPrior(0.0, 100.0, 30.0, 15.0),
+              GaussianPrior(57468.0, 57468.7, 57468.5, 0.2)]
+    result = lightcurve_map(lc_early, model, priors, n_starts=8, n_iter=150,
+                            seed=0, quiet=True)
+    assert np.isfinite(result.parameters).all()
+    assert np.isfinite(result.covariance).all()
