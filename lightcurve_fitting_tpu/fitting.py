@@ -35,8 +35,9 @@ from .utils import units as u
 from .utils.corner import corner as _corner
 
 __all__ = ["lightcurve_mcmc", "lightcurve_hmc", "lightcurve_map",
-           "lightcurve_evidence", "lightcurve_corner", "lightcurve_model_plot",
-           "format_credible_interval", "make_log_posterior"]
+           "lightcurve_evidence", "lightcurve_ptmcmc", "lightcurve_corner",
+           "lightcurve_model_plot", "format_credible_interval",
+           "make_log_posterior"]
 
 PRIOR_WARNING = "The p_max/p_min keywords are deprecated. Use the priors keyword instead."
 MODEL_KWARGS_WARNING = "The model_kwargs keyword is deprecated. These are now included in the model intialization."
@@ -649,6 +650,90 @@ def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
               f"rung acceptance {info['acceptance'].min():.2f}-"
               f"{info['acceptance'].max():.2f})")
     return log_z, log_z_err, info
+
+
+class _PTFitResult:
+    """Cold-rung (beta = 1) production states of a parallel-tempering run,
+    exposing the sampler surface the rest of the workflow expects, plus the
+    evidence the ladder yields for free."""
+
+    def __init__(self, cold_chain, cold_logl, log_z, log_z_err, info):
+        self._chain = cold_chain          # (nsteps, nwalkers, ndim)
+        self.cold_logl = cold_logl
+        self.log_z = log_z
+        self.log_z_err = log_z_err
+        self.info = info
+        self.swap_rate = info["swap_rate"]
+        self.acceptance_fraction = np.broadcast_to(
+            info["acceptance"][-1], cold_chain.shape[1:2]).copy()
+
+    @property
+    def chain(self):
+        return np.swapaxes(self._chain, 0, 1)
+
+    @property
+    def flatchain(self):
+        return self._chain.reshape(-1, self._chain.shape[-1])
+
+    @property
+    def flatlnlikelihood(self):
+        return self.cold_logl.reshape(-1)
+
+
+def lightcurve_ptmcmc(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
+                      n_rungs=16, nsteps=1000, nsteps_burnin=1000,
+                      use_sigma=False, sigma_type="relative", seed=None,
+                      quiet=False):
+    """Parallel-tempering fit: robust to multimodal posteriors, and the
+    evidence comes free.
+
+    A ladder of tempered ensembles (hot rungs see a flattened likelihood and
+    roam between modes; replica-exchange swaps carry their states down to the
+    cold beta = 1 rung) runs as one compiled kernel — the stretch move alone
+    cannot cross deep valleys between modes, which is when to reach for this
+    over :func:`lightcurve_mcmc`. The same ladder yields the stepping-stone
+    evidence, so ``result.log_z`` is populated at no extra cost (see
+    :func:`lightcurve_evidence` for the model-comparison workflow and the
+    prior-normalization caveats).
+
+    Returns a :class:`_PTFitResult`: ``flatchain``/``chain`` are the cold
+    rung's production states (posterior samples), ``log_z``/``log_z_err``
+    the evidence, ``swap_rate`` the per-rung exchange acceptance (healthy
+    ladders sit around 0.2-0.8; a rate near 0 flags a temperature gap).
+    """
+    from .parallel.evidence import stepping_stone_evidence
+
+    _derive_fit_columns(lc, model)
+    _ensure_sigma_param(model, use_sigma)
+    ndim = model.nparams
+    if len(priors) != ndim:
+        raise Exception("priors must have length {:d}".format(ndim))
+
+    log_norm = sum(_prior_log_norm(p) for p in priors)
+
+    def log_prior_fn(p):
+        out = -log_norm
+        for i, prior in enumerate(priors):
+            out = out + prior(p[i])
+        return out
+
+    log_like_fn = model.make_log_likelihood(lc, use_sigma=use_sigma,
+                                            sigma_type=sigma_type)
+    lo, up = _hmc_init_window(priors, p_lo, p_up, ndim)
+    rng = np.random.default_rng(seed)
+    p0 = rng.uniform(lo, up, size=(nwalkers, ndim))
+    log_z, log_z_err, info = stepping_stone_evidence(
+        log_prior_fn, log_like_fn, p0, n_rungs=n_rungs, nsteps=nsteps,
+        nsteps_burnin=nsteps_burnin, seed=seed if seed is not None else 0,
+        return_cold_chain=True)
+    result = _PTFitResult(info.pop("cold_chain"), info.pop("cold_logl"),
+                          log_z, log_z_err, info)
+    if not quiet:
+        print(f"PT: {n_rungs + 1} rungs x {nwalkers} walkers x {nsteps} steps; "
+              f"cold acceptance {info['acceptance'][-1]:.2f}, swap rates "
+              f"{info['swap_rate'].min():.2f}-{info['swap_rate'].max():.2f}; "
+              f"log evidence {log_z:.2f} +/- {log_z_err:.2f}")
+    return result
 
 
 # --------------------------------------------------------------------------

@@ -23,7 +23,7 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 
-__all__ = ["stepping_stone_evidence", "make_beta_ladder"]
+__all__ = ["stepping_stone_evidence", "make_beta_ladder"]  # _run_tempered_ladder backs both evidence and PT
 
 
 def make_beta_ladder(n_rungs, alpha=0.3):
@@ -77,63 +77,120 @@ def _make_tempered_step(log_prior_fn, log_like_fn, half, ndim, betas, a=2.0):
 
     v_step = jax.vmap(step_one, in_axes=(0, 0, 0, 0, 0))
 
-    def step(carry, keys):
+    # replica-exchange partners: even parity pairs (0,1),(2,3)...; odd parity
+    # (1,2),(3,4)...; unpaired edge rows partner themselves (no-op)
+    K = len(np.asarray(betas))
+    idx = np.arange(K)
+    pe = idx ^ 1
+    pe = np.where(pe >= K, idx, pe)
+    po = np.where(idx == 0, 0, ((idx - 1) ^ 1) + 1)
+    po = np.where(po >= K, idx, po)
+    idx_j = jnp.asarray(idx)
+    pe_j, po_j = jnp.asarray(pe), jnp.asarray(po)
+
+    def do_swap(x, logpri, logl, key, parity):
+        """Replica-exchange between adjacent rungs, one walker at a time:
+        accept with exp((b_j - b_i)(ll_i - ll_j)) (detailed balance for the
+        pair). Both members of a pair share one uniform draw so the decision
+        is consistent; the temperature stays with the row, the state moves."""
+        partner = jnp.where(parity, po_j, pe_j)
+        x_p = x[partner]
+        pri_p = logpri[partner]
+        ll_p = logl[partner]
+        log_acc = (betas[partner] - betas)[:, None, None] * (logl - ll_p)
+        u = jr.uniform(key, logl.shape, dtype=x.dtype)
+        u_pair = u[jnp.minimum(idx_j, partner)]
+        acc = (jnp.log(u_pair) < log_acc) & (partner != idx_j)[:, None, None]
+        x = jnp.where(acc[..., None], x_p, x)
+        logpri = jnp.where(acc, pri_p, logpri)
+        logl = jnp.where(acc, ll_p, logl)
+        return x, logpri, logl, acc
+
+    def step(carry, xs):
+        keys, swap_key, parity = xs
         x, logpri, logl = carry
         x, logpri, logl, accept = v_step(betas, x, logpri, logl, keys)
-        return (x, logpri, logl), (logl, accept)
+        x, logpri, logl, swapped = do_swap(x, logpri, logl, swap_key, parity)
+        # cold-rung states ride along for parallel-tempering posterior use
+        return (x, logpri, logl), (logl, accept, swapped, x[-1])
 
     return step, batched_pri, batched_ll
 
 
-def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
-                            nsteps=500, nsteps_burnin=500, alpha=0.3, a=2.0,
-                            seed=0):
-    """log Z and its uncertainty from one compiled tempered-ladder run.
+def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
+                         nsteps_burnin, a=2.0, seed=0):
+    """Burn in and sample every rung of ``betas_all`` (typically including
+    beta = 1) with replica-exchange swaps after each stretch step.
 
-    p0: (nwalkers, ndim) starting positions, drawn from (or near) the prior;
-    every rung starts from the same cloud. Returns (log_z, log_z_err, info)
-    where info carries the ladder, per-rung contributions, and acceptance.
-    The error is a 4-block split of the production chain (block estimates of
-    each rung's stepping-stone term, combined in quadrature), which captures
-    both MC noise and slow mixing.
-    """
+    Returns (logl_samples (nsteps, K, nwalkers), acceptance (K,),
+    swap_rate (K,), cold_chain (nsteps, nwalkers, ndim)) — the cold chain is
+    the LAST rung's states, the parallel-tempering posterior when
+    betas_all[-1] == 1."""
     p0 = np.asarray(p0, float)
     nwalkers, ndim = p0.shape
     if nwalkers % 2:
         raise ValueError("nwalkers must be even")
     half = nwalkers // 2
-    betas_full = make_beta_ladder(n_rungs, alpha)
-    betas = betas_full[:-1]               # sample at b_0 .. b_{K-1}
-    dbetas = np.diff(betas_full)          # b_{k+1} - b_k
-    K = len(betas)
+    K = len(betas_all)
 
     step, batched_pri, batched_ll = _make_tempered_step(
-        log_prior_fn, log_like_fn, half, ndim, betas, a=a)
+        log_prior_fn, log_like_fn, half, ndim, betas_all, a=a)
 
     @jax.jit
-    def run(x, keys_burn, keys_prod):
+    def run(x, xs_burn, xs_prod):
         logpri = jax.vmap(batched_pri)(x.reshape(K, nwalkers, ndim)).reshape(K, 2, half)
         logl = jax.vmap(batched_ll)(x.reshape(K, nwalkers, ndim)).reshape(K, 2, half)
         logl = jnp.where(jnp.isnan(logl), -jnp.inf, logl)
         carry = (x, logpri, logl)
-        carry, _ = jax.lax.scan(lambda c, k: (step(c, k)[0], None), carry, keys_burn)
-        carry, (logl_samples, accepts) = jax.lax.scan(step, carry, keys_prod)
-        return logl_samples, accepts  # (nsteps, K, 2, half), same for accepts
+        carry, _ = jax.lax.scan(lambda c, k: (step(c, k)[0], None), carry, xs_burn)
+        carry, (logl_samples, accepts, swaps, cold) = jax.lax.scan(step, carry, xs_prod)
+        return logl_samples, accepts, swaps, cold
+
+    def make_xs(key, n):
+        ks, kw = jr.split(key)
+        step_keys = jr.split(ks, n * K)
+        step_keys = step_keys.reshape((n, K) + step_keys.shape[1:])
+        swap_keys = jr.split(kw, n)
+        parities = jnp.arange(n) % 2 == 1
+        return step_keys, swap_keys, parities
 
     x0 = jnp.asarray(np.broadcast_to(p0.reshape(1, 2, half, ndim),
                                      (K, 2, half, ndim)))
-    key = jr.PRNGKey(seed)
-    kb, kp = jr.split(key)
-    keys_burn = jr.split(kb, nsteps_burnin * K)
-    keys_burn = keys_burn.reshape((nsteps_burnin, K) + keys_burn.shape[1:])
-    keys_prod = jr.split(kp, nsteps * K)
-    keys_prod = keys_prod.reshape((nsteps, K) + keys_prod.shape[1:])
-    logl_samples, accepts = run(x0, keys_burn, keys_prod)
+    kb, kp = jr.split(jr.PRNGKey(seed))
+    logl_samples, accepts, swaps, cold = run(x0, make_xs(kb, nsteps_burnin),
+                                             make_xs(kp, nsteps))
     logl_samples = np.asarray(logl_samples).reshape(nsteps, K, nwalkers)
     acceptance = np.asarray(accepts).reshape(nsteps, K, nwalkers).mean((0, 2))
+    swap_rate = np.asarray(swaps).reshape(nsteps, K, nwalkers).mean((0, 2))
+    cold_chain = np.asarray(cold).reshape(nsteps, nwalkers, ndim)
+    return logl_samples, acceptance, swap_rate, cold_chain
+
+
+def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
+                            nsteps=500, nsteps_burnin=500, alpha=0.3, a=2.0,
+                            seed=0, return_cold_chain=False):
+    """log Z and its uncertainty from one compiled tempered-ladder run.
+
+    p0: (nwalkers, ndim) starting positions, drawn from (or near) the prior;
+    every rung starts from the same cloud. Returns (log_z, log_z_err, info)
+    where info carries the ladder, per-rung contributions, per-rung stretch
+    acceptance and swap rates — and, with ``return_cold_chain``, the beta = 1
+    rung's production states: the parallel-tempering posterior sample, whose
+    replica-exchange moves hop between modes the plain stretch move cannot
+    cross. The error is a 4-block split of the production chain (block
+    estimates of each rung's term, combined in quadrature), which captures
+    both MC noise and slow mixing.
+    """
+    betas_all = make_beta_ladder(n_rungs, alpha)   # includes beta = 1 (cold)
+    dbetas = np.diff(betas_all)
+    K = n_rungs                                     # stepping-stone rungs 0..K-1
+    logl_samples, acceptance, swap_rate, cold_chain = _run_tempered_ladder(
+        log_prior_fn, log_like_fn, p0, betas_all, nsteps, nsteps_burnin,
+        a=a, seed=seed)
+    nsteps_out = logl_samples.shape[0]
 
     def rung_terms(ll_block):
-        """Stepping-stone contribution per rung from (nsteps_b, K, W) logl:
+        """Stepping-stone contribution per rung from (nsteps_b, K+1, W) logl:
         log mean exp(dbeta_k * logl_k) via a stable logsumexp."""
         out = np.empty(K)
         for k in range(K):
@@ -145,11 +202,14 @@ def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
     terms = rung_terms(logl_samples)
     log_z = float(terms.sum())
 
-    blocks = np.array_split(np.arange(nsteps), 4)
+    blocks = np.array_split(np.arange(nsteps_out), 4)
     block_terms = np.stack([rung_terms(logl_samples[b]) for b in blocks])
     log_z_err = float(np.sqrt(np.sum(block_terms.var(axis=0, ddof=1)
                                      / block_terms.shape[0])))
 
-    info = {"betas": betas_full, "rung_terms": terms, "acceptance": acceptance,
-            "n_rungs": n_rungs, "nsteps": nsteps}
+    info = {"betas": betas_all, "rung_terms": terms, "acceptance": acceptance,
+            "swap_rate": swap_rate, "n_rungs": n_rungs, "nsteps": nsteps}
+    if return_cold_chain:
+        info["cold_chain"] = cold_chain
+        info["cold_logl"] = logl_samples[:, -1, :]
     return log_z, log_z_err, info
