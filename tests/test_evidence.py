@@ -125,3 +125,40 @@ def test_flagship_model_comparison_sw17_vs_msw23():
     # recorded: -12980 +/- 1.4 and -18730 +/- 6.1 (generous reproducibility bands)
     assert -13100 < z_sw17 < -12900, z_sw17
     assert -19000 < z_msw23 < -18400, z_msw23
+
+
+def test_evidence_matches_laplace_approximation():
+    """Two independent evidence estimates agree on an interior-mode synthetic
+    fit: stepping-stone (sampling) vs Laplace (optimizer curvature),
+    log Z_lap = log pi(x*) L(x*) + (d/2) log 2 pi + 0.5 log det cov."""
+    from lightcurve_fitting_tpu.lightcurve import LC
+    from lightcurve_fitting_tpu.filters import filtdict
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.fitting import (lightcurve_evidence,
+                                                lightcurve_map, _prior_log_norm)
+
+    rng = np.random.default_rng(5)
+    filters = [filtdict[n] for n in ["g", "r", "i"]]
+    t = np.repeat(np.linspace(1.0, 8.0, 5), 3)
+    f = np.array(filters * 5)
+    m = ShockCooling2()
+    y_true = m(t, f, 12.0, 2.0, 35.0, 0.0)
+    dy = 0.05 * y_true
+    lc = LC([t, f, y_true + rng.normal(scale=dy), dy],
+            names=["MJD", "filter", "lum", "dlum"])
+    priors = [UniformPrior(8.0, 16.0), UniformPrior(1.0, 3.0),
+              UniformPrior(25.0, 45.0), UniformPrior(-0.5, 0.5)]
+
+    z_ss, err, _ = lightcurve_evidence(lc, ShockCooling2(lc), priors,
+                                       nwalkers=32, n_rungs=20, nsteps=300,
+                                       nsteps_burnin=300, seed=6, quiet=True)
+
+    res = lightcurve_map(lc, ShockCooling2(lc), priors, seed=6, quiet=True)
+    assert not res.at_bound.any()  # interior mode: Laplace Z is valid
+    log_norm = sum(_prior_log_norm(p) for p in priors)
+    sign, logdet = np.linalg.slogdet(res.covariance)
+    assert sign > 0
+    z_lap = (res.log_posterior - log_norm
+             + 2.0 * np.log(2 * np.pi) + 0.5 * logdet)
+    # Laplace is exact only for a Gaussian posterior; allow a few nats
+    assert abs(z_ss - z_lap) < max(6 * err, 3.0), (z_ss, z_lap, err)
