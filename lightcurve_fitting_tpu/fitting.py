@@ -603,7 +603,7 @@ def _prior_log_norm(prior):
 def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
                         n_rungs=32, nsteps=500, nsteps_burnin=500,
                         use_sigma=False, sigma_type="relative", seed=None,
-                        quiet=False):
+                        mesh=None, quiet=False):
     """log marginal likelihood (Bayesian evidence) of a model for this light
     curve, by stepping-stone sampling over a ladder of power posteriors —
     the whole ladder runs as one vmapped device kernel
@@ -643,7 +643,8 @@ def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
     p0 = rng.uniform(lo, up, size=(nwalkers, ndim))
     log_z, log_z_err, info = stepping_stone_evidence(
         log_prior_fn, log_like_fn, p0, n_rungs=n_rungs, nsteps=nsteps,
-        nsteps_burnin=nsteps_burnin, seed=seed if seed is not None else 0)
+        nsteps_burnin=nsteps_burnin, seed=seed if seed is not None else 0,
+        mesh=mesh)
     if not quiet:
         print(f"log evidence: {log_z:.2f} +/- {log_z_err:.2f} "
               f"({n_rungs} rungs x {nwalkers} walkers x {nsteps} steps; "
@@ -683,7 +684,7 @@ class _PTFitResult:
 def lightcurve_ptmcmc(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
                       n_rungs=16, nsteps=1000, nsteps_burnin=1000,
                       use_sigma=False, sigma_type="relative", seed=None,
-                      quiet=False):
+                      mesh=None, quiet=False):
     """Parallel-tempering fit: robust to multimodal posteriors, and the
     evidence comes free.
 
@@ -725,7 +726,7 @@ def lightcurve_ptmcmc(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
     log_z, log_z_err, info = stepping_stone_evidence(
         log_prior_fn, log_like_fn, p0, n_rungs=n_rungs, nsteps=nsteps,
         nsteps_burnin=nsteps_burnin, seed=seed if seed is not None else 0,
-        return_cold_chain=True)
+        return_cold_chain=True, mesh=mesh)
     result = _PTFitResult(info.pop("cold_chain"), info.pop("cold_logl"),
                           log_z, log_z_err, info)
     if not quiet:

@@ -32,25 +32,36 @@ def make_beta_ladder(n_rungs, alpha=0.3):
     return (np.arange(n_rungs + 1) / n_rungs) ** (1.0 / alpha)
 
 
-def _make_tempered_step(log_prior_fn, log_like_fn, half, ndim, betas, a=2.0):
+def _make_tempered_step(log_prior_fn, log_like_fn, half, ndim, betas, a=2.0,
+                        gather_other=None):
     """One stretch-move step of all K tempered ensembles at once.
 
     carry: x (K, 2, half, ndim), logpri (K, 2, half), logl (K, 2, half).
     The log-likelihood is tracked separately from the prior so (a) each rung's
     acceptance uses logpri + beta_k * logl and (b) the production pass can
     record logl samples for the stepping-stone average without re-evaluating.
+
+    ``half`` is the LOCAL half-ensemble size when the walker axis is sharded
+    over a mesh; ``gather_other`` then all-gathers the complementary half so
+    the partner pool stays global (identity when single-device). The swap
+    phase is rung-wise elementwise — it needs no communication at all.
     """
     batched_pri = jax.vmap(log_prior_fn)
     batched_ll = jax.vmap(log_like_fn)
+    K = len(np.asarray(betas))   # static: betas is host numpy at build time
     betas = jnp.asarray(betas)
+    if gather_other is None:
+        gather_other = lambda x: x
 
     def half_update(key, beta, x_move, x_other, logpri_move, logl_move):
         kz, kj, ku = jr.split(key, 3)
+        x_other = gather_other(x_other)
+        n_other = x_other.shape[0]
         u = jr.uniform(kz, (half,), dtype=x_move.dtype)
         z = ((a - 1.0) * u + 1.0) ** 2 / a
-        j = jr.randint(kj, (half,), 0, half)
-        if half <= 128 and jax.default_backend() != "cpu":
-            sel = jax.nn.one_hot(j, half, dtype=x_move.dtype)
+        j = jr.randint(kj, (half,), 0, n_other)
+        if n_other <= 128 and jax.default_backend() != "cpu":
+            sel = jax.nn.one_hot(j, n_other, dtype=x_move.dtype)
             x_j = sel @ x_other
         else:
             x_j = x_other[j]
@@ -79,7 +90,6 @@ def _make_tempered_step(log_prior_fn, log_like_fn, half, ndim, betas, a=2.0):
 
     # replica-exchange partners: even parity pairs (0,1),(2,3)...; odd parity
     # (1,2),(3,4)...; unpaired edge rows partner themselves (no-op)
-    K = len(np.asarray(betas))
     idx = np.arange(K)
     pe = idx ^ 1
     pe = np.where(pe >= K, idx, pe)
@@ -118,9 +128,15 @@ def _make_tempered_step(log_prior_fn, log_like_fn, half, ndim, betas, a=2.0):
 
 
 def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
-                         nsteps_burnin, a=2.0, seed=0):
+                         nsteps_burnin, a=2.0, seed=0, mesh=None,
+                         axis_name="walkers"):
     """Burn in and sample every rung of ``betas_all`` (typically including
     beta = 1) with replica-exchange swaps after each stretch step.
+
+    With ``mesh``, the walker axis shards across the devices (the likelihood
+    stays fully local; one small ``all_gather`` of the complementary half per
+    half-step; swaps are communication-free), so evidence and parallel
+    tempering scale over a pod slice exactly like the plain ensemble.
 
     Returns (logl_samples (nsteps, K, nwalkers), acceptance (K,),
     swap_rate (K,), cold_chain (nsteps, nwalkers, ndim)) — the cold chain is
@@ -133,11 +149,48 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
     half = nwalkers // 2
     K = len(betas_all)
 
-    step, batched_pri, batched_ll = _make_tempered_step(
-        log_prior_fn, log_like_fn, half, ndim, betas_all, a=a)
+    if mesh is None:
+        step, batched_pri, batched_ll = _make_tempered_step(
+            log_prior_fn, log_like_fn, half, ndim, betas_all, a=a)
+    else:
+        from jax.sharding import NamedSharding, PartitionSpec as P
+        from jax import shard_map
+        n_dev = mesh.shape[axis_name]
+        if half % n_dev:
+            raise ValueError(f"nwalkers/2 = {half} must divide over "
+                             f"{n_dev} devices")
+        local = half // n_dev
+        _, batched_pri, batched_ll = _make_tempered_step(
+            log_prior_fn, log_like_fn, half, ndim, betas_all, a=a)
+
+        def local_step(carry, xs):
+            keys, swap_key, parity = xs
+            keys = jax.vmap(jr.fold_in, in_axes=(0, None))(
+                keys, jax.lax.axis_index(axis_name))
+            swap_key = jr.fold_in(swap_key, jax.lax.axis_index(axis_name))
+            inner, _, _ = _make_tempered_step(
+                log_prior_fn, log_like_fn, local, ndim, betas_all, a=a,
+                gather_other=lambda x: jax.lax.all_gather(
+                    x, axis_name, axis=0, tiled=True))
+            return inner(carry, (keys, swap_key, parity))
+
+        w = axis_name
+        carry_spec = (P(None, None, w, None), P(None, None, w), P(None, None, w))
+        step = shard_map(
+            local_step, mesh=mesh,
+            in_specs=(carry_spec, (P(), P(), P())),
+            out_specs=(carry_spec,
+                       (P(None, None, w), P(None, None, w), P(None, None, w),
+                        P(None, w, None))),
+            check_vma=False,
+        )
 
     @jax.jit
     def run(x, xs_burn, xs_prod):
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            x = jax.lax.with_sharding_constraint(
+                x, NamedSharding(mesh, P(None, None, axis_name, None)))
         logpri = jax.vmap(batched_pri)(x.reshape(K, nwalkers, ndim)).reshape(K, 2, half)
         logl = jax.vmap(batched_ll)(x.reshape(K, nwalkers, ndim)).reshape(K, 2, half)
         logl = jnp.where(jnp.isnan(logl), -jnp.inf, logl)
@@ -168,7 +221,8 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
 
 def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
                             nsteps=500, nsteps_burnin=500, alpha=0.3, a=2.0,
-                            seed=0, return_cold_chain=False):
+                            seed=0, return_cold_chain=False, mesh=None,
+                            axis_name="walkers"):
     """log Z and its uncertainty from one compiled tempered-ladder run.
 
     p0: (nwalkers, ndim) starting positions, drawn from (or near) the prior;
@@ -186,7 +240,7 @@ def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
     K = n_rungs                                     # stepping-stone rungs 0..K-1
     logl_samples, acceptance, swap_rate, cold_chain = _run_tempered_ladder(
         log_prior_fn, log_like_fn, p0, betas_all, nsteps, nsteps_burnin,
-        a=a, seed=seed)
+        a=a, seed=seed, mesh=mesh, axis_name=axis_name)
     nsteps_out = logl_samples.shape[0]
 
     def rung_terms(ll_block):
