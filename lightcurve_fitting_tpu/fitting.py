@@ -571,18 +571,34 @@ def _prior_log_norm(prior):
     """log of a prior's normalization constant over its support.
 
     The Prior classes return *unnormalized* log-densities (reference parity:
-    reference models.py:1048-1098 never normalizes because MCMC doesn't care)
-    — but the evidence integral does care. Uniform priors normalize
-    analytically; everything else integrates numerically on a dense grid
-    (Gaussian tails are cut at 15 sigma; anything genuinely unbounded is
-    rejected, an improper prior has no evidence)."""
+    reference models.py:1048-1098 never normalizes because MCMC doesn't care).
+    The stepping-stone ratio Z(1)/Z(0) normalizes the prior automatically —
+    any constant factor cancels — so the tempered drivers call this only to
+    *validate properness* (an improper prior has no evidence) and discard
+    the value; the Laplace-evidence cross-check uses the value itself.
+    Uniform priors normalize analytically; everything else integrates
+    numerically on a dense grid. Infinite supports are windowed where the
+    mass is (Gaussian: mean +/- 15 sigma; KDE: sample range +/- 12
+    bandwidths); anything else unbounded is rejected."""
+    from .models import KDEPrior
+
     lo = getattr(prior, "p_min", -np.inf)
     hi = getattr(prior, "p_max", np.inf)
+    if not hi > lo:
+        raise ValueError(f"{prior!r} has empty support")
     if type(prior) is UniformPrior and np.isfinite(lo) and np.isfinite(hi):
         return float(np.log(hi - lo))
     if isinstance(prior, GaussianPrior):
-        lo = max(lo, prior.mean - 15.0 * prior.stddev)
-        hi = min(hi, prior.mean + 15.0 * prior.stddev)
+        wlo = max(lo, prior.mean - 15.0 * prior.stddev)
+        whi = min(hi, prior.mean + 15.0 * prior.stddev)
+        # support disjoint from the 15-sigma core (a pure-tail truncation):
+        # integrate the support directly, the max-shift handles underflow
+        if whi > wlo:
+            lo, hi = wlo, whi
+    elif isinstance(prior, KDEPrior):
+        s = np.asarray(prior.samples, float)
+        lo = max(lo, s.min() - 12.0 * prior.bandwidth)
+        hi = min(hi, s.max() + 12.0 * prior.bandwidth)
     if not (np.isfinite(lo) and np.isfinite(hi)):
         raise ValueError(f"evidence requires proper (normalizable) priors; "
                          f"{prior!r} has unbounded support")
@@ -595,9 +611,42 @@ def _prior_log_norm(prior):
     if np.any(np.isposinf(vals)):
         raise ValueError(f"{prior!r} has a divergent density on its support; "
                          "its evidence normalization is undefined")
-    m = vals[np.isfinite(vals)].max()
+    finite = vals[np.isfinite(vals)]
+    if finite.size == 0:
+        raise ValueError(f"{prior!r} has zero density everywhere on "
+                         f"[{lo}, {hi}]")
+    m = finite.max()
     trapezoid = getattr(np, "trapezoid", np.trapz)
     return float(m + np.log(trapezoid(np.exp(vals - m), g)))  # exp(-inf) -> 0
+
+
+def _tempered_setup(lc, model, priors, p_lo, p_up, nwalkers, use_sigma,
+                    sigma_type, seed):
+    """Shared setup for the tempered-ladder drivers (evidence and PT):
+    derived fit columns, sigma parameter, prior properness validation, the
+    (log prior, log likelihood) pair the kernel tracks separately, and the
+    walker starting cloud."""
+    _derive_fit_columns(lc, model)
+    _ensure_sigma_param(model, use_sigma)
+    ndim = model.nparams
+    if len(priors) != ndim:
+        raise Exception("priors must have length {:d}".format(ndim))
+    for prior in priors:
+        _prior_log_norm(prior)  # properness check; the constant cancels in
+        #                         Z(1)/Z(0), so the value itself is not used
+
+    def log_prior_fn(p):
+        out = 0.0
+        for i, prior in enumerate(priors):
+            out = out + prior(p[i])
+        return out
+
+    log_like_fn = model.make_log_likelihood(lc, use_sigma=use_sigma,
+                                            sigma_type=sigma_type)
+    lo, up = _hmc_init_window(priors, p_lo, p_up, ndim)
+    rng = np.random.default_rng(seed)
+    p0 = rng.uniform(lo, up, size=(nwalkers, ndim))
+    return log_prior_fn, log_like_fn, p0
 
 
 def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
@@ -612,35 +661,19 @@ def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
     Differences in the returned ``log_z`` between models are log Bayes
     factors: ``lightcurve_evidence(lc, ShockCooling2(lc), priors2) -
     lightcurve_evidence(lc, ShockCooling4(lc), priors4)`` > 0 means the data
-    prefer SW17 scaling over MSW23 *given those priors*. Priors are
-    normalized internally (the Prior classes are unnormalized, reference
-    parity); evidence is prior-sensitive by nature — report the priors with
-    the number.
+    prefer SW17 scaling over MSW23 *given those priors*. The stepping-stone
+    ratio Z(1)/Z(0) normalizes each prior automatically (the Prior classes
+    are unnormalized, reference parity; improper priors are rejected);
+    evidence is prior-sensitive by nature — report the priors with the
+    number.
 
     Returns ``(log_z, log_z_err, info)``; ``info`` has the ladder, per-rung
     terms, and per-rung acceptance.
     """
     from .parallel.evidence import stepping_stone_evidence
 
-    _derive_fit_columns(lc, model)
-    _ensure_sigma_param(model, use_sigma)
-    ndim = model.nparams
-    if len(priors) != ndim:
-        raise Exception("priors must have length {:d}".format(ndim))
-
-    log_norm = sum(_prior_log_norm(p) for p in priors)
-
-    def log_prior_fn(p):
-        out = -log_norm
-        for i, prior in enumerate(priors):
-            out = out + prior(p[i])
-        return out
-
-    log_like_fn = model.make_log_likelihood(lc, use_sigma=use_sigma,
-                                            sigma_type=sigma_type)
-    lo, up = _hmc_init_window(priors, p_lo, p_up, ndim)
-    rng = np.random.default_rng(seed)
-    p0 = rng.uniform(lo, up, size=(nwalkers, ndim))
+    log_prior_fn, log_like_fn, p0 = _tempered_setup(
+        lc, model, priors, p_lo, p_up, nwalkers, use_sigma, sigma_type, seed)
     log_z, log_z_err, info = stepping_stone_evidence(
         log_prior_fn, log_like_fn, p0, n_rungs=n_rungs, nsteps=nsteps,
         nsteps_burnin=nsteps_burnin, seed=seed if seed is not None else 0,
@@ -704,25 +737,8 @@ def lightcurve_ptmcmc(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
     """
     from .parallel.evidence import stepping_stone_evidence
 
-    _derive_fit_columns(lc, model)
-    _ensure_sigma_param(model, use_sigma)
-    ndim = model.nparams
-    if len(priors) != ndim:
-        raise Exception("priors must have length {:d}".format(ndim))
-
-    log_norm = sum(_prior_log_norm(p) for p in priors)
-
-    def log_prior_fn(p):
-        out = -log_norm
-        for i, prior in enumerate(priors):
-            out = out + prior(p[i])
-        return out
-
-    log_like_fn = model.make_log_likelihood(lc, use_sigma=use_sigma,
-                                            sigma_type=sigma_type)
-    lo, up = _hmc_init_window(priors, p_lo, p_up, ndim)
-    rng = np.random.default_rng(seed)
-    p0 = rng.uniform(lo, up, size=(nwalkers, ndim))
+    log_prior_fn, log_like_fn, p0 = _tempered_setup(
+        lc, model, priors, p_lo, p_up, nwalkers, use_sigma, sigma_type, seed)
     log_z, log_z_err, info = stepping_stone_evidence(
         log_prior_fn, log_like_fn, p0, n_rungs=n_rungs, nsteps=nsteps,
         nsteps_burnin=nsteps_burnin, seed=seed if seed is not None else 0,

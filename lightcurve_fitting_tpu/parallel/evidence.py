@@ -23,6 +23,8 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 
+from .sampler import propose_stretch
+
 __all__ = ["stepping_stone_evidence", "make_beta_ladder"]  # _run_tempered_ladder backs both evidence and PT
 
 
@@ -55,17 +57,7 @@ def _make_tempered_step(log_prior_fn, log_like_fn, half, ndim, betas, a=2.0,
 
     def half_update(key, beta, x_move, x_other, logpri_move, logl_move):
         kz, kj, ku = jr.split(key, 3)
-        x_other = gather_other(x_other)
-        n_other = x_other.shape[0]
-        u = jr.uniform(kz, (half,), dtype=x_move.dtype)
-        z = ((a - 1.0) * u + 1.0) ** 2 / a
-        j = jr.randint(kj, (half,), 0, n_other)
-        if n_other <= 128 and jax.default_backend() != "cpu":
-            sel = jax.nn.one_hot(j, n_other, dtype=x_move.dtype)
-            x_j = sel @ x_other
-        else:
-            x_j = x_other[j]
-        y = x_j + z[:, None] * (x_move - x_j)
+        y, z = propose_stretch(kz, kj, x_move, gather_other(x_other), a)
         logpri_y = batched_pri(y)
         logl_y = batched_ll(y)
         logl_y = jnp.where(jnp.isnan(logl_y), -jnp.inf, logl_y)

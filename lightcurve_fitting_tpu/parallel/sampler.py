@@ -29,7 +29,29 @@ import jax
 import jax.numpy as jnp
 import jax.random as jr
 
-__all__ = ["EnsembleSampler", "make_stretch_kernel"]
+__all__ = ["EnsembleSampler", "make_stretch_kernel", "propose_stretch"]
+
+
+def propose_stretch(kz, kj, x_move, x_other_global, a=2.0):
+    """The Goodman-Weare stretch proposal, shared by every ensemble kernel
+    (plain, sharded, tempered): draw z ~ g(z) ∝ 1/sqrt(z) on [1/a, a] with
+    key ``kz`` and a partner from the complementary pool with ``kj``,
+    return (y, z).
+
+    Contains the tuned TPU partner selection: one-hot matmul for tiny pools
+    (batched dynamic gathers measured ~20x slower there), row gather for
+    large ones — keep this the single home of that heuristic."""
+    half = x_move.shape[0]
+    n_other = x_other_global.shape[0]
+    u = jr.uniform(kz, (half,), dtype=x_move.dtype)
+    z = ((a - 1.0) * u + 1.0) ** 2 / a
+    j = jr.randint(kj, (half,), 0, n_other)
+    if n_other <= 128 and jax.default_backend() != "cpu":
+        sel = jax.nn.one_hot(j, n_other, dtype=x_move.dtype)
+        x_j = sel @ x_other_global
+    else:
+        x_j = x_other_global[j]
+    return x_j + z[:, None] * (x_move - x_j), z
 
 
 def make_stretch_kernel(log_prob_fn, half, ndim, a=2.0, gather_other=None):
@@ -60,20 +82,7 @@ def make_stretch_kernel(log_prob_fn, half, ndim, a=2.0, gather_other=None):
 
     def half_update(key, x_move, x_other_global, logp_move):
         kz, kj, ku = jr.split(key, 3)
-        n_other = x_other_global.shape[0]
-        u = jr.uniform(kz, (half,), dtype=x_move.dtype)
-        z = ((a - 1.0) * u + 1.0) ** 2 / a
-        j = jr.randint(kj, (half,), 0, n_other)
-        if n_other <= 128 and jax.default_backend() != "cpu":
-            # one-hot matmul partner selection for tiny ensembles (the
-            # vmapped population/epoch-batched cases, where batched dynamic
-            # gathers are slow on TPU); large ensembles keep the row gather,
-            # which measures faster there
-            sel = jax.nn.one_hot(j, n_other, dtype=x_move.dtype)
-            x_j = sel @ x_other_global
-        else:
-            x_j = x_other_global[j]
-        y = x_j + z[:, None] * (x_move - x_j)
+        y, z = propose_stretch(kz, kj, x_move, x_other_global, a)
         logp_y = batched_logp(y)
         logp_y = jnp.where(jnp.isnan(logp_y), -jnp.inf, logp_y)
         log_ratio = (ndim - 1.0) * jnp.log(z) + logp_y - logp_move

@@ -62,6 +62,15 @@ def test_prior_log_norm():
     assert _prior_log_norm(lu) == pytest.approx(np.log(np.log(100.0)), abs=1e-4)
     with pytest.raises(ValueError):
         _prior_log_norm(UniformPrior(0.0, np.inf))
+    # pure-tail truncation: support disjoint from the 15-sigma core must
+    # integrate the support directly, not produce NaN from a reversed window
+    tail = GaussianPrior(0.0, 10.0, -100.0, 1.0)
+    v = _prior_log_norm(tail)
+    assert np.isfinite(v) and v < -4000.0, v
+    # unbounded KDE priors are proper (normalized Gaussian mixtures)
+    from lightcurve_fitting_tpu.models import KDEPrior
+    kde = KDEPrior(np.random.default_rng(0).normal(2.0, 0.5, 400))
+    assert _prior_log_norm(kde) == pytest.approx(0.0, abs=2e-3)
 
 
 def test_lightcurve_evidence_occam_factor():
