@@ -3,9 +3,11 @@
 Covers the behavior of the reference ``lightcurve_fitting/fitting.py``:
 ``lightcurve_mcmc`` (fitting.py:16-168), ``lightcurve_corner`` (:171-277),
 ``lightcurve_model_plot`` (:280-429), and ``format_credible_interval``
-(:432-494) — plus two capabilities the reference does not have:
-automatic multi-chip walker sharding and a one-call gradient-based HMC
-driver (``lightcurve_hmc``).
+(:432-494) — plus capabilities the reference does not have: automatic
+multi-chip walker sharding, one-call gradient-based NUTS/HMC
+(``lightcurve_hmc``), instant MAP + Laplace fits (``lightcurve_map``),
+stepping-stone evidence (``lightcurve_evidence``), and parallel tempering
+(``lightcurve_ptmcmc``).
 
 TPU design: the log-posterior is a pure jax function (priors + model
 likelihood over static photometry arrays); the emcee loop becomes a single
@@ -717,7 +719,7 @@ class _PTFitResult:
 def lightcurve_ptmcmc(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
                       n_rungs=16, nsteps=1000, nsteps_burnin=1000,
                       use_sigma=False, sigma_type="relative", seed=None,
-                      mesh=None, quiet=False):
+                      mesh=None, save_sampler_as="", quiet=False):
     """Parallel-tempering fit: robust to multimodal posteriors, and the
     evidence comes free.
 
@@ -745,6 +747,9 @@ def lightcurve_ptmcmc(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
         return_cold_chain=True, mesh=mesh)
     result = _PTFitResult(info.pop("cold_chain"), info.pop("cold_logl"),
                           log_z, log_z_err, info)
+    if save_sampler_as:
+        np.save(save_sampler_as, result.flatchain)
+        print("saving sampler.flatchain as " + save_sampler_as)
     if not quiet:
         print(f"PT: {n_rungs + 1} rungs x {nwalkers} walkers x {nsteps} steps; "
               f"cold acceptance {info['acceptance'][-1]:.2f}, swap rates "
