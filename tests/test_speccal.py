@@ -103,9 +103,6 @@ def test_calibrate_spectra_roundtrip(tmp_path):
     for mjd in [57474.0, 57476.0]:
         for f in filters:
             lum = f.synthesize(planck_fast, T_true, R_true)
-            flux = lum * d_scale / (4 * np.pi * (10 * 3.0857e16) ** 2) * 1e26 * 0 + lum * d_scale
-            # keep it simple: fluxes in arbitrary consistent units via zero points
-            mag = -2.5 * np.log10(flux) + f.m0 + 0 if flux > 0 else 99
             rows.append((mjd, -2.5 * np.log10(lum * d_scale) + f.m0, 0.02, f.name))
     lc = LC([np.array([r[0] for r in rows]),
              np.array([r[1] for r in rows]),
@@ -114,14 +111,13 @@ def test_calibrate_spectra_roundtrip(tmp_path):
             names=["MJD", "mag", "dmag", "filter"])
     lc.filters_to_objects()
 
-    # spectrum: same blackbody L_nu converted to F_lambda/1e. scale error 1/2.5
+    # spectrum: the same blackbody, mis-scaled by 1/2.5. Write F_lambda
+    # consistent with speccal's internal F_nu conversion (it computes
+    # Fnu = Flam*1e-3 * lam / (nu*1e12); invert that)
     wl = np.linspace(3500, 8000, 3000)  # angstrom
     nu = C_AA_THZ / wl  # THz
     lnu = planck_fast(nu, T_true, R_true)  # W/Hz
     fnu = lnu * d_scale  # same units as the photometric flux
-    flam = fnu * (2.99792458e18) / wl ** 2 * 1e7 / 1e4 * 1e12 * 0 + fnu * (nu * 1e12) / wl  # erg/s/cm2/A-ish
-    # write F_lambda consistent with speccal's internal F_nu conversion:
-    # speccal computes Fnu = Flam*1e-3 * lam / (nu*1e12); invert that
     flam_file = fnu * (nu * 1e12) / wl * 1e3
     spec_path = str(tmp_path / "spec_57475.txt")
     np.savetxt(spec_path, np.array([wl, flam_file / 2.5]).T)
@@ -150,3 +146,64 @@ def test_cli_main(tmp_path, capsys):
     out = capsys.readouterr().out
     assert "photcal_" in out
     assert os.path.exists(tmp_path / "photcal_spec_57475.txt")
+
+
+def test_parse_flux_unit_jansky_and_scaled():
+    """Jy/mJy and scaled-prefix BUNIT strings route through the F_nu branch
+    with the right factors (reference speccal.py:105-143 behavior)."""
+    from lightcurve_fitting_tpu.speccal import _parse_flux_unit
+
+    scale, kind = _parse_flux_unit("Jy")
+    assert kind == "fnu" and scale == pytest.approx(1e-26)
+    scale, kind = _parse_flux_unit("mJy")
+    assert kind == "fnu" and scale == pytest.approx(1e-29)
+    scale, kind = _parse_flux_unit("10^-17 erg/s/cm2/Angstrom")
+    assert kind == "flam" and scale == pytest.approx(1e-17)
+    scale, kind = _parse_flux_unit("erg / (s cm2 Hz)")
+    assert kind == "fnu" and scale == pytest.approx(1e-3)
+
+
+def test_convert_units_jansky():
+    wl = np.array([5000.0])
+    fnu_jy = np.array([1.0])  # 1 Jy = 1e-26 W/m2/Hz
+    _, flam = speccal.convert_spectrum_units(wl, fnu_jy, {"BUNIT": "Jy"})
+    expected = 1e-26 * 2.99792458e18 / 5000.0 ** 2 * 1e3
+    assert flam[0] == pytest.approx(expected, rel=1e-6)
+
+
+def test_calibrate_spectra_polynomial_warp(tmp_path):
+    """order=1: a spectrum with a linear frequency tilt on top of a scale
+    error is flattened back to the photometry by the polynomial warp."""
+    T_true, R_true = 9.0, 10.0
+    dm = 30.0
+    d_scale = 10 ** (-dm / 2.5)
+    filters = [filtdict[n] for n in ["B", "V", "r", "i"]]
+    rows = []
+    for mjd in [57474.0, 57476.0]:
+        for f in filters:
+            lum = f.synthesize(planck_fast, T_true, R_true)
+            rows.append((mjd, -2.5 * np.log10(lum * d_scale) + f.m0, 0.02, f.name))
+    lc = LC([np.array([r[0] for r in rows]),
+             np.array([r[1] for r in rows]),
+             np.array([r[2] for r in rows]),
+             np.array([r[3] for r in rows])],
+            names=["MJD", "mag", "dmag", "filter"])
+    lc.filters_to_objects()
+
+    wl = np.linspace(3500, 8500, 3000)
+    nu = C_AA_THZ / wl
+    fnu_true = planck_fast(nu, T_true, R_true) * d_scale
+    # miscalibration: x0.5 scale plus a tilt across the frequency range
+    tilt = 1.0 + 0.4 * (nu - nu.mean()) / (nu.max() - nu.min())
+    flam_file = fnu_true * (nu * 1e12) / wl * 1e3
+    spec_path = str(tmp_path / "spec_57475.txt")
+    np.savetxt(spec_path, np.array([wl, flam_file * 0.5 * tilt]).T)
+
+    speccal.calibrate_spectra([spec_path], lc, order=1, max_extrapolate=2.0)
+    out = np.loadtxt(str(tmp_path / "photcal_spec_57475.txt"))
+    # warp-corrected output over the true spectrum: flat and ~1 in the
+    # band-covered region (B-i: ~3900-8000 A)
+    recovered = out[:, 1] / flam_file
+    mask = (wl > 4000) & (wl < 7800)
+    assert np.median(recovered[mask]) == pytest.approx(1.0, abs=0.1)
+    assert np.std(recovered[mask]) < 0.1
