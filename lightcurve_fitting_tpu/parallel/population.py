@@ -81,10 +81,74 @@ def pack_population(models, lcs, use_sigma=False):
             "yscale": jnp.asarray(yscale)}
 
 
+def _map_seeded_guesses(make_logpost, packed, priors, p_lo, p_up, S, nwalkers,
+                        ndim, n_starts, n_iter, rng):
+    """Walker starting positions around each transient's MAP: one compiled
+    Adam scan covers all S x n_starts optimizations (two vmap levels over the
+    bounds-bijected posterior), then walkers jitter in a thin band around the
+    per-transient best point, folded inside the prior support."""
+    import optax
+    from .hmc import BoundsTransform
+
+    bounds = BoundsTransform([getattr(p, "p_min", -np.inf) for p in priors],
+                             [getattr(p, "p_max", np.inf) for p in priors])
+    x0 = rng.uniform(size=(S, n_starts, ndim)) * (p_up - p_lo) + p_lo
+    u0 = jnp.asarray(bounds.to_unbounded(x0))
+    schedule = optax.cosine_decay_schedule(0.05, n_iter, alpha=0.01)
+    opt = optax.adam(schedule)
+
+    def neg_one(u, t_s, y_s, dy_s, mask_s, yscale_s, quad_s):
+        logpost = make_logpost(t_s, y_s, dy_s, mask_s, yscale_s, quad_s)
+        return -logpost(bounds.to_bounded(u))
+
+    # value_and_grad over one start; vmap starts; vmap transients
+    vg = jax.vmap(jax.value_and_grad(neg_one), in_axes=(0,) + (None,) * 6)
+    vg = jax.vmap(vg, in_axes=(0, 0, 0, 0, 0, 0, 0))
+
+    @jax.jit
+    def optimize(u, t, y, dy, mask, yscale, quad):
+        def step(carry, _):
+            u, state = carry
+            _, g = vg(u, t, y, dy, mask, yscale, quad)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            updates, state = opt.update(g, state, u)
+            return (optax.apply_updates(u, updates), state), None
+
+        (u, _), _ = jax.lax.scan(step, (u, opt.init(u)), None, length=n_iter)
+        neg_final, _ = vg(u, t, y, dy, mask, yscale, quad)
+        return u, neg_final
+
+    u_fin, neg_fin = optimize(u0, packed["t"], packed["y"], packed["dy"],
+                              packed["mask"], packed["yscale"], packed["quad"])
+    neg_fin = np.asarray(neg_fin)
+    best = np.argmin(np.where(np.isfinite(neg_fin), neg_fin, np.inf), axis=1)
+    x_fin = np.asarray(bounds.to_bounded(u_fin))          # (S, n_starts, ndim)
+    x_map = x_fin[np.arange(S), best]                      # (S, ndim)
+
+    # thin-band jitter around each MAP, folded inside the prior support so
+    # bound-pinned dimensions keep nonzero spread for the stretch move
+    band = 1e-3 * (p_up - p_lo)
+    g = x_map[:, None, :] + band * rng.uniform(-1.0, 1.0, (S, nwalkers, ndim))
+    s_lo = np.array([getattr(p, "p_min", -np.inf) for p in priors])
+    s_up = np.array([getattr(p, "p_max", np.inf) for p in priors])
+    g = np.where(g <= s_lo, 2 * s_lo - g + band * 1e-3, g)
+    g = np.where(g >= s_up, 2 * s_up - g - band * 1e-3, g)
+    return np.clip(g, s_lo + 1e-9 * np.abs(band), s_up - 1e-9 * np.abs(band))
+
+
 def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
                    nsteps_burnin=500, use_sigma=False, sigma_type="relative",
-                   seed=0, mesh=None, axis_name="transients", a=2.0):
+                   seed=0, mesh=None, axis_name="transients", a=2.0,
+                   init="window", n_map_starts=16, n_map_iter=400):
     """Fit every light curve with its own ensemble, all in one device call.
+
+    ``init="map"`` first runs a batched multi-start Adam ascent of every
+    transient's posterior at once (S x n_map_starts optimizations in one
+    compiled scan) and seeds the walkers around each transient's MAP — on
+    thin-ridge posteriors wide-start ensembles are still contracting after
+    thousands of steps (VALIDATION.md), and at population scale that
+    pathology hits every transient whose posterior is tight; MAP seeding
+    makes a ~100-step burn-in sufficient.
 
     Returns (flatchains (S, nsteps*nwalkers, ndim), acceptance (S,)).
     With ``mesh``, the transient axis is sharded across it (S must divide
@@ -99,12 +163,13 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
     rng = np.random.default_rng(seed)
     p_lo = np.asarray(p_lo, float)
     p_up = np.asarray(p_up, float)
-    guesses = rng.uniform(size=(S, nwalkers, ndim)) * (p_up - p_lo) + p_lo
 
     from ..core import config
     dt = config.get_compute_dtype()
 
-    def run_one(t_s, y_s, dy_s, mask_s, yscale_s, quad_s, guess_s, key):
+    def make_logpost(t_s, y_s, dy_s, mask_s, yscale_s, quad_s):
+        """Per-transient log-posterior closure over one slice of the packed
+        arrays (shared by the ensemble kernel and the MAP seeding stage)."""
         inv = 1.0 / yscale_s
         yn = y_s * inv
         dyn = dy_s * inv
@@ -139,6 +204,19 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
             ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
             return jnp.where(jnp.isfinite(log_prior), log_prior + ll, -jnp.inf)
 
+        return logpost
+
+    if init == "map":
+        guesses = _map_seeded_guesses(make_logpost, packed, priors, p_lo, p_up,
+                                      S, nwalkers, ndim, n_map_starts,
+                                      n_map_iter, rng)
+    elif init == "window":
+        guesses = rng.uniform(size=(S, nwalkers, ndim)) * (p_up - p_lo) + p_lo
+    else:
+        raise ValueError('init must be "window" or "map"')
+
+    def run_one(t_s, y_s, dy_s, mask_s, yscale_s, quad_s, guess_s, key):
+        logpost = make_logpost(t_s, y_s, dy_s, mask_s, yscale_s, quad_s)
         step, batched_logp = make_stretch_kernel(logpost, half, ndim, a)
         x = guess_s.reshape(2, half, ndim)
         logp = batched_logp(guess_s).reshape(2, half)

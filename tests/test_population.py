@@ -105,3 +105,20 @@ def test_fit_population_heterogeneous_table_degrees():
         med = np.median(flat[s], axis=0)
         assert med[0] == pytest.approx(T1, rel=0.3), s
         assert med[1] == pytest.approx(L1, rel=0.3), s
+
+
+def test_fit_population_map_seeded_short_burnin(population):
+    """init="map": a batched multi-start MAP stage seeds every transient's
+    walkers inside its typical set, so a 60-step burn-in recovers all truths
+    (wide starts need several hundred steps on these posteriors)."""
+    lcs, models, priors = population
+    lcs2 = []
+    for lc, truth in zip(lcs, TRUTHS):
+        lc2 = lc.copy()
+        lc2["MJD"] = np.asarray(lc2["MJD"], float) - truth[3]
+        lcs2.append(LC(lc2))
+    flat, acc = fit_population(models, lcs2, priors,
+                               p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
+                               nwalkers=16, nsteps=150, nsteps_burnin=60,
+                               seed=3, init="map")
+    _check_recovery(flat, acc)
