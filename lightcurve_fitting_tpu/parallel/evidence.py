@@ -248,10 +248,14 @@ def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
     terms = rung_terms(logl_samples)
     log_z = float(terms.sum())
 
-    blocks = np.array_split(np.arange(nsteps_out), 4)
-    block_terms = np.stack([rung_terms(logl_samples[b]) for b in blocks])
-    log_z_err = float(np.sqrt(np.sum(block_terms.var(axis=0, ddof=1)
-                                     / block_terms.shape[0])))
+    n_blocks = min(4, nsteps_out)
+    if n_blocks >= 2:
+        blocks = np.array_split(np.arange(nsteps_out), n_blocks)
+        block_terms = np.stack([rung_terms(logl_samples[b]) for b in blocks])
+        log_z_err = float(np.sqrt(np.sum(block_terms.var(axis=0, ddof=1)
+                                         / block_terms.shape[0])))
+    else:
+        log_z_err = float("inf")  # a 1-step chain has no internal error estimate
 
     info = {"betas": betas_all, "rung_terms": terms, "acceptance": acceptance,
             "swap_rate": swap_rate, "n_rungs": n_rungs, "nsteps": nsteps}

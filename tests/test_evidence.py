@@ -171,3 +171,20 @@ def test_evidence_matches_laplace_approximation():
              + 2.0 * np.log(2 * np.pi) + 0.5 * logdet)
     # Laplace is exact only for a Gaussian posterior; allow a few nats
     assert abs(z_ss - z_lap) < max(6 * err, 3.0), (z_ss, z_lap, err)
+
+
+def test_short_chain_error_estimate_degrades_gracefully():
+    """nsteps < 4 cannot form the 4-block error estimate: log_z stays finite,
+    err reports inf instead of crashing (the multichip dryrun runs 2 steps)."""
+    def log_prior(p):
+        return jnp.where(jnp.all(jnp.abs(p) < 5.0), -2 * jnp.log(10.0), -jnp.inf)
+
+    def log_like(p):
+        return -0.5 * jnp.sum(p ** 2)
+
+    p0 = np.random.default_rng(0).uniform(-5, 5, (16, 2))
+    log_z, err, _ = stepping_stone_evidence(log_prior, log_like, p0,
+                                            n_rungs=4, nsteps=1,
+                                            nsteps_burnin=2, seed=0)
+    assert np.isfinite(log_z)
+    assert err == np.inf
