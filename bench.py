@@ -7,7 +7,7 @@ run as the framework's production configuration: jit-compiled stretch-move
 ensemble MCMC, whole chain in one lax.scan, float32 hot path with float64
 time/parameter arithmetic. Headline at 131072 walkers (population scale:
 128 transients' worth of reference-default ensembles; throughput saturates
-here, ~4.7e7 — the 0.1 ms per-scan-iteration tunnel floor is amortized);
+here — the 0.1 ms per-scan-iteration tunnel floor is amortized);
 detail records 32768 walkers and the reference-default scale (1024
 walkers), the latter both alone and replica-batched (32 independent
 ensembles in one vmapped scan), which is how lightcurve_mcmc(replicas=...)
@@ -77,7 +77,11 @@ def main():
     logpost, _ = _build_logposterior()
 
     def measure(nwalkers, nsteps, repeats=2, replicas=1):
-        sampler = EnsembleSampler(nwalkers, 4, logpost, seed=0, replicas=replicas)
+        # f32 chain storage is the production configuration for long runs
+        # (lightcurve_mcmc(store_dtype=...)): halves the per-step chain write
+        # (the biggest HBM write after the likelihood) and the host transfer
+        sampler = EnsembleSampler(nwalkers, 4, logpost, seed=0, replicas=replicas,
+                                  store_dtype=np.float32)
         rng = np.random.default_rng(0)
         p0 = rng.uniform([20.0, 2.0, 20.0, 57468.5], [50.0, 5.0, 50.0, 57468.7],
                          size=(sampler.total_walkers, 4))
@@ -125,7 +129,7 @@ def main():
         "detail": {
             "workload": "ShockCooling2 x SN2016bkv early LC (149 pts, 9 bands), "
                         "jitted stretch-move ensemble, Chebyshev band tables, "
-                        "f32 hot path + f64 epochs",
+                        "f32 hot path + f64 epochs, f32 chain store",
             "nwalkers": 131072,
             "nsteps": 300,
             "elapsed_s": elapsed,

@@ -17,7 +17,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..ops.interpolate import notaknot_cubic_coeffs
-from ..ops.mathx import power, hot
+from ..ops.mathx import power, hot, hot_phase
 from ..utils import units as u
 from ..utils.table import Table
 from .base import Model
@@ -110,7 +110,7 @@ class BaseCompanionShocking(Model):
 
     @staticmethod
     def _tr_points(t, t_exp, a13, Mc_v9_7, kappa=1.0):
-        tt = jnp.asarray(t, float) - t_exp
+        tt = hot_phase(t, t_exp)
         tt, a13, Mc_v9_7, kappa = hot(tt, a13, Mc_v9_7, kappa)
         T_kasen = 25.0 * power(a13 ** 36.0 * Mc_v9_7 * kappa ** -35.0 * power(tt, -74.0),
                                1.0 / 144.0)
@@ -171,12 +171,13 @@ class BaseCompanionShocking(Model):
         return quad
 
     def _sifto_points(self, t, quad, t_peak, stretch, dtU=None, dti=None):
-        dt = jnp.zeros_like(t)
+        ph = hot_phase(t, t_peak)   # f32-centered template phase on device
+        dt = jnp.zeros_like(ph)
         if dtU is not None:
-            dt = jnp.where(quad["is_U"], dtU, dt)
+            dt = jnp.where(quad["is_U"], jnp.asarray(dtU).astype(ph.dtype), dt)
         if dti is not None:
-            dt = jnp.where(quad["is_i"], dti, dt)
-        arg = (t - t_peak - dt) / stretch
+            dt = jnp.where(quad["is_i"], jnp.asarray(dti).astype(ph.dtype), dt)
+        arg = (ph - dt) / jnp.asarray(stretch).astype(ph.dtype)
         val = _ppoly_batched(quad["sifto_knots"], quad["sifto_c"], arg)
         return jnp.nan_to_num(val, nan=0.0)
 

@@ -9,7 +9,7 @@ import numpy as np
 import jax.numpy as jnp
 
 from ..core.constants import k_B, c3_42, c4, c4_30
-from ..ops.mathx import power, hot
+from ..ops.mathx import power, hot, hot_phase
 from ..utils import units as u
 from .base import Model
 from .blackbody import bandflux_pointwise
@@ -67,7 +67,7 @@ class BaseShockCooling(Model):
         (reference models.py:231-269; SW17 Eq. 18-23). Accepts numpy or jax
         arrays; parameters may be scalars or vectors (numpy-style outer
         broadcasting, as in the reference)."""
-        t = jnp.reshape(jnp.asarray(t_in, float), (-1, 1)) - t_exp
+        t = hot_phase(jnp.reshape(jnp.asarray(t_in, float), (-1, 1)), t_exp)
         t, v_s, M_env, f_rho_M, R, kappa = hot(t, v_s, M_env, f_rho_M, R, kappa)
         # luminosity carried in units of 1e42 erg/s (TPU float64 emulation has
         # float32 range; see core.constants)
@@ -138,7 +138,7 @@ class ShockCooling2(BaseShockCooling):
         return super().evaluate(t_in, f, T_1, L_1, t_tr, t_exp)
 
     def _tr_points(self, t, T_1, L_1, t_tr, t_exp=0.0):
-        tt = jnp.asarray(t, float) - t_exp
+        tt = hot_phase(t, t_exp)
         tt, T_1, L_1, t_tr = hot(tt, T_1, L_1, t_tr)
         T_K = T_1 * power(tt, self.epsilon_T)
         L_42 = L_1 * jnp.exp(-power(self.a * tt / t_tr, self.alpha)) * power(tt, self.epsilon_L)
@@ -238,7 +238,7 @@ class ShockCooling4(Model):
                    * kappa ** -0.89)                                             # Eq. A6
         T_col_br = self.T_col_br_0 * R ** -0.32 * v_s ** 0.58 * f_rho_M ** 0.03 * kappa ** -0.22  # Eq. A7
         t_tr = self.t_tr_0 * jnp.sqrt(kappa * M_env / v_s)                     # Eq. A9
-        tt = jnp.asarray(t, float) - t_exp
+        tt = hot_phase(t, t_exp)
         tt, t_br, L_br_42, T_col_br, t_tr = hot(tt, t_br, L_br_42, T_col_br, t_tr)
         ttilde = tt / t_br
         L_42 = L_br_42 * (power(ttilde, -4.0 / 3.0)

@@ -93,6 +93,7 @@ class ShardedEnsembleSampler(EnsembleSampler):
         if key not in self._run_jit:
             # rebuild the scan around the sharded step
             step = self._step
+            store = None if self._store_dtype is None else jnp.dtype(self._store_dtype)
 
             def run(x, logp, keys):
                 x = jax.lax.with_sharding_constraint(x, self._state_sharding)
@@ -103,6 +104,8 @@ class ShardedEnsembleSampler(EnsembleSampler):
                         return c, None
                     carry, _ = jax.lax.scan(inner, carry, key_block[:-1])
                     carry, out = step(carry, key_block[-1])
+                    if store is not None:
+                        out = (out[0].astype(store), out[1].astype(store), out[2])
                     return carry, out
 
                 key_blocks = keys.reshape((nsteps, thin_by) + keys.shape[1:])
