@@ -51,6 +51,11 @@ def pack_population(models, lcs, use_sigma=False):
         n = len(lc)
         t_i = np.asarray(lc["MJD"], float)
         t[len(quads), :n] = t_i
+        # pad times with the LAST REAL TIME, not zero: padded rows are masked
+        # out of the likelihood, but hot_phase centers on floor(min t) — a
+        # zero pad under MJD-scale data would silently destroy the f32
+        # centering (t_ref = 0 leaves ~5.7e4-day magnitudes, f32 ulp ~11 min)
+        t[len(quads), n:] = t_i[-1] if n else 0.0
         y[len(quads), :n] = np.asarray(lc[oq], float)
         dy[len(quads), :n] = np.asarray(lc["d" + oq], float)
         mask[len(quads), :n] = True
@@ -82,11 +87,13 @@ def pack_population(models, lcs, use_sigma=False):
 
 
 def _map_seeded_guesses(make_logpost, packed, priors, p_lo, p_up, S, nwalkers,
-                        ndim, n_starts, n_iter, rng):
+                        ndim, n_starts, n_iter, rng, cache_key=None):
     """Walker starting positions around each transient's MAP: one compiled
     Adam scan covers all S x n_starts optimizations (two vmap levels over the
     bounds-bijected posterior), then walkers jitter in a thin band around the
-    per-transient best point, folded inside the prior support."""
+    per-transient best point, folded inside the prior support. Transients
+    where every start ends non-finite (posterior -inf across the window)
+    fall back to window-uniform starts — the behavior init="window" gives."""
     import optax
     from .hmc import BoundsTransform
 
@@ -94,29 +101,35 @@ def _map_seeded_guesses(make_logpost, packed, priors, p_lo, p_up, S, nwalkers,
                              [getattr(p, "p_max", np.inf) for p in priors])
     x0 = rng.uniform(size=(S, n_starts, ndim)) * (p_up - p_lo) + p_lo
     u0 = jnp.asarray(bounds.to_unbounded(x0))
-    schedule = optax.cosine_decay_schedule(0.05, n_iter, alpha=0.01)
-    opt = optax.adam(schedule)
 
-    def neg_one(u, t_s, y_s, dy_s, mask_s, yscale_s, quad_s):
-        logpost = make_logpost(t_s, y_s, dy_s, mask_s, yscale_s, quad_s)
-        return -logpost(bounds.to_bounded(u))
+    optimize = _COMPILED_CACHE.get(cache_key) if cache_key else None
+    if optimize is None:
+        schedule = optax.cosine_decay_schedule(0.05, n_iter, alpha=0.01)
+        opt = optax.adam(schedule)
 
-    # value_and_grad over one start; vmap starts; vmap transients
-    vg = jax.vmap(jax.value_and_grad(neg_one), in_axes=(0,) + (None,) * 6)
-    vg = jax.vmap(vg, in_axes=(0, 0, 0, 0, 0, 0, 0))
+        def neg_one(u, t_s, y_s, dy_s, mask_s, yscale_s, quad_s):
+            logpost = make_logpost(t_s, y_s, dy_s, mask_s, yscale_s, quad_s)
+            return -logpost(bounds.to_bounded(u))
 
-    @jax.jit
-    def optimize(u, t, y, dy, mask, yscale, quad):
-        def step(carry, _):
-            u, state = carry
-            _, g = vg(u, t, y, dy, mask, yscale, quad)
-            g = jnp.where(jnp.isfinite(g), g, 0.0)
-            updates, state = opt.update(g, state, u)
-            return (optax.apply_updates(u, updates), state), None
+        # value_and_grad over one start; vmap starts; vmap transients
+        vg = jax.vmap(jax.value_and_grad(neg_one), in_axes=(0,) + (None,) * 6)
+        vg = jax.vmap(vg, in_axes=(0, 0, 0, 0, 0, 0, 0))
 
-        (u, _), _ = jax.lax.scan(step, (u, opt.init(u)), None, length=n_iter)
-        neg_final, _ = vg(u, t, y, dy, mask, yscale, quad)
-        return u, neg_final
+        def optimize_fn(u, t, y, dy, mask, yscale, quad):
+            def step(carry, _):
+                u, state = carry
+                _, g = vg(u, t, y, dy, mask, yscale, quad)
+                g = jnp.where(jnp.isfinite(g), g, 0.0)
+                updates, state = opt.update(g, state, u)
+                return (optax.apply_updates(u, updates), state), None
+
+            (u, _), _ = jax.lax.scan(step, (u, opt.init(u)), None, length=n_iter)
+            neg_final, _ = vg(u, t, y, dy, mask, yscale, quad)
+            return u, neg_final
+
+        optimize = jax.jit(optimize_fn)
+        if cache_key:
+            _COMPILED_CACHE[cache_key] = optimize
 
     u_fin, neg_fin = optimize(u0, packed["t"], packed["y"], packed["dy"],
                               packed["mask"], packed["yscale"], packed["quad"])
@@ -133,7 +146,16 @@ def _map_seeded_guesses(make_logpost, packed, priors, p_lo, p_up, S, nwalkers,
     s_up = np.array([getattr(p, "p_max", np.inf) for p in priors])
     g = np.where(g <= s_lo, 2 * s_lo - g + band * 1e-3, g)
     g = np.where(g >= s_up, 2 * s_up - g - band * 1e-3, g)
-    return np.clip(g, s_lo + 1e-9 * np.abs(band), s_up - 1e-9 * np.abs(band))
+    g = np.clip(g, s_lo + 1e-9 * np.abs(band), s_up - 1e-9 * np.abs(band))
+    dead = ~np.isfinite(neg_fin[np.arange(S), best])
+    if dead.any():
+        import warnings
+        warnings.warn(f"MAP seeding found no finite posterior for "
+                      f"{int(dead.sum())} transient(s); falling back to "
+                      "window-uniform starts for those")
+        fallback = rng.uniform(size=(S, nwalkers, ndim)) * (p_up - p_lo) + p_lo
+        g = np.where(dead[:, None, None], fallback, g)
+    return g
 
 
 def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
@@ -207,9 +229,15 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
         return logpost
 
     if init == "map":
+        prior_sig = tuple((type(p).__name__, getattr(p, "p_min", None),
+                           getattr(p, "p_max", None), getattr(p, "mean", None),
+                           getattr(p, "stddev", None)) for p in priors)
+        map_key = ("mapseed", type(model).__name__, prior_sig,
+                   packed["t"].shape, n_map_starts, n_map_iter, use_sigma,
+                   sigma_type)
         guesses = _map_seeded_guesses(make_logpost, packed, priors, p_lo, p_up,
                                       S, nwalkers, ndim, n_map_starts,
-                                      n_map_iter, rng)
+                                      n_map_iter, rng, cache_key=map_key)
     elif init == "window":
         guesses = rng.uniform(size=(S, nwalkers, ndim)) * (p_up - p_lo) + p_lo
     else:

@@ -252,10 +252,9 @@ class EnsembleSampler:
         run = self._compiled_run(nsteps, thin_by)
         x, logp, xs, logps, accepts = run(x, logp, keys)
 
-        # host-side bookkeeping (chain layout: steps-major like emcee get_chain)
-        if self._store_dtype is not None:
-            xs = xs.astype(self._store_dtype)
-            logps = logps.astype(self._store_dtype)
+        # host-side bookkeeping (chain layout: steps-major like emcee
+        # get_chain); with store_dtype the scan already emitted downcast
+        # arrays — the in-scan cast owns the conversion
         xs = np.asarray(xs)                      # (nsteps, [R,] 2, half, ndim)
         logps_np = np.asarray(logps)
         accepts = np.asarray(accepts)

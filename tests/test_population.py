@@ -122,3 +122,64 @@ def test_fit_population_map_seeded_short_burnin(population):
                                nwalkers=16, nsteps=150, nsteps_burnin=60,
                                seed=3, init="map")
     _check_recovery(flat, acc)
+
+
+def test_population_f32_phase_with_mjd_scale_ragged_times():
+    """Raw-MJD population fits under the f32 hot path: hot_phase centers on
+    floor(min t) per transient, and pack_population must pad times with the
+    last REAL time (zero padding would drag the center to 0 and quantize
+    5.7e4-day phases to f32 ulp ~11 minutes). Forces compute dtype f32 on CPU
+    to exercise the TPU code path."""
+    import jax.numpy as jnp
+    from lightcurve_fitting_tpu.core import config
+
+    rng = np.random.default_rng(7)
+    truths = [(12.0, 2.0, 35.0), (15.0, 2.5, 40.0), (10.0, 1.8, 30.0)]
+    lcs, models = [], []
+    filters = [filtdict[n] for n in ["g", "r", "i"]]
+    for s, (T1, L1, ttr) in enumerate(truths):
+        n_ep = 4 + s  # ragged -> padding exercised
+        t0 = 58000.0 + 50.0 * s
+        t = np.repeat(t0 + np.linspace(1.0, 8.0, n_ep), len(filters))
+        f = np.array(filters * n_ep)
+        m = ShockCooling2()
+        y = m(t, f, T1, L1, ttr, t0)
+        dy = 0.05 * y
+        lc = LC([t, f, y + rng.normal(scale=dy), dy],
+                names=["MJD", "filter", "lum", "dlum"])
+        # model with t_exp fixed at the known epoch via shifted times? no:
+        # fit (T1, L1, ttr) with times left at raw MJD and t_exp baked
+        lc["MJD"] = np.asarray(lc["MJD"], float) - t0 + 58000.0
+        lcs.append(lc)
+        models.append(ShockCooling2(lc))
+    priors = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0),
+              UniformPrior(5.0, 100.0), UniformPrior(57999.0, 58000.5)]
+
+    # sharp precision check: the padded row's f32-centered phase must match
+    # f64 to ~0.1 s (zero-padded times would drag t_ref to 0 and quantize
+    # MJD-scale phases to f32 ulp ~0.004 d = 5.6 min)
+    from lightcurve_fitting_tpu.parallel.population import pack_population
+    from lightcurve_fitting_tpu.ops.mathx import hot_phase
+    packed = pack_population(models, lcs)
+    t_row = np.asarray(packed["t"])[0]          # ragged -> padded row
+    config.set_compute_dtype(jnp.float32)
+    try:
+        ph32 = np.asarray(hot_phase(jnp.asarray(t_row), 58000.123), float)
+    finally:
+        config.set_compute_dtype(None)
+    ph64 = t_row - 58000.123
+    assert np.max(np.abs(ph32 - ph64)) < 2e-5   # days; ~2 s
+
+    config.set_compute_dtype(jnp.float32)
+    try:
+        flat, acc = fit_population(models, lcs, priors,
+                                   p_lo=[5.0, 0.5, 20.0, 57999.5],
+                                   p_up=[25.0, 5.0, 60.0, 58000.4],
+                                   nwalkers=16, nsteps=200, nsteps_burnin=200,
+                                   seed=5)
+    finally:
+        config.set_compute_dtype(None)
+    for s, (T1, L1, ttr) in enumerate(truths):
+        med = np.median(flat[s], axis=0)
+        assert med[0] == pytest.approx(T1, rel=0.3), (s, med)
+        assert med[3] == pytest.approx(58000.0, abs=0.3), (s, med)
