@@ -1,0 +1,169 @@
+"""Production fit CLI: drive any of the fit drivers from a JSON config.
+
+The reference is notebook-driven (its only CLI is spectral calibration,
+reference speccal.py:593-610); production pipelines need a headless entry
+point. One config file describes the data, model, priors, driver, and
+outputs:
+
+    {
+      "data": "photometry.csv",
+      "meta": {"dm": 30.79, "redshift": 0.002,
+               "extinction": {"U": 0.069, "B": 0.061}},
+      "where": {"MJD_min": 57468.0, "MJD_max": 57485.0},
+      "model": "ShockCooling2",
+      "priors": [["Uniform", 0, 100], ["Uniform", 0, 100],
+                 ["Uniform", 0, 100], ["Uniform", 57468.0, 57468.7]],
+      "p_lo": [20, 2, 20, 57468.5],
+      "p_up": [50, 5, 50, 57468.7],
+      "driver": "mcmc",                // mcmc | hmc | map | ptmcmc | evidence
+      "driver_kwargs": {"nwalkers": 100, "nsteps": 1000, "nsteps_burnin": 1000},
+      "outputs": {"flatchain": "chain.npy", "corner": "corner.pdf",
+                  "summary": "summary.json"}
+    }
+
+Run:  python -m lightcurve_fitting_tpu.fit_cli fit.json
+      (or the installed ``lcfit`` console script)
+
+The summary JSON records the posterior medians and 16/84 percentiles per
+parameter (or the MAP/stderr, or log-evidence), plus the driver diagnostics.
+"""
+
+import argparse
+import json
+import os
+import sys
+
+import numpy as np
+
+from .lightcurve import LC
+from . import models as _models
+from .models import UniformPrior, LogUniformPrior, GaussianPrior
+
+_PRIORS = {"Uniform": UniformPrior, "LogUniform": LogUniformPrior,
+           "Gaussian": GaussianPrior}
+
+
+def _build_priors(spec):
+    out = []
+    for row in spec:
+        kind, *args = row
+        if kind not in _PRIORS:
+            raise SystemExit(f"unknown prior type {kind!r}; "
+                             f"choose from {sorted(_PRIORS)}")
+        out.append(_PRIORS[kind](*args))
+    return out
+
+
+def _load_lc(cfg, config_dir):
+    path = cfg["data"]
+    if not os.path.isabs(path):
+        path = os.path.join(config_dir, path)
+    lc = LC.read(path)
+    lc.meta.update(cfg.get("meta", {}))
+    if cfg.get("where"):
+        lc = lc.where(**cfg["where"])
+    if not len(lc):
+        raise SystemExit("no photometry rows left after the 'where' selection")
+    return lc
+
+
+def _summarize_chain(flatchain, model):
+    med = np.median(flatchain, axis=0)
+    lo, hi = np.percentile(flatchain, [15.87, 84.14], axis=0)
+    return {name: {"median": float(m), "minus": float(m - l), "plus": float(h - m)}
+            for name, m, l, h in zip(model.input_names, med, lo, hi)}
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(
+        prog="lcfit", description="Fit a light-curve model from a JSON config "
+        "(see lightcurve_fitting_tpu.fit_cli docstring for the schema).")
+    parser.add_argument("config", help="path to the JSON fit configuration")
+    args = parser.parse_args(argv)
+
+    with open(args.config) as f:
+        cfg = json.load(f)
+    config_dir = os.path.dirname(os.path.abspath(args.config))
+
+    lc = _load_lc(cfg, config_dir)
+    model_cls = getattr(_models, cfg["model"], None)
+    if model_cls is None:
+        raise SystemExit(f"unknown model {cfg['model']!r}")
+    model = model_cls(lc)
+    priors = _build_priors(cfg["priors"])
+    driver = cfg.get("driver", "mcmc")
+    kw = dict(cfg.get("driver_kwargs", {}))
+    outputs = cfg.get("outputs", {})
+
+    def outpath(key):
+        p = outputs.get(key)
+        if p is not None and not os.path.isabs(p):
+            p = os.path.join(config_dir, p)
+        return p
+
+    from . import fitting
+
+    summary = {"driver": driver, "model": cfg["model"],
+               "n_points": int(len(lc))}
+    flatchain = None
+    if driver == "mcmc":
+        sampler = fitting.lightcurve_mcmc(lc, model, priors=priors,
+                                          p_lo=cfg.get("p_lo"),
+                                          p_up=cfg.get("p_up"), **kw)
+        flatchain = sampler.flatchain
+        summary["acceptance"] = float(np.mean(sampler.acceptance_fraction))
+    elif driver == "hmc":
+        result = fitting.lightcurve_hmc(lc, model, priors,
+                                        p_lo=cfg.get("p_lo"),
+                                        p_up=cfg.get("p_up"), **kw)
+        flatchain = result.flatchain
+        summary["acceptance"] = float(np.mean(result.acceptance_fraction))
+    elif driver == "ptmcmc":
+        result = fitting.lightcurve_ptmcmc(lc, model, priors,
+                                           p_lo=cfg.get("p_lo"),
+                                           p_up=cfg.get("p_up"), **kw)
+        flatchain = result.flatchain
+        summary["log_z"] = result.log_z
+        summary["log_z_err"] = result.log_z_err
+        summary["swap_rate"] = [float(r) for r in result.swap_rate]
+    elif driver == "map":
+        result = fitting.lightcurve_map(lc, model, priors,
+                                        p_lo=cfg.get("p_lo"),
+                                        p_up=cfg.get("p_up"), **kw)
+        flatchain = result.flatchain
+        summary["map"] = {n: float(v) for n, v in
+                          zip(model.input_names, result.parameters)}
+        summary["stderr"] = {n: float(v) for n, v in
+                             zip(model.input_names, result.stderr)}
+        summary["at_bound"] = [bool(b) for b in result.at_bound]
+        summary["log_posterior"] = result.log_posterior
+    elif driver == "evidence":
+        log_z, err, info = fitting.lightcurve_evidence(lc, model, priors,
+                                                       p_lo=cfg.get("p_lo"),
+                                                       p_up=cfg.get("p_up"), **kw)
+        summary["log_z"] = log_z
+        summary["log_z_err"] = err
+        summary["rung_acceptance"] = [float(a) for a in info["acceptance"]]
+    else:
+        raise SystemExit(f"unknown driver {driver!r}; choose from "
+                         "mcmc | hmc | map | ptmcmc | evidence")
+
+    if flatchain is not None:
+        summary["posterior"] = _summarize_chain(flatchain, model)
+        if outpath("flatchain"):
+            np.save(outpath("flatchain"), flatchain)
+        if outpath("corner"):
+            import matplotlib
+            matplotlib.use("Agg")
+            fitting.lightcurve_corner(lc, model, flatchain,
+                                      save_plot_as=outpath("corner"))
+
+    if outpath("summary"):
+        with open(outpath("summary"), "w") as f:
+            json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -1,0 +1,83 @@
+"""Production fit CLI (`lcfit` / python -m lightcurve_fitting_tpu.fit_cli):
+config-driven headless fits with JSON summaries — a serving surface the
+reference (notebook-driven; only CLI is speccal) lacks."""
+
+import json
+import os
+
+import numpy as np
+import pytest
+
+from lightcurve_fitting_tpu.fit_cli import main
+from lightcurve_fitting_tpu.lightcurve import LC
+from lightcurve_fitting_tpu.filters import filtdict
+from lightcurve_fitting_tpu.models import ShockCooling2
+
+
+@pytest.fixture(scope="module")
+def synth_csv(tmp_path_factory):
+    rng = np.random.default_rng(0)
+    d = tmp_path_factory.mktemp("cli")
+    filters = ["g", "r", "i"]
+    t = np.repeat(np.linspace(1.0, 8.0, 5), 3)
+    f = np.array([filtdict[n] for n in filters] * 5)
+    m = ShockCooling2()
+    y = m(t, f, 12.0, 2.0, 35.0, 0.0)
+    dy = 0.05 * y
+    lc = LC([t, np.array(filters * 5), y + rng.normal(scale=dy), dy],
+            names=["MJD", "filter", "lum", "dlum"])
+    path = str(d / "synth.csv")
+    lc.write(path, format="ascii.csv", overwrite=True)
+    return path
+
+
+def _run(tmp_path, cfg):
+    cfg_path = str(tmp_path / "fit.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    assert main([cfg_path]) == 0
+    with open(str(tmp_path / "summary.json")) as f:
+        return json.load(f)
+
+
+def test_cli_mcmc(tmp_path, synth_csv):
+    cfg = {"data": synth_csv, "model": "ShockCooling2",
+           "priors": [["Uniform", 1, 50], ["Uniform", 0.1, 20],
+                      ["Uniform", 5, 100], ["Uniform", -0.5, 0.5]],
+           "p_lo": [5, 0.5, 20, -0.4], "p_up": [25, 5, 60, 0.4],
+           "driver": "mcmc",
+           "driver_kwargs": {"nwalkers": 16, "nsteps": 150,
+                             "nsteps_burnin": 150, "seed": 1, "quiet": True,
+                             "shard": False},
+           "outputs": {"flatchain": "chain.npy", "summary": "summary.json"}}
+    summary = _run(tmp_path, cfg)
+    assert summary["posterior"]["T_1"]["median"] == pytest.approx(12.0, rel=0.3)
+    chain = np.load(str(tmp_path / "chain.npy"))
+    assert chain.shape == (150 * 16, 4)
+    assert 0.1 < summary["acceptance"] < 0.9
+
+
+def test_cli_evidence(tmp_path, synth_csv):
+    cfg = {"data": synth_csv, "model": "ShockCooling2",
+           "priors": [["Uniform", 8, 16], ["Uniform", 1, 3],
+                      ["Uniform", 25, 45], ["Uniform", -0.5, 0.5]],
+           "driver": "evidence",
+           "driver_kwargs": {"nwalkers": 16, "n_rungs": 8, "nsteps": 100,
+                             "nsteps_burnin": 100, "seed": 2, "quiet": True},
+           "outputs": {"summary": "summary.json"}}
+    summary = _run(tmp_path, cfg)
+    assert np.isfinite(summary["log_z"])
+    assert len(summary["rung_acceptance"]) == 9
+
+
+def test_cli_errors(tmp_path, synth_csv):
+    with pytest.raises(SystemExit):
+        _run(tmp_path, {"data": synth_csv, "model": "NoSuchModel",
+                        "priors": [], "driver": "mcmc"})
+    with pytest.raises(SystemExit):
+        _run(tmp_path, {"data": synth_csv, "model": "ShockCooling2",
+                        "priors": [["Cauchy", 0, 1]] * 4, "driver": "mcmc"})
+    with pytest.raises(SystemExit):
+        _run(tmp_path, {"data": synth_csv, "model": "ShockCooling2",
+                        "priors": [["Uniform", 0, 1]] * 4,
+                        "driver": "quantum"})
