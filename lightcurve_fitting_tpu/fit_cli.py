@@ -74,6 +74,54 @@ def _summarize_chain(flatchain, model):
             for name, m, l, h in zip(model.input_names, med, lo, hi)}
 
 
+def _run_population(cfg, config_dir):
+    """``driver: "population"`` — ``data`` is a LIST of photometry files;
+    every transient is fit concurrently in one device call
+    (`parallel.fit_population`; ``driver_kwargs`` passes through, e.g.
+    ``init: "map"`` for MAP-seeded short burn-ins). The summary JSON carries
+    per-transient posteriors keyed by file name."""
+    model_cls = getattr(_models, cfg["model"], None)
+    if model_cls is None:
+        raise SystemExit(f"unknown model {cfg['model']!r}")
+    priors = _build_priors(cfg["priors"])
+    if "p_lo" not in cfg or "p_up" not in cfg:
+        raise SystemExit('driver "population" requires p_lo and p_up')
+
+    lcs, names = [], []
+    for path in cfg["data"]:
+        sub = dict(cfg, data=path)
+        lcs.append(_load_lc(sub, config_dir))
+        names.append(os.path.basename(path))
+    models = [model_cls(lc) for lc in lcs]
+
+    from .parallel.population import fit_population
+    flat, acc = fit_population(models, lcs, priors, cfg["p_lo"], cfg["p_up"],
+                               **cfg.get("driver_kwargs", {}))
+
+    summary = {"driver": "population", "model": cfg["model"],
+               "n_transients": len(lcs), "transients": {}}
+    for s, name in enumerate(names):
+        summary["transients"][name] = dict(
+            _summarize_chain(flat[s], models[s]),
+            acceptance=float(acc[s]))
+
+    outputs = cfg.get("outputs", {})
+
+    def outpath(key):
+        p = outputs.get(key)
+        if p is not None and not os.path.isabs(p):
+            p = os.path.join(config_dir, p)
+        return p
+
+    if outpath("flatchains"):
+        np.save(outpath("flatchains"), flat)
+    if outpath("summary"):
+        with open(outpath("summary"), "w") as f:
+            json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="lcfit", description="Fit a light-curve model from a JSON config "
@@ -84,6 +132,9 @@ def main(argv=None):
     with open(args.config) as f:
         cfg = json.load(f)
     config_dir = os.path.dirname(os.path.abspath(args.config))
+
+    if cfg.get("driver") == "population":
+        return _run_population(cfg, config_dir)
 
     lc = _load_lc(cfg, config_dir)
     model_cls = getattr(_models, cfg["model"], None)
@@ -146,7 +197,7 @@ def main(argv=None):
         summary["rung_acceptance"] = [float(a) for a in info["acceptance"]]
     else:
         raise SystemExit(f"unknown driver {driver!r}; choose from "
-                         "mcmc | hmc | map | ptmcmc | evidence")
+                         "mcmc | hmc | map | ptmcmc | evidence | population")
 
     if flatchain is not None:
         summary["posterior"] = _summarize_chain(flatchain, model)

@@ -81,3 +81,33 @@ def test_cli_errors(tmp_path, synth_csv):
         _run(tmp_path, {"data": synth_csv, "model": "ShockCooling2",
                         "priors": [["Uniform", 0, 1]] * 4,
                         "driver": "quantum"})
+
+
+def test_cli_population(tmp_path, synth_csv):
+    # second transient with different truths
+    rng = np.random.default_rng(3)
+    t = np.repeat(np.linspace(1.0, 8.0, 4), 3)
+    f = np.array([filtdict[n] for n in ["g", "r", "i"]] * 4)
+    m = ShockCooling2()
+    y = m(t, f, 16.0, 2.5, 45.0, 0.0)
+    dy = 0.05 * y
+    lc2 = LC([t, np.array(["g", "r", "i"] * 4), y + rng.normal(scale=dy), dy],
+             names=["MJD", "filter", "lum", "dlum"])
+    second = str(tmp_path / "synth2.csv")
+    lc2.write(second, format="ascii.csv", overwrite=True)
+
+    cfg = {"data": [synth_csv, second], "model": "ShockCooling2",
+           "priors": [["Uniform", 1, 50], ["Uniform", 0.1, 20],
+                      ["Uniform", 5, 100]],
+           "p_lo": [5, 0.5, 20], "p_up": [25, 5, 60],
+           "driver": "population",
+           "driver_kwargs": {"nwalkers": 16, "nsteps": 150,
+                             "nsteps_burnin": 60, "seed": 4, "init": "map"},
+           "outputs": {"flatchains": "chains.npy", "summary": "summary.json"}}
+    summary = _run(tmp_path, cfg)
+    assert summary["n_transients"] == 2
+    per = summary["transients"]
+    assert per["synth.csv"]["T_1"]["median"] == pytest.approx(12.0, rel=0.3)
+    assert per["synth2.csv"]["T_1"]["median"] == pytest.approx(16.0, rel=0.3)
+    chains = np.load(str(tmp_path / "chains.npy"))
+    assert chains.shape == (2, 150 * 16, 3)
