@@ -79,7 +79,9 @@ def _run_population(cfg, config_dir):
     every transient is fit concurrently in one device call
     (`parallel.fit_population`; ``driver_kwargs`` passes through, e.g.
     ``init: "map"`` for MAP-seeded short burn-ins). The summary JSON carries
-    per-transient posteriors keyed by file name."""
+    per-transient posteriors keyed by file name. ``meta`` and ``where``
+    apply to every file (fit_population shares the model class and prior
+    structure; per-transient redshifts etc. belong in per-file data)."""
     model_cls = getattr(_models, cfg["model"], None)
     if model_cls is None:
         raise SystemExit(f"unknown model {cfg['model']!r}")
@@ -132,6 +134,9 @@ def main(argv=None):
     with open(args.config) as f:
         cfg = json.load(f)
     config_dir = os.path.dirname(os.path.abspath(args.config))
+    for key in ("data", "model", "priors"):
+        if key not in cfg:
+            raise SystemExit(f"config is missing the required {key!r} key")
 
     if cfg.get("driver") == "population":
         return _run_population(cfg, config_dir)
