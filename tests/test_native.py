@@ -10,8 +10,13 @@ pytestmark = pytest.mark.skipif(not native.available(),
                                 reason="native library unavailable (no g++?)")
 
 
+@np.errstate(divide="ignore", invalid="ignore")
 def _binflux_numpy(time, flux, dflux, delta, include_zero=True):
-    """The reference algorithm (lightcurve.py:944-1000), pure numpy."""
+    """The reference algorithm (lightcurve.py:944-1000), pure numpy.
+
+    Edge-case inputs (all-zero error bars with include_zero=False)
+    deliberately drive 0/0 and 1/0 here, matching the reference's own
+    warnings-and-NaN behavior — errstate keeps the suite output quiet."""
     time = np.asarray(time, float).copy()
     flux = np.asarray(flux, float).copy()
     dflux = np.asarray(dflux, float).copy()
@@ -33,6 +38,7 @@ def _binflux_numpy(time, flux, dflux, delta, include_zero=True):
     return np.array(bt), np.array(bf), np.array(bd)
 
 
+@pytest.mark.filterwarnings("ignore:Mean of empty slice:RuntimeWarning")
 @pytest.mark.parametrize("seed", [0, 1, 2])
 @pytest.mark.parametrize("include_zero", [True, False])
 def test_binflux_native_matches_numpy(seed, include_zero):
