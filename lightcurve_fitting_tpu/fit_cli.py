@@ -80,8 +80,9 @@ def _run_population(cfg, config_dir):
     (`parallel.fit_population`; ``driver_kwargs`` passes through, e.g.
     ``init: "map"`` for MAP-seeded short burn-ins). The summary JSON carries
     per-transient posteriors keyed by file name. ``meta`` and ``where``
-    apply to every file (fit_population shares the model class and prior
-    structure; per-transient redshifts etc. belong in per-file data)."""
+    apply to every file; per-transient metadata (distance modulus, redshift,
+    extinction) goes in an optional ``per_file`` mapping keyed by the file
+    name, merged over the shared ``meta``."""
     model_cls = getattr(_models, cfg["model"], None)
     if model_cls is None:
         raise SystemExit(f"unknown model {cfg['model']!r}")
@@ -90,10 +91,14 @@ def _run_population(cfg, config_dir):
         raise SystemExit('driver "population" requires p_lo and p_up')
 
     lcs, names = [], []
+    per_file = cfg.get("per_file", {})
     for path in cfg["data"]:
-        sub = dict(cfg, data=path)
+        name = os.path.basename(path)
+        meta = dict(cfg.get("meta", {}))
+        meta.update(per_file.get(name, {}).get("meta", {}))
+        sub = dict(cfg, data=path, meta=meta)
         lcs.append(_load_lc(sub, config_dir))
-        names.append(os.path.basename(path))
+        names.append(name)
     models = [model_cls(lc) for lc in lcs]
 
     from .parallel.population import fit_population

@@ -101,6 +101,7 @@ def test_cli_population(tmp_path, synth_csv):
                       ["Uniform", 5, 100]],
            "p_lo": [5, 0.5, 20], "p_up": [25, 5, 60],
            "driver": "population",
+           "per_file": {"synth2.csv": {"meta": {"redshift": 0.0}}},
            "driver_kwargs": {"nwalkers": 16, "nsteps": 150,
                              "nsteps_burnin": 60, "seed": 4, "init": "map"},
            "outputs": {"flatchains": "chains.npy", "summary": "summary.json"}}
