@@ -129,6 +129,43 @@ def _run_population(cfg, config_dir):
     return 0
 
 
+def _run_bolometric(cfg, config_dir):
+    """``driver: "bolometric"`` — the per-epoch blackbody pipeline
+    (`bolometric.calculate_bolometric`): no model/priors keys; pass pipeline
+    options (res, colors, batch_mode, nwalkers, steps, ...) through
+    ``driver_kwargs``. Writes the results table (``outputs.table``, ascii
+    fixed-width like the reference) and per-epoch corner PDFs into
+    ``outputs.outpath`` (default: alongside the config)."""
+    from .bolometric import calculate_bolometric
+
+    lc = _load_lc(cfg, config_dir)
+    outputs = cfg.get("outputs", {})
+    outpath = outputs.get("outpath", ".")
+    if not os.path.isabs(outpath):
+        outpath = os.path.join(config_dir, outpath)
+    os.makedirs(outpath, exist_ok=True)
+    import matplotlib
+    matplotlib.use("Agg")
+    t0 = calculate_bolometric(lc, outpath=outpath,
+                              **cfg.get("driver_kwargs", {}))
+    table_path = outputs.get("table")
+    if table_path:
+        if not os.path.isabs(table_path):
+            table_path = os.path.join(config_dir, table_path)
+        t0.write(table_path, format="ascii.fixed_width_two_line",
+                 overwrite=True)
+    summary = {"driver": "bolometric", "n_epochs": int(len(t0)),
+               "columns": list(t0.colnames)}
+    if outputs.get("summary"):
+        p = outputs["summary"]
+        if not os.path.isabs(p):
+            p = os.path.join(config_dir, p)
+        with open(p, "w") as f:
+            json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="lcfit", description="Fit a light-curve model from a JSON config "
@@ -139,12 +176,16 @@ def main(argv=None):
     with open(args.config) as f:
         cfg = json.load(f)
     config_dir = os.path.dirname(os.path.abspath(args.config))
-    for key in ("data", "model", "priors"):
+    required = ("data",) if cfg.get("driver") == "bolometric" \
+        else ("data", "model", "priors")
+    for key in required:
         if key not in cfg:
             raise SystemExit(f"config is missing the required {key!r} key")
 
     if cfg.get("driver") == "population":
         return _run_population(cfg, config_dir)
+    if cfg.get("driver") == "bolometric":
+        return _run_bolometric(cfg, config_dir)
 
     lc = _load_lc(cfg, config_dir)
     model_cls = getattr(_models, cfg["model"], None)

@@ -112,3 +112,20 @@ def test_cli_population(tmp_path, synth_csv):
     assert per["synth2.csv"]["T_1"]["median"] == pytest.approx(16.0, rel=0.3)
     chains = np.load(str(tmp_path / "chains.npy"))
     assert chains.shape == (2, 150 * 16, 3)
+
+
+def test_cli_bolometric(tmp_path):
+    data = os.path.join(os.path.dirname(__file__), "..",
+                        "lightcurve_fitting_tpu", "data", "SN2016bkv.csv")
+    cfg = {"data": os.path.abspath(data),
+           "meta": {"dm": 30.79, "redshift": 0.002},
+           "where": {"MJD_min": 57470.0, "MJD_max": 57473.0},
+           "driver": "bolometric",
+           "driver_kwargs": {"res": 1.0, "nwalkers": 10, "burnin_steps": 30,
+                             "steps": 30},
+           "outputs": {"table": "bolo.txt", "summary": "summary.json",
+                       "outpath": "epochs"}}
+    summary = _run(tmp_path, cfg)
+    assert summary["n_epochs"] >= 2
+    assert "temp_mcmc" in summary["columns"]
+    assert os.path.exists(str(tmp_path / "bolo.txt"))
