@@ -15,7 +15,7 @@ outputs:
                  ["Uniform", 0, 100], ["Uniform", 57468.0, 57468.7]],
       "p_lo": [20, 2, 20, 57468.5],
       "p_up": [50, 5, 50, 57468.7],
-      "driver": "mcmc",                // mcmc | hmc | map | ptmcmc | evidence
+      "driver": "mcmc",     // mcmc | hmc | map | ptmcmc | evidence | population | bolometric
       "driver_kwargs": {"nwalkers": 100, "nsteps": 1000, "nsteps_burnin": 1000},
       "outputs": {"flatchain": "chain.npy", "corner": "corner.pdf",
                   "summary": "summary.json"}
