@@ -129,3 +129,27 @@ def test_cli_bolometric(tmp_path):
     assert summary["n_epochs"] >= 2
     assert "temp_mcmc" in summary["columns"]
     assert os.path.exists(str(tmp_path / "bolo.txt"))
+
+
+def test_cli_hmc_and_ptmcmc(tmp_path, synth_csv):
+    base = {"data": synth_csv, "model": "ShockCooling2",
+            "priors": [["Gaussian", 1, 50, 12, 5], ["Gaussian", 0.1, 20, 2, 1],
+                       ["Gaussian", 5, 100, 35, 10], ["Gaussian", -0.5, 0.5, 0, 0.2]],
+            "p_lo": [5, 0.5, 20, -0.4], "p_up": [25, 5, 60, 0.4],
+            "outputs": {"summary": "summary.json"}}
+
+    hmc = dict(base, driver="hmc",
+               driver_kwargs={"nchains": 4, "nsamples": 40, "n_warmup": 60,
+                              "warmup_walkers": 16, "warmup_steps": 60,
+                              "max_depth": 6, "seed": 5, "quiet": True})
+    summary = _run(tmp_path, hmc)
+    assert summary["posterior"]["T_1"]["median"] == pytest.approx(12.0, rel=0.4)
+    assert summary["acceptance"] > 0.3
+
+    pt = dict(base, driver="ptmcmc",
+              driver_kwargs={"nwalkers": 16, "n_rungs": 5, "nsteps": 100,
+                             "nsteps_burnin": 100, "seed": 6, "quiet": True})
+    summary = _run(tmp_path, pt)
+    assert summary["posterior"]["T_1"]["median"] == pytest.approx(12.0, rel=0.4)
+    assert np.isfinite(summary["log_z"])
+    assert len(summary["swap_rate"]) == 6
