@@ -174,7 +174,12 @@ def spectrum_mcmc(spectrum, epoch1, priors, starting_guesses, z=0.0, ebv=0.0,
         # Any failure to build/trace the device path drops to the slow host
         # sampler — arbitrary Python spectrum callables can raise anything at
         # trace time (numba TypingErrors, their own ValueErrors), not just
-        # jax tracer errors. Unlike the round-1 blanket except this is LOUD:
+        # jax tracer errors. The built-in planck_fast is exempt from the
+        # fallback: its device path is expected to trace, so a failure there
+        # is a framework bug that must surface, not degrade to ~19 evals/s.
+        if spectrum is planck_fast:
+            raise
+        # Unlike the round-1 blanket except this is LOUD:
         # a visible warning names the exception so genuine jax-path bugs are
         # seen, not silently absorbed into a 19-evals/s run.
         warnings.warn(

@@ -69,7 +69,7 @@ def _load_lc(cfg, config_dir):
 
 def _summarize_chain(flatchain, model):
     med = np.median(flatchain, axis=0)
-    lo, hi = np.percentile(flatchain, [15.87, 84.14], axis=0)
+    lo, hi = np.percentile(flatchain, [15.87, 84.13], axis=0)
     return {name: {"median": float(m), "minus": float(m - l), "plus": float(h - m)}
             for name, m, l, h in zip(model.input_names, med, lo, hi)}
 

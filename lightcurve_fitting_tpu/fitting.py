@@ -337,7 +337,7 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
                    n_warmup=800, sampler="nuts", max_depth=9, n_leapfrog=32,
                    use_sigma=False, sigma_type="relative", seed=None,
                    warmup_walkers=64, warmup_steps=300,
-                   save_sampler_as="", quiet=False):
+                   save_sampler_as="", quiet=False, mesh=None):
     """One-call gradient-based fit of a light-curve model (NUTS by default).
 
     The flagship beyond-reference capability as a product API, shaped like
@@ -361,6 +361,12 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
        (R-hat ~ 1.02 on the flagship posterior, VALIDATION.md);
        ``sampler="hmc"`` uses fixed ``n_leapfrog`` trajectories instead.
     5. Chains are mapped back through both bijections.
+
+    ``mesh``: a 1-D :class:`jax.sharding.Mesh` shards the NUTS/HMC chain
+    axis *and* the warm-start ensemble's walker axis across its devices —
+    the full gradient stack scales over ICI like the stretch-move drivers
+    (``nchains`` and ``warmup_walkers/2`` must divide the mesh size; the
+    warm-up walker count is rounded up automatically).
     """
     from .parallel.hmc import HMCSampler, BoundsTransform, WhitenedPosterior
     from .parallel.nuts import NUTSSampler
@@ -378,7 +384,19 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
 
     # ensemble warm start: typical-set location + covariance + seeds
     rng = np.random.RandomState(seed) if seed is not None else np.random
-    warm = EnsembleSampler(warmup_walkers, ndim, log_posterior, seed=seed)
+    if mesh is None:
+        warm = EnsembleSampler(warmup_walkers, ndim, log_posterior, seed=seed)
+    else:
+        from .parallel.mesh import ShardedEnsembleSampler
+        n_dev = int(mesh.devices.size)
+        if nchains % n_dev:
+            raise ValueError(f"nchains={nchains} must be divisible by the mesh "
+                             f"size {n_dev}")
+        if (warmup_walkers // 2) % n_dev:
+            warmup_walkers = 2 * n_dev * (warmup_walkers // (2 * n_dev) + 1)
+        warm = ShardedEnsembleSampler(warmup_walkers, ndim, log_posterior,
+                                      mesh=mesh, axis_name=mesh.axis_names[0],
+                                      seed=seed)
     guesses = rng.rand(warmup_walkers, ndim) * (up - lo) + lo
     warm.run_mcmc(guesses, warmup_steps, progress=not quiet,
                   progress_kwargs={"desc": " HMC warm start"})
@@ -402,10 +420,10 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
     w0 = white.to_w(warm_u[seeds])
     if sampler == "nuts":
         engine = NUTSSampler(nchains, ndim, log_posterior_w, max_depth=max_depth,
-                             seed=seed)
+                             seed=seed, mesh=mesh)
     else:
         engine = HMCSampler(nchains, ndim, log_posterior_w, n_leapfrog=n_leapfrog,
-                            seed=seed)
+                            seed=seed, mesh=mesh)
     engine.run_mcmc(w0, nsamples, n_warmup=n_warmup)
 
     u_chain = white.u_from_w_chain(engine._chain)
@@ -786,9 +804,11 @@ def lightcurve_corner(lc, model, sampler_flatchain, model_kwargs=None,
                       filter_spacing=1.0, tmin=None, tmax=None, t0_offset=None,
                       save_plot_as="", ycol=None, textsize="medium", param_textsize="large",
                       use_sigma=False, xscale="linear", filters_to_model=None,
-                      label_filters=True, lc_plot_kwargs=None, model_plot_kwargs=None):
+                      label_filters=True, lc_plot_kwargs=None, model_plot_kwargs=None,
+                      seed=None):
     """Corner plot of the posterior with a light-curve inset showing posterior-
-    draw model curves (behavioral spec: reference fitting.py:171-277)."""
+    draw model curves (behavioral spec: reference fitting.py:171-277).
+    ``seed`` makes the inset's posterior-draw selection reproducible."""
     if model_kwargs is not None:
         raise Exception(MODEL_KWARGS_WARNING)
     if ycol is None:
@@ -816,7 +836,7 @@ def lightcurve_corner(lc, model, sampler_flatchain, model_kwargs=None,
     lightcurve_model_plot(lc, model, sampler_flatchain, model_kwargs, num_models_to_plot,
                           filter_spacing, tmin, tmax, ycol, textsize, ax, t0_offset,
                           use_sigma, xscale, filters_to_model, label_filters,
-                          lc_plot_kwargs, model_plot_kwargs)
+                          lc_plot_kwargs, model_plot_kwargs, seed=seed)
 
     paramtexts = format_credible_interval(sampler_flatchain, varnames=model.input_names,
                                           units=model.units)
@@ -829,11 +849,12 @@ def lightcurve_corner(lc, model, sampler_flatchain, model_kwargs=None,
     return fig, corner_axes, ax
 
 
-def _posterior_curves(model, flatchain, xfit, ufilts, num, use_sigma):
+def _posterior_curves(model, flatchain, xfit, ufilts, num, use_sigma, seed=None):
     """Evaluate the model on ``num`` random posterior draws over a dense time
     grid; also returns the SiFTO template component for companion-shocking
-    models (dashed overlay, reference fitting.py:354-362)."""
-    choices = np.random.choice(flatchain.shape[0], num)
+    models (dashed overlay, reference fitting.py:354-362). ``seed`` makes the
+    draw selection reproducible."""
+    choices = np.random.default_rng(seed).choice(flatchain.shape[0], num)
     ps = flatchain[choices].T
     params = ps[:-1] if use_sigma else ps
     y_fit = model(xfit, ufilts, *params)
@@ -889,9 +910,11 @@ def lightcurve_model_plot(lc, model, sampler_flatchain, model_kwargs=None,
                           num_models_to_plot=100, filter_spacing=1.0, tmin=None, tmax=None,
                           ycol=None, textsize="medium", ax=None, mjd_offset=None,
                           use_sigma=False, xscale="linear", filters_to_model=None,
-                          label_filters=True, lc_plot_kwargs=None, model_plot_kwargs=None):
+                          label_filters=True, lc_plot_kwargs=None, model_plot_kwargs=None,
+                          seed=None):
     """Observed photometry with posterior-draw model light curves overplotted
-    (behavioral spec: reference fitting.py:280-429)."""
+    (behavioral spec: reference fitting.py:280-429). ``seed`` makes the
+    posterior-draw selection reproducible."""
     if model_kwargs is not None:
         raise Exception(MODEL_KWARGS_WARNING)
     if ycol is None:
@@ -912,7 +935,7 @@ def lightcurve_model_plot(lc, model, sampler_flatchain, model_kwargs=None,
         ufilts = np.array([filtdict[f] for f in filters_to_model], dtype=object)
 
     y_fit, y_sifto = _posterior_curves(model, sampler_flatchain, xfit, ufilts,
-                                       num_models_to_plot, use_sigma)
+                                       num_models_to_plot, use_sigma, seed=seed)
     dycol, yscale, ylabel, y_fit, y_sifto = _y_axis_spec(ycol, y_fit, y_sifto, ufilts, ax)
     solid_kwargs, dashed_kwargs = _split_model_kwargs(model_plot_kwargs)
 
@@ -1000,7 +1023,9 @@ def _attach_units(texstrings, varnames, units):
 def format_credible_interval(x, sigfigs=1, percentiles=(15.87, 50.0, 84.14), axis=0,
                              varnames=None, units=None):
     """LaTeX equal-tailed credible intervals with sig-fig rounding of the
-    uncertainty (behavioral spec: reference fitting.py:432-494)."""
+    uncertainty (behavioral spec: reference fitting.py:432-494; the 84.14
+    default upper percentile reproduces the reference's documented default —
+    callers wanting exact 1-sigma should pass (15.87, 50.0, 84.13))."""
     quantile_rows = np.atleast_2d(np.percentile(np.asarray(x), percentiles, axis=axis).T)
     texstrings = [_interval_tex(lo, mid, hi, sigfigs) for lo, mid, hi in quantile_rows]
     if varnames is None or units is None:

@@ -75,7 +75,7 @@ def summarize_chain(chain, names=None):
     lines = []
     for k in range(chain.shape[-1]):
         name = names[k] if names else f"p{k}"
-        lo, med, hi = np.percentile(flat[:, k], [15.87, 50.0, 84.14])
+        lo, med, hi = np.percentile(flat[:, k], [15.87, 50.0, 84.13])
         lines.append(f"{name:>12s}: {med:.5g} (+{hi - med:.3g}/-{med - lo:.3g})  "
                      f"R-hat={rhat[k]:.3f}  ESS={ess[k]:.0f}")
     return "\n".join(lines)

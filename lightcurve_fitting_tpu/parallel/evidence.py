@@ -103,6 +103,10 @@ def _make_tempered_step(log_prior_fn, log_like_fn, half, ndim, betas, a=2.0,
         u = jr.uniform(key, logl.shape, dtype=x.dtype)
         u_pair = u[jnp.minimum(idx_j, partner)]
         acc = (jnp.log(u_pair) < log_acc) & (partner != idx_j)[:, None, None]
+        # never swap a logl=-inf state (possible only from a NaN-likelihood
+        # start point): (beta_j-beta_i)*(-inf) can yield log_acc=+inf and
+        # push a zero-density state into a beta>0 rung, violating invariance
+        acc = acc & jnp.isfinite(logl) & jnp.isfinite(ll_p)
         x = jnp.where(acc[..., None], x_p, x)
         logpri = jnp.where(acc, pri_p, logpri)
         logl = jnp.where(acc, ll_p, logl)

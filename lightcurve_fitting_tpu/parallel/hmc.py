@@ -118,12 +118,18 @@ class HMCSampler:
     ``acceptance_fraction``."""
 
     def __init__(self, nchains, ndim, log_prob_fn, n_leapfrog=16, target_accept=0.8,
-                 init_step_size=0.1, init_scales=None, seed=None):
+                 init_step_size=0.1, init_scales=None, seed=None, mesh=None,
+                 axis_name=None):
         """``init_scales``: rough per-parameter posterior scales; used as the
         warmup mass matrix. Essential for posteriors with strong scale
         hierarchies (e.g. an explosion epoch constrained 1e4x more tightly
         than a temperature) — with a unit mass, dual averaging shrinks the
-        step to the stiffest direction and warmup never mixes."""
+        step to the stiffest direction and warmup never mixes.
+
+        ``mesh`` shards the chain axis (see :class:`NUTSSampler`: chains are
+        independent; only the warmup's cross-chain adaptation reductions
+        communicate, as XLA-inserted all-reduces)."""
+        from .nuts import _validate_chain_mesh
         self.nchains = int(nchains)
         self.ndim = int(ndim)
         self.n_leapfrog = int(n_leapfrog)
@@ -133,10 +139,16 @@ class HMCSampler:
                             else np.asarray(init_scales, float))
         self._logp_and_grad = jax.value_and_grad(log_prob_fn)
         self._log_prob_fn = log_prob_fn
+        self.mesh = mesh
+        self.axis_name = _validate_chain_mesh(mesh, axis_name, self.nchains)
         if seed is None:
             seed = np.random.randint(0, 2 ** 31 - 1)
         self._key = jr.PRNGKey(seed)
         self.reset()
+
+    def _sharding(self, *spec):
+        from jax.sharding import NamedSharding, PartitionSpec
+        return NamedSharding(self.mesh, PartitionSpec(*spec))
 
     def reset(self):
         self._chain = np.empty((0, self.nchains, self.ndim))
@@ -229,8 +241,7 @@ class HMCSampler:
             )(x, logp, keys)
             return (x, logp, eps, inv_mass), (x, aprob)
 
-        @jax.jit
-        def run(x, logp, wkeys1, wkeys2, skeys):
+        def run_fn(x, logp, wkeys1, wkeys2, skeys):
             # phase 1: adapt eps on the user-provided scale mass, estimate the
             # posterior variance; phase 2: re-adapt eps on the estimated mass
             # (Stan-style windows — eps tuned for one metric is invalid for
@@ -253,6 +264,15 @@ class HMCSampler:
                 sample_step, (x, logp, eps, inv_mass), skeys)
             return xs, aprob, eps, inv_mass
 
+        if self.mesh is None:
+            run = jax.jit(run_fn)
+        else:
+            ax = self.axis_name
+            s = self._sharding
+            run = jax.jit(run_fn,
+                          in_shardings=(s(ax, None), s(ax), s(), s(), s()),
+                          out_shardings=(s(None, ax, None), s(None, ax), s(), s()))
+
         self._key, k1, k1b, k2 = jr.split(self._key, 4)
         n_w1 = (2 * n_warmup) // 3
         wkeys = jr.split(k1, n_w1)
@@ -274,8 +294,7 @@ class HMCSampler:
         eps = jnp.asarray(self.step_size)
         inv_mass = jnp.asarray(self.inv_mass)
 
-        @jax.jit
-        def run(x, logp, skeys):
+        def run_fn(x, logp, skeys):
             def sample_step(carry, key):
                 x, logp = carry
                 keys = jr.split(key, self.nchains)
@@ -286,6 +305,15 @@ class HMCSampler:
 
             _, (xs, aprob) = jax.lax.scan(sample_step, (x, logp), skeys)
             return xs, aprob
+
+        if self.mesh is None:
+            run = jax.jit(run_fn)
+        else:
+            s = self._sharding
+            run = jax.jit(run_fn,
+                          in_shardings=(s(self.axis_name, None), s(self.axis_name), s()),
+                          out_shardings=(s(None, self.axis_name, None),
+                                         s(None, self.axis_name)))
 
         self._key, k2 = jr.split(self._key)
         xs, aprob = run(x0, logp0, jr.split(k2, n_samples))

@@ -37,6 +37,20 @@ __all__ = ["NUTSSampler"]
 _DIVERGENCE = 1000.0
 
 
+def _validate_chain_mesh(mesh, axis_name, nchains):
+    """Resolve the chain-sharding axis name and validate divisibility; returns
+    the axis name (None when unsharded)."""
+    if mesh is None:
+        return None
+    if axis_name is None:
+        axis_name = mesh.axis_names[0]
+    n_dev = mesh.shape[axis_name]
+    if nchains % n_dev:
+        raise ValueError(f"nchains={nchains} must be divisible by the mesh's "
+                         f"{axis_name!r} axis size {n_dev}")
+    return axis_name
+
+
 def _leapfrog(logp_and_grad, q, p, eps, inv_mass):
     """One kick-drift-kick step; NaN-safe gradients (out-of-support points
     carry zero gradient and are killed by their -inf weight instead)."""
@@ -186,10 +200,17 @@ class NUTSSampler:
     """Multi-chain adaptive NUTS. API parallels :class:`HMCSampler`:
     ``run_mcmc(initial, n_samples, n_warmup)``, ``flatchain``, ``chain``,
     ``acceptance_fraction`` (mean accept-stat), plus ``mean_tree_depth`` and
-    ``divergence_rate`` diagnostics."""
+    ``divergence_rate`` diagnostics.
+
+    ``mesh`` shards the chain axis over a 1-D :class:`jax.sharding.Mesh` —
+    chains are independent given the adaptation state, so the per-step
+    communication is only the warmup's cross-chain reductions (mean accept
+    stat + Welford variance), which XLA lowers to small ICI all-reduces from
+    the sharding annotations; production sampling is collective-free."""
 
     def __init__(self, nchains, ndim, log_prob_fn, max_depth=8, target_accept=0.8,
-                 init_step_size=0.1, init_scales=None, seed=None):
+                 init_step_size=0.1, init_scales=None, seed=None, mesh=None,
+                 axis_name=None):
         self.nchains = int(nchains)
         self.ndim = int(ndim)
         self.max_depth = int(max_depth)
@@ -199,10 +220,16 @@ class NUTSSampler:
                             else np.asarray(init_scales, float))
         self._log_prob_fn = log_prob_fn
         self._transition = make_nuts_transition(log_prob_fn, self.ndim, self.max_depth)
+        self.mesh = mesh
+        self.axis_name = _validate_chain_mesh(mesh, axis_name, self.nchains)
         if seed is None:
             seed = np.random.randint(0, 2 ** 31 - 1)
         self._key = jr.PRNGKey(seed)
         self.reset()
+
+    def _sharding(self, *spec):
+        from jax.sharding import NamedSharding, PartitionSpec
+        return NamedSharding(self.mesh, PartitionSpec(*spec))
 
     def reset(self):
         self._chain = np.empty((0, self.nchains, self.ndim))
@@ -262,8 +289,7 @@ class NUTSSampler:
             )(x, logp, keys)
             return (x, logp, eps, inv_mass), (x, stats)
 
-        @jax.jit
-        def run(x, logp, wkeys1, wkeys2, skeys):
+        def run_fn(x, logp, wkeys1, wkeys2, skeys):
             inv_mass0 = jnp.asarray(self.init_scales ** 2)
             mu = jnp.log(10.0 * self.init_step_size)
             carry = (x, logp, inv_mass0, jnp.log(self.init_step_size),
@@ -282,6 +308,18 @@ class NUTSSampler:
             (x, logp, eps, inv_mass), (xs, stats) = jax.lax.scan(
                 sample_step, (x, logp, eps, inv_mass), skeys)
             return xs, stats, eps, inv_mass
+
+        if self.mesh is None:
+            run = jax.jit(run_fn)
+        else:
+            ax = self.axis_name
+            s = self._sharding
+            run = jax.jit(
+                run_fn,
+                in_shardings=(s(ax, None), s(ax), s(), s(), s()),
+                out_shardings=(s(None, ax, None),
+                               (s(None, ax), s(None, ax), s(None, ax)),
+                               s(), s()))
 
         self._key, k1, k1b, k2 = jr.split(self._key, 4)
         n_w1 = (2 * n_warmup) // 3
@@ -307,8 +345,7 @@ class NUTSSampler:
         transition = self._transition
         nchains = self.nchains
 
-        @jax.jit
-        def run(x, logp, skeys):
+        def run_fn(x, logp, skeys):
             def sample_step(carry, key):
                 x, logp = carry
                 keys = jr.split(key, nchains)
@@ -319,6 +356,16 @@ class NUTSSampler:
 
             _, (xs, stats) = jax.lax.scan(sample_step, (x, logp), skeys)
             return xs, stats
+
+        if self.mesh is None:
+            run = jax.jit(run_fn)
+        else:
+            ax = self.axis_name
+            s = self._sharding
+            run = jax.jit(run_fn,
+                          in_shardings=(s(ax, None), s(ax), s()),
+                          out_shardings=(s(None, ax, None),
+                                         (s(None, ax), s(None, ax), s(None, ax))))
 
         self._key, k2 = jr.split(self._key)
         xs, (astat, depth, div) = run(x0, logp0, jr.split(k2, n_samples))

@@ -12,6 +12,8 @@ state (redshift, filter quadrature, SiFTO scalings) lives in the packed data.
 Photometry is padded to the widest transient with zero-weight masks.
 """
 
+import hashlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -24,6 +26,42 @@ from .sampler import make_stretch_kernel
 __all__ = ["pack_population", "fit_population"]
 
 _COMPILED_CACHE = {}
+
+
+def _array_digest(a):
+    a = np.ascontiguousarray(np.asarray(a))
+    return (a.shape, str(a.dtype), hashlib.sha1(a.tobytes()).hexdigest()[:16])
+
+
+def _model_fingerprint(model):
+    """Hashable digest of the instance constants a jitted closure over
+    ``model._eval_points`` bakes in (ShockCooling n/A/a/alpha/epsilon_*,
+    cutoff_freq, z, ...). The compiled-kernel caches MUST key on this, not
+    just the class name: two same-shape fits with n=1.5 vs n=3.0 compile
+    different physics."""
+    items = []
+    for k in sorted(vars(model)):
+        if k.startswith("_"):
+            continue
+        v = vars(model)[k]
+        if isinstance(v, (int, float, bool, str, type(None))):
+            items.append((k, v))
+        elif isinstance(v, (np.ndarray, jax.Array)):
+            items.append((k, _array_digest(v)))
+        elif isinstance(v, dict):
+            items.append((k, tuple(sorted(str(kk) for kk in v))))
+    return (type(model).__name__, tuple(items))
+
+
+def _prior_fingerprint(p):
+    """Hashable digest of one prior, including a KDEPrior's baked-in sample
+    array + bandwidth (not just its bounds)."""
+    base = (type(p).__name__, getattr(p, "p_min", None), getattr(p, "p_max", None),
+            getattr(p, "mean", None), getattr(p, "stddev", None))
+    samples = getattr(p, "samples", None)
+    if samples is not None:
+        base = base + (_array_digest(samples), getattr(p, "bandwidth", None))
+    return base
 
 
 def pack_population(models, lcs, use_sigma=False):
@@ -228,11 +266,11 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
 
         return logpost
 
+    prior_sig = tuple(_prior_fingerprint(p) for p in priors)
+    model_sig = _model_fingerprint(model)
+
     if init == "map":
-        prior_sig = tuple((type(p).__name__, getattr(p, "p_min", None),
-                           getattr(p, "p_max", None), getattr(p, "mean", None),
-                           getattr(p, "stddev", None)) for p in priors)
-        map_key = ("mapseed", type(model).__name__, prior_sig,
+        map_key = ("mapseed", model_sig, prior_sig,
                    packed["t"].shape, n_map_starts, n_map_iter, use_sigma,
                    sigma_type)
         guesses = _map_seeded_guesses(make_logpost, packed, priors, p_lo, p_up,
@@ -264,9 +302,7 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
 
     # cache compiled executables across calls: the graph is determined by the
     # model class, prior structure, shapes, and run configuration
-    cache_key = (type(model).__name__,
-                 tuple((type(p).__name__, getattr(p, "p_min", None), getattr(p, "p_max", None),
-                        getattr(p, "mean", None), getattr(p, "stddev", None)) for p in priors),
+    cache_key = (model_sig, prior_sig,
                  packed["t"].shape, packed["quad"]["nodes"].shape if "nodes" in packed["quad"] else None,
                  nwalkers, nsteps, nsteps_burnin, use_sigma, sigma_type, a,
                  None if mesh is None else (tuple(mesh.shape.items()), axis_name))

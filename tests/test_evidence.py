@@ -188,3 +188,31 @@ def test_short_chain_error_estimate_degrades_gracefully():
                                             nsteps_burnin=2, seed=0)
     assert np.isfinite(log_z)
     assert err == np.inf
+
+
+def test_ladder_survives_nonfinite_start_walker():
+    """A walker starting at a NaN-likelihood point (logl=-inf) must never be
+    swapped into another rung (log_acc = (negative)*(-inf) = +inf would accept
+    it with probability 1, briefly planting a zero-density state in a beta>0
+    rung). The run must still converge: the poisoned walker heals via stretch
+    moves and the evidence matches the analytic value."""
+    sigma, aa, d = 0.3, 5.0, 2
+
+    def log_prior(p):
+        inside = jnp.all((p > -aa) & (p < aa))
+        return jnp.where(inside, -d * jnp.log(2 * aa), -jnp.inf)
+
+    def log_like(p):
+        ll = -0.5 * jnp.sum(p ** 2) / sigma ** 2
+        # poison pill: NaN likelihood in a corner of the prior box
+        return jnp.where(jnp.all(p > 4.5), jnp.nan, ll)
+
+    rng = np.random.default_rng(3)
+    p0 = rng.uniform(-aa, aa, (64, d))
+    p0[0] = [4.9, 4.9]  # start one walker in the NaN region
+    true_log_z = 0.5 * d * np.log(2 * np.pi * sigma ** 2) - d * np.log(2 * aa)
+    log_z, err, info = stepping_stone_evidence(log_prior, log_like, p0,
+                                               n_rungs=16, nsteps=300,
+                                               nsteps_burnin=300, seed=4)
+    assert np.isfinite(log_z)
+    assert abs(log_z - true_log_z) < max(4 * err, 0.1)

@@ -248,3 +248,19 @@ def test_explicit_mesh_always_shards():
     # shard=False always wins
     s2 = _select_sampler(logp, 32, 2, seed=0, shard=False)
     assert not isinstance(s2, ShardedEnsembleSampler)
+
+
+def test_posterior_curves_seed_reproducible(fit):
+    """seed= makes the posterior-draw model curves in the corner inset /
+    model plot reproducible (round-2 advisor: unseeded np.random.choice)."""
+    from lightcurve_fitting_tpu.fitting import _posterior_curves
+    import numpy as np
+
+    lc_early, model, sampler = fit
+    ufilts = np.array(sorted(set(lc_early["filter"])), dtype=object)
+    xfit = np.linspace(57468.0, 57485.0, 50)
+    y1, _ = _posterior_curves(model, sampler.flatchain, xfit, ufilts, 10, False, seed=7)
+    y2, _ = _posterior_curves(model, sampler.flatchain, xfit, ufilts, 10, False, seed=7)
+    y3, _ = _posterior_curves(model, sampler.flatchain, xfit, ufilts, 10, False, seed=8)
+    assert np.array_equal(np.asarray(y1), np.asarray(y2))
+    assert not np.array_equal(np.asarray(y1), np.asarray(y3))

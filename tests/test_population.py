@@ -183,3 +183,26 @@ def test_population_f32_phase_with_mjd_scale_ragged_times():
         med = np.median(flat[s], axis=0)
         assert med[0] == pytest.approx(T1, rel=0.3), (s, med)
         assert med[3] == pytest.approx(58000.0, abs=0.3), (s, med)
+
+
+def test_compiled_cache_keys_distinguish_physics_and_kde_samples():
+    """The compiled-kernel caches key on the model's baked-in physics and on
+    KDEPrior sample content — not just class names (a second same-shape
+    fit_population call with n=3.0 or different KDE samples must NOT reuse
+    the n=1.5 executable)."""
+    from lightcurve_fitting_tpu.models import ShockCooling, KDEPrior
+    from lightcurve_fitting_tpu.parallel.population import (
+        _model_fingerprint, _prior_fingerprint)
+
+    m15 = ShockCooling(n=1.5)
+    m30 = ShockCooling(n=3.0)
+    assert _model_fingerprint(m15) != _model_fingerprint(m30)
+    assert _model_fingerprint(m15) == _model_fingerprint(ShockCooling(n=1.5))
+
+    k1 = KDEPrior(np.array([1.0, 2.0, 3.0]), 0.0, 10.0)
+    k2 = KDEPrior(np.array([4.0, 5.0, 6.0]), 0.0, 10.0)
+    assert _prior_fingerprint(k1) != _prior_fingerprint(k2)
+    assert _prior_fingerprint(k1) == _prior_fingerprint(
+        KDEPrior(np.array([1.0, 2.0, 3.0]), 0.0, 10.0))
+    u1, u2 = UniformPrior(0.0, 1.0), UniformPrior(0.0, 2.0)
+    assert _prior_fingerprint(u1) != _prior_fingerprint(u2)
