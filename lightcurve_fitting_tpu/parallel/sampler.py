@@ -31,6 +31,9 @@ import jax.random as jr
 
 __all__ = ["EnsembleSampler", "make_stretch_kernel", "propose_stretch"]
 
+# auto-downcast chain storage to float32 past this projected history size
+_AUTO_STORE_BYTES = 1e9
+
 
 def propose_stretch(kz, kj, x_move, x_other_global, a=2.0):
     """The Goodman-Weare stretch proposal, shared by every ensemble kernel
@@ -116,7 +119,10 @@ class EnsembleSampler:
                  store_dtype=None, replicas=1):
         """``store_dtype`` (e.g. np.float32) downcasts the *stored* chain
         history — halves host-transfer and memory for long production runs
-        (walker state and proposals stay float64).
+        (walker state and proposals stay float64). The default ``None`` is
+        auto: runs whose projected history exceeds ~1 GB downcast to
+        float32 with a printed note; pass ``np.float64`` to always keep
+        full-precision storage.
 
         ``replicas`` runs that many *independent* ensembles of ``nwalkers``
         walkers inside one vmapped scan. On TPU the per-scan-iteration
@@ -219,6 +225,21 @@ class EnsembleSampler:
                 bad = int(jnp.sum(~jnp.isfinite(logp)))
                 raise ValueError(f"{bad} walkers have non-finite initial log-probability")
 
+        # bound host memory by default: a 131072-walker x 1000-step x 4-param
+        # run would hold 4.2 GB of f64 history. When the projected history
+        # passes ~1 GB, store chains as float32 (posterior summaries are
+        # unaffected; walker state and proposals stay float64). Explicit
+        # store_dtype (e.g. np.float64) disables the auto-downcast.
+        if self._store_dtype is None:
+            projected = (self._chain.nbytes
+                         + nsteps * self.total_walkers * (self.ndim + 1) * 8)
+            if projected > _AUTO_STORE_BYTES:
+                print(f"chain history would be {projected / 1e9:.1f} GB in "
+                      "float64; storing chains as float32 (pass "
+                      "store_dtype=np.float64 to keep full precision)")
+                self._store_dtype = np.float32
+                self._run_jit = {}  # compiled scans baked the old store dtype
+
         desc = (progress_kwargs or {}).get("desc", "Sampling").strip()
         if progress and nsteps >= 50:
             seg = max(nsteps // 10, 1)
@@ -260,6 +281,12 @@ class EnsembleSampler:
         accepts = np.asarray(accepts)
         chain_block = xs.reshape(nsteps, self.total_walkers, self.ndim)
         logp_block = logps_np.reshape(nsteps, self.total_walkers)
+        if self._store_dtype is not None and self._chain.dtype != chain_block.dtype:
+            # keep the accumulated history in the store dtype too — otherwise
+            # np.concatenate silently promotes the downcast blocks back to
+            # float64 and the host memory bound is lost
+            self._chain = self._chain.astype(chain_block.dtype)
+            self._logp = self._logp.astype(logp_block.dtype)
         self._chain = np.concatenate([self._chain, chain_block])
         self._logp = np.concatenate([self._logp, logp_block])
         self._accepted += accepts.reshape(nsteps, self.total_walkers).sum(0)
@@ -347,9 +374,14 @@ class EnsembleSampler:
     def get_autocorr_time(self, **kwargs):
         """Integrated autocorrelation time per parameter (Sokal's adaptive
         windowing, as in emcee.autocorr). Diagnostics the reference never
-        exposes (SURVEY.md §5 'add them')."""
-        return np.array([_integrated_autocorr(self._chain[:, :, d])
-                         for d in range(self.ndim)])
+        exposes (SURVEY.md §5 'add them').
+
+        One batched real FFT over (walker, parameter) columns — at bench
+        scale (131072 walkers) the round-2 per-walker Python loop was ~500k
+        serial FFTs appended to a sub-second sampling run; walker counts
+        beyond 4096 are stride-subsampled (the tau estimate is already
+        tight at thousands of independent walkers)."""
+        return _integrated_autocorr(self._chain)
 
 
 def _next_pow_two(n):
@@ -359,24 +391,32 @@ def _next_pow_two(n):
     return i
 
 
-def _autocorr_func_1d(x):
-    x = np.atleast_1d(np.asarray(x, float))
-    n = _next_pow_two(len(x))
-    f = np.fft.fft(x - np.mean(x), n=2 * n)
-    acf = np.fft.ifft(f * np.conjugate(f))[: len(x)].real
-    if acf[0] == 0:
-        return np.zeros_like(acf)
-    return acf / acf[0]
-
-
-def _integrated_autocorr(chain_2d, c=5.0):
-    """chain_2d: (nsteps, nwalkers) for one parameter."""
-    f = np.zeros(chain_2d.shape[0])
-    for w in range(chain_2d.shape[1]):
-        f += _autocorr_func_1d(chain_2d[:, w])
-    f /= chain_2d.shape[1]
-    taus = 2.0 * np.cumsum(f) - 1.0
-    window = np.arange(len(taus)) >= c * taus
-    if np.any(window):
-        return taus[np.argmax(window)]
-    return taus[-1]
+def _integrated_autocorr(chain, c=5.0, max_walkers=4096):
+    """chain: (nsteps, nwalkers) for one parameter, or (nsteps, nwalkers,
+    ndim); returns tau (scalar or (ndim,)). Batched over walkers AND
+    parameters in one rfft; per-column normalization matches the per-walker
+    1-D estimator exactly (columns with zero variance contribute zeros)."""
+    chain = np.asarray(chain, float)
+    squeeze = chain.ndim == 2
+    if squeeze:
+        chain = chain[:, :, None]
+    n, w, d = chain.shape
+    if w > max_walkers:
+        stride = w // max_walkers
+        chain = chain[:, ::stride][:, :max_walkers]
+    x = chain - chain.mean(axis=0)
+    nfft = 2 * _next_pow_two(n)
+    f = np.fft.rfft(x, n=nfft, axis=0)
+    acf = np.fft.irfft(f * np.conjugate(f), n=nfft, axis=0)[:n].real
+    # normalize by the exact sum of squares (acf[0] up to fft roundoff):
+    # a zero-variance column is then *exactly* zero, not roundoff garbage
+    norm = (x * x).sum(axis=0)                     # (nwalkers, ndim)
+    good = norm > 0
+    acf = np.where(good, acf / np.where(good, norm, 1.0), 0.0)
+    fm = acf.mean(axis=1)                          # (nsteps, ndim)
+    taus = 2.0 * np.cumsum(fm, axis=0) - 1.0
+    window = np.arange(n)[:, None] >= c * taus
+    first = np.argmax(window, axis=0)
+    hit = np.any(window, axis=0)
+    out = np.where(hit, taus[first, np.arange(taus.shape[1])], taus[-1])
+    return out[0] if squeeze else out

@@ -214,3 +214,66 @@ def test_replicated_ensembles_sample_correctly():
         p1, l1, _ = s.run_mcmc(None, 1)
         # same restored positions feed the next step
         assert s2._pos_internal.shape == s._pos_internal.shape
+
+
+def test_auto_float32_storage_past_memory_bound(monkeypatch, capsys):
+    """A run whose projected chain history exceeds the memory bound downcasts
+    the *stored* chains to float32 (with a printed note), including the
+    accumulated host-side history (concatenate must not promote back to
+    f64); explicit store_dtype=np.float64 opts out."""
+    from lightcurve_fitting_tpu.parallel import sampler as sampler_mod
+
+    def logp(p):
+        return -0.5 * jnp.sum(p ** 2)
+
+    monkeypatch.setattr(sampler_mod, "_AUTO_STORE_BYTES", 10_000)
+    rng = np.random.default_rng(0)
+    s = sampler_mod.EnsembleSampler(16, 2, logp, seed=1)
+    s.run_mcmc(rng.normal(size=(16, 2)), 100)
+    assert "float32" in capsys.readouterr().out
+    assert s._chain.dtype == np.float32
+    assert s.flatchain.dtype == np.float32
+    # a second segment stays f32 (no silent promotion)
+    s.run_mcmc(None, 50)
+    assert s._chain.dtype == np.float32
+    assert s._chain.shape == (150, 16, 2)
+
+    s64 = sampler_mod.EnsembleSampler(16, 2, logp, seed=1, store_dtype=np.float64)
+    s64.run_mcmc(rng.normal(size=(16, 2)), 100)
+    assert s64._chain.dtype == np.float64
+
+
+def test_vectorized_autocorr_matches_per_walker_loop():
+    """The batched-FFT tau estimator reproduces the per-walker 1-D Sokal
+    estimator exactly on AR(1) chains (the round-2 loop was ~500k serial
+    FFTs at bench walker counts)."""
+    from lightcurve_fitting_tpu.parallel.sampler import (_integrated_autocorr,
+                                                         _next_pow_two)
+
+    def old_tau(chain_2d, c=5.0):
+        f = np.zeros(chain_2d.shape[0])
+        for w in range(chain_2d.shape[1]):
+            x = chain_2d[:, w]
+            n = _next_pow_two(len(x))
+            fw = np.fft.fft(x - np.mean(x), n=2 * n)
+            acf = np.fft.ifft(fw * np.conjugate(fw))[: len(x)].real
+            f += acf / acf[0]
+        f /= chain_2d.shape[1]
+        taus = 2.0 * np.cumsum(f) - 1.0
+        window = np.arange(len(taus)) >= c * taus
+        return taus[np.argmax(window)] if np.any(window) else taus[-1]
+
+    rng = np.random.default_rng(0)
+    n, w = 400, 24
+    chain = np.empty((n, w, 2))
+    for k, rho in enumerate([0.6, 0.9]):
+        x = rng.normal(size=(n, w))
+        for i in range(1, n):
+            x[i] = rho * x[i - 1] + np.sqrt(1 - rho ** 2) * x[i]
+        chain[:, :, k] = x
+    new = _integrated_autocorr(chain)
+    old = np.array([old_tau(chain[:, :, k]) for k in range(2)])
+    np.testing.assert_allclose(new, old, rtol=1e-8)
+    # zero-variance columns contribute zeros instead of roundoff garbage
+    chain[:, 3, 0] = 42.0
+    assert np.all(np.isfinite(_integrated_autocorr(chain)))
