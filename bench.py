@@ -62,6 +62,59 @@ def _bench_host_binning():
             "native_speedup": numpy_s / native_s}
 
 
+def _bench_bolometric(E=256, nwalkers=32, burnin_steps=200, steps=100):
+    """Bolometric-pipeline throughput: E blackbody epochs fit concurrently
+    (batched MAP centering + batched per-epoch ensembles, the
+    calculate_bolometric(batch_mode=True) device path). Metric: epochs/s
+    end-to-end (centering + MCMC; the reference fits epochs serially,
+    ~3e3 emcee evals each, bolometric.py:648-671)."""
+    import jax
+    import jax.numpy as jnp
+    from lightcurve_fitting_tpu.filters import filtdict
+    from lightcurve_fitting_tpu.ops.filterbank import FilterBank
+    from lightcurve_fitting_tpu.models import UniformPrior, LogUniformPrior
+    from lightcurve_fitting_tpu.models.blackbody import planck_lnu
+    from lightcurve_fitting_tpu.parallel.batched import (pack_epochs,
+                                                         batched_blackbody_mcmc,
+                                                         batched_map_centers)
+    from lightcurve_fitting_tpu.utils.table import Table
+
+    rng = np.random.default_rng(0)
+    filts = [filtdict[n] for n in ["U", "B", "g", "V", "r", "i"]]
+    bank = FilterBank(filts)
+    epochs = []
+    for e in range(E):
+        T = rng.uniform(4.0, 20.0)
+        R = rng.uniform(1.0, 30.0)
+        nodes = bank.emitted_nodes(0.0)
+        lnu = np.asarray(planck_lnu(jnp.asarray(nodes), T, R))
+        y = (bank.weights * lnu).sum(-1)
+        dy = 0.05 * np.abs(y)
+        y = y + rng.normal(scale=dy)
+        epochs.append(Table([filts, y, dy], names=["filter", "lum", "dlum"]))
+    priors = [UniformPrior(1.0, 100.0), LogUniformPrior(0.01, 1000.0)]
+
+    packed = pack_epochs(epochs, bank, 0.0)
+
+    def run(seed):
+        centers = batched_map_centers(packed, priors, seed=seed)
+        guesses = rng.normal(size=(E, nwalkers, 2)) * 0.5 + centers[:, None, :]
+        guesses[guesses <= 0.0] = 1.0
+        flat, acc = batched_blackbody_mcmc(packed, priors, guesses, nwalkers,
+                                           burnin_steps, steps, seed=seed)
+        return float(np.asarray(flat).mean())  # forced host transfer
+
+    run(0)  # compile both kernels
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        run(1 + i)  # varied seed: avoid tunnel result dedup
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    return {"epochs": E, "nwalkers": nwalkers, "steps": burnin_steps + steps,
+            "elapsed_s": elapsed, "epochs_per_sec": E / elapsed}
+
+
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)

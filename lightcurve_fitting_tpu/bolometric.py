@@ -688,24 +688,19 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
             if nfilt_i >= min_nfilt and nfilt_i > 1:
                 eligible.append(i)
         if eligible:
+            from .parallel.batched import batched_map_centers
             all_filts = sorted({f for i in eligible for f in groups[i]["filter"]})
             bank = FilterBank(all_filts)
             packed = pack_epochs([groups[i] for i in eligible], bank, z)
             ndim = len(priors)
-            # center each epoch's walkers on its least-squares solution (the
-            # sequential path gets this for free via p0 chaining)
-            centers = np.empty((len(eligible), ndim))
-            T_range = (priors[0].p_min, priors[0].p_max)
-            R_range = (priors[1].p_min, priors[1].p_max)
-            for j, i in enumerate(eligible):
-                try:
-                    fit = blackbody_lstsq(groups[i], z, [10.0, 10.0], T_range, R_range,
-                                          cutoff_freq)
-                    centers[j, :2] = fit[0], fit[1]
-                except RuntimeError:
-                    centers[j, :2] = 10.0, 10.0
-                if use_sigma:
-                    centers[j, 2] = 1.0
+            # center each epoch's walkers on its MAP, all epochs in one
+            # compiled multi-start Adam scan (round 2 ran a serial scipy
+            # curve_fit per epoch here; the sequential path gets centering
+            # for free via p0 chaining). Non-converged epochs fall back to
+            # the default p0, the curve_fit-RuntimeError degrade semantics.
+            centers = batched_map_centers(packed, priors, cutoff_freq,
+                                          use_sigma, sigma_type,
+                                          seed=seed if seed is not None else 0)
             guesses = rng.normal(size=(len(eligible), nwalkers, ndim)) + centers[:, None, :]
             guesses[guesses <= 0.0] = 1.0
             flat, _acc = batched_blackbody_mcmc(packed, priors, guesses, nwalkers,
@@ -765,12 +760,18 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
                                          save_plot_as=os.path.join(outpath, f"{mjdavg:.3f}.pdf"))
                     plt.close(f4)
             else:
+                # derive a per-epoch seed (fold_in-style): every epoch's
+                # sampler gets an independent, reproducible stream instead of
+                # the same one replayed
+                seed_i = (None if seed is None else
+                          int(np.random.SeedSequence((seed, i_epoch))
+                              .generate_state(1)[0] & 0x7FFFFFFF))
                 sampler = spectrum_mcmc(planck_fast, epoch1, priors, starting_guesses, z=z,
                                         spectrum_kwargs=spectrum_kwargs, outpath=outpath,
                                         nwalkers=nwalkers, burnin_steps=burnin_steps,
                                         steps=steps, show=show, save_chains=save_chains,
                                         use_sigma=use_sigma, sigma_type=sigma_type,
-                                        labels=labels, seed=seed, make_corner=save_corners)
+                                        labels=labels, seed=seed_i, make_corner=save_corners)
             record.update(_mcmc_record(sampler.flatchain, z, cutoff_freq))
         except ValueError as e:
             print(e)

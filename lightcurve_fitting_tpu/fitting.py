@@ -198,7 +198,8 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
                     nwalkers=100, nsteps=1000, nsteps_burnin=1000, model_kwargs=None,
                     show=False, save_plot_as="", save_sampler_as="", use_sigma=False,
                     sigma_type="relative", seed=None, replicas=1, mesh=None, shard=None,
-                    store_dtype=None, init="window", quiet=False):
+                    store_dtype=None, init="window", quiet=False,
+                    checkpoint_every=None, checkpoint_file=None, resume_from=None):
     """Fit an analytical model to observed photometry with ensemble MCMC.
 
     Same signature and behavior as the reference (fitting.py:16-168) plus:
@@ -219,7 +220,13 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
       suffices. Parameters pinned at a prior bound are jittered just inside
       the support (a zero-spread dimension would freeze the stretch move);
     * ``quiet=False`` prints acceptance + autocorrelation/ESS after the
-      production run.
+      production run;
+    * ``checkpoint_every=N`` with ``checkpoint_file=path.npz`` saves the full
+      sampler state (walker positions, RNG counter, chain history, phase)
+      every N steps; ``resume_from=path.npz`` restores it and continues.
+      Per-step RNG keys are folded from the global step index, so a killed
+      run resumed from its checkpoint reproduces the uninterrupted chain
+      EXACTLY (requires the same seed/nwalkers/nsteps_burnin).
 
     Returns an :class:`~lightcurve_fitting_tpu.parallel.sampler.EnsembleSampler`
     exposing the emcee attributes the reference workflow uses (``flatchain``,
@@ -246,27 +253,67 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
     sampler = _select_sampler(log_posterior, nwalkers, ndim, seed, replicas=replicas,
                               mesh=mesh, shard=shard, store_dtype=store_dtype)
 
-    rng = np.random.RandomState(seed) if seed is not None else np.random
-    if init == "map":
-        starting_guesses = _laplace_starting_guesses(
-            lc, model, priors, p_lo, p_up, sampler.total_walkers,
-            use_sigma, sigma_type, seed, quiet, rng)
-    elif init == "window":
-        starting_guesses = rng.rand(sampler.total_walkers, ndim) * (p_up - p_lo) + p_lo
+    if checkpoint_every is not None and not checkpoint_file:
+        raise ValueError("checkpoint_every requires checkpoint_file")
+
+    if resume_from is not None:
+        meta = sampler.load_checkpoint(resume_from)
+        phase = str(meta.get("phase", "production"))
+        phase_done = int(meta.get("steps_done", 0))
+        if "nsteps_burnin" in meta and int(meta["nsteps_burnin"]) != nsteps_burnin:
+            raise ValueError(f"checkpoint nsteps_burnin {int(meta['nsteps_burnin'])} "
+                             f"!= {nsteps_burnin}: resume with the original value")
+        starting_guesses = None
     else:
-        raise ValueError('init must be "window" or "map"')
-    pos, _, _ = sampler.run_mcmc(starting_guesses, nsteps_burnin, progress=not quiet,
-                                 progress_kwargs={"desc": " Burn-in"})
+        phase, phase_done = "burnin", 0
+        rng = np.random.RandomState(seed) if seed is not None else np.random
+        if init == "map":
+            starting_guesses = _laplace_starting_guesses(
+                lc, model, priors, p_lo, p_up, sampler.total_walkers,
+                use_sigma, sigma_type, seed, quiet, rng)
+        elif init == "window":
+            starting_guesses = rng.rand(sampler.total_walkers, ndim) * (p_up - p_lo) + p_lo
+        else:
+            raise ValueError('init must be "window" or "map"')
+
+    def _advance(phase_name, total, done, initial, desc, skip_check=False):
+        """Run one phase in checkpoint_every-sized segments, saving state
+        after each (the chain is segmentation-invariant: per-step keys fold
+        the global step index)."""
+        while done < total:
+            seg = total - done if checkpoint_every is None \
+                else min(checkpoint_every, total - done)
+            sampler.run_mcmc(initial, seg, progress=not quiet,
+                             progress_kwargs={"desc": desc},
+                             skip_initial_state_check=skip_check)
+            initial = None
+            done += seg
+            if checkpoint_file:
+                sampler.save_checkpoint(checkpoint_file, extra={
+                    "phase": phase_name, "steps_done": done,
+                    "nsteps_burnin": nsteps_burnin, "nsteps": nsteps})
 
     fig = None
-    if show or save_plot_as:
-        fig, ax = plt.subplots(ndim, 2, figsize=(12.0, 2.0 * ndim), squeeze=False)
-        _plot_chain_histories(ax[:, 0], sampler, model, "During Burn In")
-
-    sampler.reset()
-    sampler.run_mcmc(pos, nsteps, progress=not quiet,
-                     progress_kwargs={"desc": "Sampling"},
-                     skip_initial_state_check=True)
+    if phase == "burnin":
+        _advance("burnin", nsteps_burnin, phase_done, starting_guesses, " Burn-in")
+        if show or save_plot_as:
+            fig, ax = plt.subplots(ndim, 2, figsize=(12.0, 2.0 * ndim), squeeze=False)
+            _plot_chain_histories(ax[:, 0], sampler, model, "During Burn In")
+        sampler.reset()
+        if checkpoint_file:
+            # mark the phase boundary so a kill between burn-in and production
+            # resumes into production, not a repeated burn-in
+            sampler.save_checkpoint(checkpoint_file, extra={
+                "phase": "production", "steps_done": 0,
+                "nsteps_burnin": nsteps_burnin, "nsteps": nsteps})
+        _advance("production", nsteps, 0, None, "Sampling", skip_check=True)
+    else:
+        if (show or save_plot_as) and not quiet:
+            print("resuming mid-production: burn-in chain history is not in the "
+                  "checkpoint, plotting the production chains only")
+        _advance("production", nsteps, phase_done, None, "Sampling", skip_check=True)
+        if show or save_plot_as:
+            fig, ax = plt.subplots(ndim, 2, figsize=(12.0, 2.0 * ndim), squeeze=False)
     if save_sampler_as:
         np.save(save_sampler_as, sampler.flatchain)
         print("saving sampler.flatchain as " + save_sampler_as)
@@ -672,7 +719,8 @@ def _tempered_setup(lc, model, priors, p_lo, p_up, nwalkers, use_sigma,
 def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
                         n_rungs=32, nsteps=500, nsteps_burnin=500,
                         use_sigma=False, sigma_type="relative", seed=None,
-                        mesh=None, quiet=False):
+                        mesh=None, quiet=False, checkpoint_every=None,
+                        checkpoint_file=None, resume_from=None):
     """log marginal likelihood (Bayesian evidence) of a model for this light
     curve, by stepping-stone sampling over a ladder of power posteriors —
     the whole ladder runs as one vmapped device kernel
@@ -689,6 +737,11 @@ def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
 
     Returns ``(log_z, log_z_err, info)``; ``info`` has the ladder, per-rung
     terms, and per-rung acceptance.
+
+    ``checkpoint_every``/``checkpoint_file``/``resume_from``: long ladder
+    runs checkpoint the full state (all rung walkers + partial rung sums)
+    every N steps and resume exactly — the per-step RNG keys are folded from
+    the step index, so a resumed run reproduces the uninterrupted one.
     """
     from .parallel.evidence import stepping_stone_evidence
 
@@ -697,7 +750,8 @@ def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
     log_z, log_z_err, info = stepping_stone_evidence(
         log_prior_fn, log_like_fn, p0, n_rungs=n_rungs, nsteps=nsteps,
         nsteps_burnin=nsteps_burnin, seed=seed if seed is not None else 0,
-        mesh=mesh)
+        mesh=mesh, checkpoint_every=checkpoint_every,
+        checkpoint_file=checkpoint_file, resume_from=resume_from)
     if not quiet:
         print(f"log evidence: {log_z:.2f} +/- {log_z_err:.2f} "
               f"({n_rungs} rungs x {nwalkers} walkers x {nsteps} steps; "
@@ -737,7 +791,9 @@ class _PTFitResult:
 def lightcurve_ptmcmc(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
                       n_rungs=16, nsteps=1000, nsteps_burnin=1000,
                       use_sigma=False, sigma_type="relative", seed=None,
-                      mesh=None, save_sampler_as="", quiet=False):
+                      mesh=None, save_sampler_as="", quiet=False,
+                      checkpoint_every=None, checkpoint_file=None,
+                      resume_from=None):
     """Parallel-tempering fit: robust to multimodal posteriors, and the
     evidence comes free.
 
@@ -762,7 +818,8 @@ def lightcurve_ptmcmc(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
     log_z, log_z_err, info = stepping_stone_evidence(
         log_prior_fn, log_like_fn, p0, n_rungs=n_rungs, nsteps=nsteps,
         nsteps_burnin=nsteps_burnin, seed=seed if seed is not None else 0,
-        return_cold_chain=True, mesh=mesh)
+        return_cold_chain=True, mesh=mesh, checkpoint_every=checkpoint_every,
+        checkpoint_file=checkpoint_file, resume_from=resume_from)
     result = _PTFitResult(info.pop("cold_chain"), info.pop("cold_logl"),
                           log_z, log_z_err, info)
     if save_sampler_as:

@@ -16,7 +16,67 @@ import jax.random as jr
 from ..models.blackbody import planck_lnu
 from .sampler import make_stretch_kernel
 
-__all__ = ["pack_epochs", "batched_blackbody_mcmc"]
+__all__ = ["pack_epochs", "batched_blackbody_mcmc", "batched_map_centers"]
+
+# compiled-kernel cache across calls (population fitting showed per-call
+# rebuilds dominating host time; keys include prior content via
+# _prior_fingerprint so different priors never share an executable)
+_COMPILED_CACHE = {}
+
+
+def _cache_key(tag, packed, priors, cutoff_freq, use_sigma, sigma_type, *extra):
+    from .population import _prior_fingerprint
+    return (tag, tuple(_prior_fingerprint(p) for p in priors),
+            packed["y"].shape, packed["nodes"].shape, float(cutoff_freq),
+            use_sigma, sigma_type) + extra
+
+
+def _make_epoch_logpost(priors, cutoff_freq, use_sigma, sigma_type, dt):
+    """Build ``logpost_for(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e) ->
+    logpost(p)`` — the per-epoch blackbody log-posterior shared by the
+    batched MCMC kernel and the batched MAP centering stage. Data are
+    normalized to O(1) per epoch (TPU float32-range safety); the dropped
+    constant only shifts the posterior by a constant."""
+
+    def logpost_for(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e):
+        inv_yscale = 1.0 / yscale_e
+        y_s = y_e * inv_yscale
+        dy_s = dy_e * inv_yscale
+        if sigma_type == "relative":
+            sigma_units = dy_s if dt is None else dy_s.astype(dt)
+        else:
+            # median over real bands only
+            med = jnp.nanmedian(jnp.where(mask_e, dy_s, jnp.nan))
+            sigma_units = med if dt is None else med.astype(dt)
+        log_norm = -0.5 * jnp.sum(jnp.where(mask_e, jnp.log(2 * jnp.pi * dy_s ** 2.0), 0.0))
+        yn_h = y_s if dt is None else y_s.astype(dt)
+        dyn_h = dy_s if dt is None else dy_s.astype(dt)
+        inv_dyn = jnp.where(mask_e, 1.0 / dyn_h, 0.0)
+        inv_h = inv_yscale if dt is None else inv_yscale.astype(dt)
+
+        def logpost(p):
+            log_prior = 0.0
+            for i, prior in enumerate(priors):
+                log_prior = log_prior + prior(p[i])
+            lnu = planck_lnu(nodes_e if dt is None else nodes_e.astype(dt),
+                             p[0] if dt is None else p[0].astype(dt),
+                             p[1] if dt is None else p[1].astype(dt), cutoff_freq)
+            y_fit = jnp.sum((weights_e if dt is None else weights_e.astype(dt)) * lnu,
+                            axis=-1) * inv_h
+            if use_sigma:
+                sig = p[-1] if dt is None else p[-1].astype(dt)
+                sigma2 = dyn_h ** 2.0 + (sig * sigma_units) ** 2.0
+                terms = jnp.log(2 * jnp.pi * sigma2) + (yn_h - y_fit) ** 2.0 / sigma2
+                ll = -0.5 * jnp.sum(jnp.where(mask_e, terms, 0.0))
+            else:
+                r = (yn_h - y_fit) * inv_dyn
+                ll = -0.5 * jnp.sum(r * r) + log_norm
+            ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
+            return jnp.where(jnp.isfinite(log_prior), log_prior + ll, -jnp.inf)
+
+        return logpost
+
+    return logpost_for
 
 
 def pack_epochs(epochs, bank, z=0.0):
@@ -74,44 +134,10 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
     from ..core import config
     dt = config.get_compute_dtype()
 
+    logpost_for = _make_epoch_logpost(priors, cutoff_freq, use_sigma, sigma_type, dt)
+
     def run_one(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e, guesses, key):
-        # data normalized to O(1) per epoch (TPU float32-range safety); the
-        # dropped constant only shifts the posterior by a constant
-        inv_yscale = 1.0 / yscale_e
-        y_s = y_e * inv_yscale
-        dy_s = dy_e * inv_yscale
-        if sigma_type == "relative":
-            sigma_units = dy_s if dt is None else dy_s.astype(dt)
-        else:
-            # median over real bands only
-            med = jnp.nanmedian(jnp.where(mask_e, dy_s, jnp.nan))
-            sigma_units = med if dt is None else med.astype(dt)
-        log_norm = -0.5 * jnp.sum(jnp.where(mask_e, jnp.log(2 * jnp.pi * dy_s ** 2.0), 0.0))
-        yn_h = y_s if dt is None else y_s.astype(dt)
-        dyn_h = dy_s if dt is None else dy_s.astype(dt)
-        inv_dyn = jnp.where(mask_e, 1.0 / dyn_h, 0.0)
-        inv_h = inv_yscale if dt is None else inv_yscale.astype(dt)
-
-        def logpost(p):
-            log_prior = 0.0
-            for i, prior in enumerate(priors):
-                log_prior = log_prior + prior(p[i])
-            lnu = planck_lnu(nodes_e if dt is None else nodes_e.astype(dt),
-                             p[0] if dt is None else p[0].astype(dt),
-                             p[1] if dt is None else p[1].astype(dt), cutoff_freq)
-            y_fit = jnp.sum((weights_e if dt is None else weights_e.astype(dt)) * lnu,
-                            axis=-1) * inv_h
-            if use_sigma:
-                sig = p[-1] if dt is None else p[-1].astype(dt)
-                sigma2 = dyn_h ** 2.0 + (sig * sigma_units) ** 2.0
-                terms = jnp.log(2 * jnp.pi * sigma2) + (yn_h - y_fit) ** 2.0 / sigma2
-                ll = -0.5 * jnp.sum(jnp.where(mask_e, terms, 0.0))
-            else:
-                r = (yn_h - y_fit) * inv_dyn
-                ll = -0.5 * jnp.sum(r * r) + log_norm
-            ll = jnp.where(jnp.isfinite(ll), ll, -jnp.inf)
-            return jnp.where(jnp.isfinite(log_prior), log_prior + ll, -jnp.inf)
-
+        logpost = logpost_for(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e)
         step, batched_logp = make_stretch_kernel(logpost, half, ndim, a)
         x = guesses.reshape(2, half, ndim)
         logp = batched_logp(guesses).reshape(2, half)
@@ -121,8 +147,124 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
         return prod.reshape(steps * nwalkers, ndim), acc[burnin_steps:].mean()
 
     keys = jr.split(jr.PRNGKey(seed), E)
-    run_all = jax.jit(jax.vmap(run_one))
+    ck = _cache_key("mcmc", packed, priors, cutoff_freq, use_sigma, sigma_type,
+                    nwalkers, burnin_steps, steps, a, dt)
+    run_all = _COMPILED_CACHE.get(ck)
+    if run_all is None:
+        run_all = jax.jit(jax.vmap(run_one))
+        _COMPILED_CACHE[ck] = run_all
     flat, acc = run_all(packed["y"], packed["dy"], packed["mask"], packed["nodes"],
                         packed["weights"], packed["yscale"],
                         jnp.asarray(starting_guesses), keys)
     return np.asarray(flat), np.asarray(acc)
+
+
+def batched_map_centers(packed, priors, cutoff_freq=np.inf, use_sigma=False,
+                        sigma_type="relative", n_starts=8, n_iter=300, seed=0,
+                        fallback=None, n_cloud=512):
+    """MAP centers for every epoch at once, replacing the serial per-epoch
+    scipy ``curve_fit`` centering loop of round 2 (bolometric.py batch mode;
+    reference bolometric.py:483-534 is the sequential analog).
+
+    Two stages, both batched over epochs in compiled kernels:
+
+    1. **Scored cloud**: evaluate the posterior at ``n_cloud`` log-uniform
+       candidate points (one vmapped call) and keep the top ``n_starts`` per
+       epoch. Pure gradient ascent from random starts is unreliable here —
+       the blackbody (T, R) posterior has a curved Rayleigh-Jeans valley
+       (low-T/huge-R fits optical SEDs deceptively well) that traps Adam.
+    2. **Adam polish**: the per-epoch-data form of
+       :func:`..optimize.multistart_maximize` — E x n_starts ascents of the
+       bounds-bijected posterior in one scan — refines the best candidates.
+
+    Epochs where every start ends non-finite fall back to ``fallback``
+    (default: T=10 kK, R=10 kR_sun, sigma=1) — the same degrade-don't-crash
+    semantics as the curve_fit RuntimeError path (reference :767-771).
+
+    Returns centers (E, ndim) float64 numpy.
+    """
+    import optax
+    from .hmc import BoundsTransform
+
+    ndim = len(priors)
+    E = packed["y"].shape[0]
+    if fallback is None:
+        fallback = np.array([10.0, 10.0] + ([1.0] if use_sigma else []))
+
+    from ..core import config
+    dt = config.get_compute_dtype()
+    logpost_for = _make_epoch_logpost(priors, cutoff_freq, use_sigma, sigma_type, dt)
+    bounds = BoundsTransform([getattr(p, "p_min", -np.inf) for p in priors],
+                             [getattr(p, "p_max", np.inf) for p in priors])
+
+    rng = np.random.default_rng(seed)
+    lo = np.array([getattr(p, "p_min", -np.inf) for p in priors])
+    up = np.array([getattr(p, "p_max", np.inf) for p in priors])
+    # candidate box: prior support clipped to a generous physical window;
+    # log-uniform sampling covers the decades evenly (T and R priors span
+    # 2-5 decades)
+    lo = np.where(np.isfinite(lo), np.maximum(lo, 1e-6), 0.1)
+    up = np.where(np.isfinite(up), up, 100.0)
+    cloud = np.exp(rng.uniform(size=(E, n_cloud, ndim))
+                   * (np.log(up) - np.log(lo)) + np.log(lo))
+
+    score_key = _cache_key("mapscore", packed, priors, cutoff_freq, use_sigma,
+                           sigma_type, n_cloud, dt)
+    score = _COMPILED_CACHE.get(score_key)
+    if score is None:
+        def score_fn(xs, y, dy, mask, nodes, weights, yscale):
+            def per_epoch(x_e, y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e):
+                lp = logpost_for(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e)
+                return jax.vmap(lp)(x_e)
+            return jax.vmap(per_epoch)(xs, y, dy, mask, nodes, weights, yscale)
+
+        score = jax.jit(score_fn)
+        _COMPILED_CACHE[score_key] = score
+
+    logp_cloud = np.asarray(score(jnp.asarray(cloud), packed["y"], packed["dy"],
+                                  packed["mask"], packed["nodes"],
+                                  packed["weights"], packed["yscale"]))
+    logp_cloud = np.where(np.isfinite(logp_cloud), logp_cloud, -np.inf)
+    top = np.argsort(-logp_cloud, axis=1)[:, :n_starts]        # (E, n_starts)
+    x0 = cloud[np.arange(E)[:, None], top]                     # (E, n_starts, ndim)
+    u0 = jnp.asarray(bounds.to_unbounded(x0))
+
+    ck = _cache_key("map", packed, priors, cutoff_freq, use_sigma, sigma_type,
+                    n_starts, n_iter, dt)
+    optimize = _COMPILED_CACHE.get(ck)
+    if optimize is None:
+        schedule = optax.cosine_decay_schedule(0.05, n_iter, alpha=0.01)
+        opt = optax.adam(schedule)
+
+        def neg_one(u, y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e):
+            logpost = logpost_for(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e)
+            return -logpost(bounds.to_bounded(u))
+
+        vg = jax.vmap(jax.value_and_grad(neg_one), in_axes=(0,) + (None,) * 6)
+        vg = jax.vmap(vg, in_axes=(0,) * 7)
+
+        def optimize_fn(u, y, dy, mask, nodes, weights, yscale):
+            def step(carry, _):
+                u, state = carry
+                _, g = vg(u, y, dy, mask, nodes, weights, yscale)
+                g = jnp.where(jnp.isfinite(g), g, 0.0)
+                updates, state = opt.update(g, state, u)
+                return (optax.apply_updates(u, updates), state), None
+
+            (u, _), _ = jax.lax.scan(step, (u, opt.init(u)), None, length=n_iter)
+            neg_final, _ = vg(u, y, dy, mask, nodes, weights, yscale)
+            return u, neg_final
+
+        optimize = jax.jit(optimize_fn)
+        _COMPILED_CACHE[ck] = optimize
+
+    u_fin, neg_fin = optimize(u0, packed["y"], packed["dy"], packed["mask"],
+                              packed["nodes"], packed["weights"], packed["yscale"])
+    neg_fin = np.asarray(neg_fin)
+    best = np.argmin(np.where(np.isfinite(neg_fin), neg_fin, np.inf), axis=1)
+    x_fin = np.asarray(bounds.to_bounded(u_fin))
+    centers = x_fin[np.arange(E), best]
+    dead = ~np.isfinite(neg_fin[np.arange(E), best])
+    if dead.any():
+        centers = np.where(dead[:, None], fallback, centers)
+    return centers

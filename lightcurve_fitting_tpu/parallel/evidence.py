@@ -125,7 +125,8 @@ def _make_tempered_step(log_prior_fn, log_like_fn, half, ndim, betas, a=2.0,
 
 def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
                          nsteps_burnin, a=2.0, seed=0, mesh=None,
-                         axis_name="walkers"):
+                         axis_name="walkers", checkpoint_every=None,
+                         checkpoint_file=None, resume_from=None):
     """Burn in and sample every rung of ``betas_all`` (typically including
     beta = 1) with replica-exchange swaps after each stretch step.
 
@@ -133,6 +134,13 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
     stays fully local; one small ``all_gather`` of the complementary half per
     half-step; swaps are communication-free), so evidence and parallel
     tempering scale over a pod slice exactly like the plain ensemble.
+
+    Checkpoint/resume: per-step RNG keys are derived from the step *index*
+    (``fold_in(base, i)``), so the chain is identical however the run is
+    segmented — a killed run resumed from its ``checkpoint_file`` reproduces
+    the uninterrupted chain exactly. ``checkpoint_every=N`` saves the full
+    ladder state (x, logpri, logl, step counter, partial production outputs)
+    to ``checkpoint_file`` (npz) every N steps; ``resume_from`` restores it.
 
     Returns (logl_samples (nsteps, K, nwalkers), acceptance (K,),
     swap_rate (K,), cold_chain (nsteps, nwalkers, ndim)) — the cold chain is
@@ -144,6 +152,8 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
         raise ValueError("nwalkers must be even")
     half = nwalkers // 2
     K = len(betas_all)
+    if checkpoint_every is not None and not checkpoint_file:
+        raise ValueError("checkpoint_every requires checkpoint_file")
 
     if mesh is None:
         step, batched_pri, batched_ll = _make_tempered_step(
@@ -181,44 +191,126 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
             check_vma=False,
         )
 
-    @jax.jit
-    def run(x, xs_burn, xs_prod):
+    def constrain(x):
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            x = jax.lax.with_sharding_constraint(
+            return jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(None, None, axis_name, None)))
+        return x
+
+    @jax.jit
+    def init_carry(x):
+        x = constrain(x)
         logpri = jax.vmap(batched_pri)(x.reshape(K, nwalkers, ndim)).reshape(K, 2, half)
         logl = jax.vmap(batched_ll)(x.reshape(K, nwalkers, ndim)).reshape(K, 2, half)
         logl = jnp.where(jnp.isnan(logl), -jnp.inf, logl)
-        carry = (x, logpri, logl)
-        carry, _ = jax.lax.scan(lambda c, k: (step(c, k)[0], None), carry, xs_burn)
-        carry, (logl_samples, accepts, swaps, cold) = jax.lax.scan(step, carry, xs_prod)
-        return logl_samples, accepts, swaps, cold
+        return x, logpri, logl
 
-    def make_xs(key, n):
-        ks, kw = jr.split(key)
-        step_keys = jr.split(ks, n * K)
-        step_keys = step_keys.reshape((n, K) + step_keys.shape[1:])
-        swap_keys = jr.split(kw, n)
-        parities = jnp.arange(n) % 2 == 1
+    @jax.jit
+    def run_burn(carry, xs):
+        carry = (constrain(carry[0]),) + carry[1:]
+        carry, _ = jax.lax.scan(lambda c, k: (step(c, k)[0], None), carry, xs)
+        return carry
+
+    @jax.jit
+    def run_prod(carry, xs):
+        carry = (constrain(carry[0]),) + carry[1:]
+        return jax.lax.scan(step, carry, xs)
+
+    base = jr.PRNGKey(seed)
+
+    def make_xs(start, n):
+        """Per-step inputs for global step indices [start, start+n): K rung
+        keys + 1 swap key all folded from the step index, so any segmentation
+        of the run draws the identical stream."""
+        idx = jnp.arange(start, start + n)
+
+        def keys_for(i):
+            ks = jr.split(jr.fold_in(base, i), K + 1)
+            return ks[:K], ks[K]
+
+        step_keys, swap_keys = jax.vmap(keys_for)(idx)
+        parities = idx % 2 == 1
         return step_keys, swap_keys, parities
 
-    x0 = jnp.asarray(np.broadcast_to(p0.reshape(1, 2, half, ndim),
-                                     (K, 2, half, ndim)))
-    kb, kp = jr.split(jr.PRNGKey(seed))
-    logl_samples, accepts, swaps, cold = run(x0, make_xs(kb, nsteps_burnin),
-                                             make_xs(kp, nsteps))
-    logl_samples = np.asarray(logl_samples).reshape(nsteps, K, nwalkers)
-    acceptance = np.asarray(accepts).reshape(nsteps, K, nwalkers).mean((0, 2))
-    swap_rate = np.asarray(swaps).reshape(nsteps, K, nwalkers).mean((0, 2))
-    cold_chain = np.asarray(cold).reshape(nsteps, nwalkers, ndim)
+    # host-side segment loop over the (burn-in + production) step range;
+    # production outputs accumulate in blocks
+    total = nsteps_burnin + nsteps
+    blocks = {"logl": [], "acc": [], "swap": [], "cold": []}
+    if resume_from is not None:
+        ck = np.load(resume_from)
+        if ck["x"].shape != (K, 2, half, ndim):
+            raise ValueError(f"checkpoint ladder shape {ck['x'].shape} does not "
+                             f"match this run {(K, 2, half, ndim)}")
+        if int(ck["seed"]) != int(seed):
+            raise ValueError(f"checkpoint seed {int(ck['seed'])} != run seed {seed} "
+                             "(the resumed chain would not continue the same stream)")
+        if int(ck["nsteps_burnin"]) != int(nsteps_burnin):
+            raise ValueError(f"checkpoint nsteps_burnin {int(ck['nsteps_burnin'])} != "
+                             f"{nsteps_burnin}: the burn-in/production boundary would "
+                             "shift and the saved production outputs would be wrong")
+        carry = (constrain(jnp.asarray(ck["x"])), jnp.asarray(ck["logpri"]),
+                 jnp.asarray(ck["logl"]))
+        steps_done = int(ck["steps_done"])
+        if ck["prod_logl"].size:
+            blocks["logl"].append(ck["prod_logl"])
+            blocks["acc"].append(ck["prod_acc"])
+            blocks["swap"].append(ck["prod_swap"])
+            blocks["cold"].append(ck["prod_cold"])
+    else:
+        x0 = jnp.asarray(np.broadcast_to(p0.reshape(1, 2, half, ndim),
+                                         (K, 2, half, ndim)))
+        carry = init_carry(x0)
+        steps_done = 0
+
+    def save_checkpoint():
+        prod_logl = (np.concatenate(blocks["logl"]) if blocks["logl"]
+                     else np.empty((0, K, 2, half)))
+        np.savez(checkpoint_file,
+                 x=np.asarray(carry[0]), logpri=np.asarray(carry[1]),
+                 logl=np.asarray(carry[2]), steps_done=steps_done, seed=seed,
+                 betas=np.asarray(betas_all),
+                 nsteps=nsteps, nsteps_burnin=nsteps_burnin,
+                 prod_logl=prod_logl,
+                 prod_acc=(np.concatenate(blocks["acc"]) if blocks["acc"]
+                           else np.empty((0, K, 2, half))),
+                 prod_swap=(np.concatenate(blocks["swap"]) if blocks["swap"]
+                            else np.empty((0, K, 2, half))),
+                 prod_cold=(np.concatenate(blocks["cold"]) if blocks["cold"]
+                            else np.empty((0, 2, half, ndim))))
+
+    while steps_done < total:
+        in_burn = steps_done < nsteps_burnin
+        phase_end = nsteps_burnin if in_burn else total
+        seg = phase_end - steps_done
+        if checkpoint_every is not None:
+            seg = min(seg, checkpoint_every)
+        xs = make_xs(steps_done, seg)
+        if in_burn:
+            carry = run_burn(carry, xs)
+        else:
+            carry, (ls, acc, sw, cold) = run_prod(carry, xs)
+            blocks["logl"].append(np.asarray(ls))
+            blocks["acc"].append(np.asarray(acc))
+            blocks["swap"].append(np.asarray(sw))
+            blocks["cold"].append(np.asarray(cold))
+        steps_done += seg
+        if checkpoint_every is not None and (steps_done % checkpoint_every == 0
+                                             or steps_done == total):
+            save_checkpoint()
+
+    logl_samples = np.concatenate(blocks["logl"]).reshape(nsteps, K, nwalkers)
+    acceptance = np.concatenate(blocks["acc"]).reshape(nsteps, K, nwalkers).mean((0, 2))
+    swap_rate = np.concatenate(blocks["swap"]).reshape(nsteps, K, nwalkers).mean((0, 2))
+    cold_chain = np.concatenate(blocks["cold"]).reshape(nsteps, nwalkers, ndim)
     return logl_samples, acceptance, swap_rate, cold_chain
 
 
 def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
                             nsteps=500, nsteps_burnin=500, alpha=0.3, a=2.0,
                             seed=0, return_cold_chain=False, mesh=None,
-                            axis_name="walkers"):
+                            axis_name="walkers", checkpoint_every=None,
+                            checkpoint_file=None, resume_from=None):
     """log Z and its uncertainty from one compiled tempered-ladder run.
 
     p0: (nwalkers, ndim) starting positions, drawn from (or near) the prior;
@@ -236,7 +328,9 @@ def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
     K = n_rungs                                     # stepping-stone rungs 0..K-1
     logl_samples, acceptance, swap_rate, cold_chain = _run_tempered_ladder(
         log_prior_fn, log_like_fn, p0, betas_all, nsteps, nsteps_burnin,
-        a=a, seed=seed, mesh=mesh, axis_name=axis_name)
+        a=a, seed=seed, mesh=mesh, axis_name=axis_name,
+        checkpoint_every=checkpoint_every, checkpoint_file=checkpoint_file,
+        resume_from=resume_from)
     nsteps_out = logl_samples.shape[0]
 
     def rung_terms(ll_block):

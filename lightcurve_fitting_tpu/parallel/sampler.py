@@ -149,7 +149,11 @@ class EnsembleSampler:
         self._dtype = dtype
         if seed is None:
             seed = np.random.randint(0, 2 ** 31 - 1)
-        self._key = jr.PRNGKey(seed)
+        # per-step keys are folded from (base key, global step index): the
+        # chain is identical however a run is segmented (progress segments,
+        # checkpoint_every restarts, kill-and-resume)
+        self._base_key = jr.PRNGKey(seed)
+        self._draw_count = 0
         self._step, self.batched_logp = make_stretch_kernel(log_prob_fn, self._half, self.ndim, a)
         self._run_jit = {}
         self.reset()
@@ -266,10 +270,15 @@ class EnsembleSampler:
         return pos, np.asarray(logp).reshape(self.total_walkers), None
 
     def _run_segment(self, x, logp, nsteps, thin_by):
-        self._key, subkey = jr.split(self._key)
-        keys = jr.split(subkey, nsteps * thin_by * self.replicas)
+        n = nsteps * thin_by
+        idx = jnp.arange(self._draw_count, self._draw_count + n)
+        self._draw_count += n
         if self.replicas > 1:
-            keys = keys.reshape((nsteps * thin_by, self.replicas) + keys.shape[1:])
+            rep = jnp.arange(self.replicas)
+            keys = jax.vmap(lambda i: jax.vmap(
+                lambda r: jr.fold_in(jr.fold_in(self._base_key, i), r))(rep))(idx)
+        else:
+            keys = jax.vmap(lambda i: jr.fold_in(self._base_key, i))(idx)
         run = self._compiled_run(nsteps, thin_by)
         x, logp, xs, logps, accepts = run(x, logp, keys)
 
@@ -294,15 +303,18 @@ class EnsembleSampler:
         return x, logp
 
     # ----------------------------------------------------------- checkpointing
-    def save_checkpoint(self, filename, include_chain=True):
-        """Serialize the sampler state (walker positions, log-probs, RNG key,
-        and optionally the accumulated chain) for exact resume. The reference
-        can only save final flatchains (fitting.py:146-148); this adds true
-        resume (SURVEY.md §5)."""
+    def save_checkpoint(self, filename, include_chain=True, extra=None):
+        """Serialize the sampler state (walker positions, log-probs, RNG key +
+        step counter, and optionally the accumulated chain) for exact resume.
+        The reference can only save final flatchains (fitting.py:146-148);
+        this adds true resume (SURVEY.md §5). ``extra``: a dict of scalar
+        metadata (e.g. the driver's phase bookkeeping) stored alongside and
+        returned by :meth:`load_checkpoint`."""
         state = {
             "pos": np.asarray(self._pos_internal),
             "logp": np.asarray(self._logp_internal),
-            "key": jr.key_data(self._key),
+            "key": jr.key_data(self._base_key),
+            "draw_count": self._draw_count,
             "accepted": self._accepted,
             "nsteps_total": self._nsteps_total,
             "nwalkers": self.nwalkers,
@@ -313,11 +325,14 @@ class EnsembleSampler:
         if include_chain:
             state["chain"] = self._chain
             state["logp_chain"] = self._logp
+        for k, v in (extra or {}).items():
+            state["extra_" + k] = v
         np.savez(filename, **state)
 
     def load_checkpoint(self, filename):
         """Restore state saved by :meth:`save_checkpoint` into this sampler
-        (the log-probability function itself is reconstructed by the caller)."""
+        (the log-probability function itself is reconstructed by the caller).
+        Returns the ``extra`` metadata dict that was saved (empty if none)."""
         data = np.load(filename)
         if int(data["nwalkers"]) != self.nwalkers or int(data["ndim"]) != self.ndim:
             raise ValueError("checkpoint shape mismatch: "
@@ -328,12 +343,15 @@ class EnsembleSampler:
                              f"vs {self.replicas}")
         self._pos_internal = jnp.asarray(data["pos"])
         self._logp_internal = jnp.asarray(data["logp"])
-        self._key = jr.wrap_key_data(jnp.asarray(data["key"]))
+        self._base_key = jr.wrap_key_data(jnp.asarray(data["key"]))
+        self._draw_count = int(data["draw_count"])
         self._accepted = data["accepted"]
         self._nsteps_total = int(data["nsteps_total"])
         if "chain" in data:
             self._chain = data["chain"]
             self._logp = data["logp_chain"]
+        return {k[len("extra_"):]: data[k][()] for k in data.files
+                if k.startswith("extra_")}
 
     sample = run_mcmc
 
