@@ -81,6 +81,22 @@ class ShardedEnsembleSampler(EnsembleSampler):
                                                self.mesh, axis_name, a)
         self._run_jit = {}
         self._state_sharding = NamedSharding(self.mesh, P(None, axis_name, None))
+        # the mesh may span processes (multi-controller over DCN): every
+        # process runs the same program; host bookkeeping must gather
+        # non-addressable global arrays through the coordination service
+        self._multiprocess = len({d.process_index
+                                  for d in self.mesh.devices.flat}) > 1
+
+    def _prepare_state(self, x):
+        """Place walker state on the (possibly multi-process) mesh — every
+        process holds the full host value, device_put distributes shards."""
+        return jax.device_put(x, self._state_sharding)
+
+    def _to_host(self, a):
+        if self._multiprocess:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+        return np.asarray(a)
 
     def run_mcmc(self, initial_state, nsteps, **kwargs):
         if initial_state is not None:

@@ -204,6 +204,15 @@ class EnsembleSampler:
         core = (2, self._half, self.ndim)
         return (self.replicas,) + core if self.replicas > 1 else core
 
+    # hooks the multi-process sharded sampler overrides: host data -> device
+    # state placement, and device output -> host numpy (a global array that
+    # spans processes is not fully addressable, so np.asarray cannot read it)
+    def _prepare_state(self, x):
+        return x
+
+    def _to_host(self, a):
+        return np.asarray(a)
+
     # -------------------------------------------------------------- main API
     def run_mcmc(self, initial_state, nsteps, progress=False, progress_kwargs=None,
                  skip_initial_state_check=False, thin_by=1, **kwargs):
@@ -223,7 +232,7 @@ class EnsembleSampler:
             if pos.shape != (self.total_walkers, self.ndim):
                 raise ValueError(f"initial_state must have shape {(self.total_walkers, self.ndim)}")
             shape = self._state_shape()
-            x = jnp.asarray(pos.reshape(shape), dtype=self._dtype)
+            x = self._prepare_state(jnp.asarray(pos.reshape(shape), dtype=self._dtype))
             logp = self.batched_logp(x.reshape(-1, self.ndim)).reshape(shape[:-1])
             if not skip_initial_state_check and not bool(jnp.all(jnp.isfinite(logp))):
                 bad = int(jnp.sum(~jnp.isfinite(logp)))
@@ -266,8 +275,8 @@ class EnsembleSampler:
 
         self._pos_internal = x
         self._logp_internal = logp
-        pos = np.asarray(x).reshape(self.total_walkers, self.ndim)
-        return pos, np.asarray(logp).reshape(self.total_walkers), None
+        pos = self._to_host(x).reshape(self.total_walkers, self.ndim)
+        return pos, self._to_host(logp).reshape(self.total_walkers), None
 
     def _run_segment(self, x, logp, nsteps, thin_by):
         n = nsteps * thin_by
@@ -285,9 +294,9 @@ class EnsembleSampler:
         # host-side bookkeeping (chain layout: steps-major like emcee
         # get_chain); with store_dtype the scan already emitted downcast
         # arrays — the in-scan cast owns the conversion
-        xs = np.asarray(xs)                      # (nsteps, [R,] 2, half, ndim)
-        logps_np = np.asarray(logps)
-        accepts = np.asarray(accepts)
+        xs = self._to_host(xs)                   # (nsteps, [R,] 2, half, ndim)
+        logps_np = self._to_host(logps)
+        accepts = self._to_host(accepts)
         chain_block = xs.reshape(nsteps, self.total_walkers, self.ndim)
         logp_block = logps_np.reshape(nsteps, self.total_walkers)
         if self._store_dtype is not None and self._chain.dtype != chain_block.dtype:
@@ -311,8 +320,8 @@ class EnsembleSampler:
         metadata (e.g. the driver's phase bookkeeping) stored alongside and
         returned by :meth:`load_checkpoint`."""
         state = {
-            "pos": np.asarray(self._pos_internal),
-            "logp": np.asarray(self._logp_internal),
+            "pos": self._to_host(self._pos_internal),
+            "logp": self._to_host(self._logp_internal),
             "key": jr.key_data(self._base_key),
             "draw_count": self._draw_count,
             "accepted": self._accepted,

@@ -102,3 +102,88 @@ def test_two_process_population_fit(tmp_path):
     for i, (T1, L1, ttr) in enumerate(TRUTHS):
         assert covered[i][0] == pytest.approx(T1, rel=0.25), i
         assert covered[i][1] == pytest.approx(L1, rel=0.35), i
+
+
+GLOBAL_MESH_WORKER = """
+import os, sys, hashlib
+proc_id, nproc, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+sys.path.insert(0, {repo!r})
+import numpy as np
+from lightcurve_fitting_tpu.parallel import distributed
+from lightcurve_fitting_tpu.parallel.mesh import ShardedEnsembleSampler, walker_mesh
+from lightcurve_fitting_tpu.lightcurve import LC
+from lightcurve_fitting_tpu.filters import filtdict
+from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+from lightcurve_fitting_tpu.fitting import lightcurve_mcmc
+
+distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                       num_processes=nproc, process_id=proc_id)
+assert jax.device_count() == 2 * nproc            # global devices across DCN
+assert jax.local_device_count() == 2
+
+# synthetic flagship-model light curve (identical on both processes)
+rng = np.random.default_rng(0)
+filters = [filtdict[n] for n in ["U", "B", "V", "g", "r", "i"]]
+t = np.repeat(np.linspace(1.0, 8.0, 5), len(filters))
+f = np.array(filters * 5)
+y_true = ShockCooling2()(t, f, 14.0, 2.5, 40.0, 0.0)
+dy = 0.05 * y_true
+lc = LC([t, f, y_true + rng.normal(scale=dy), dy],
+        names=["MJD", "filter", "lum", "dlum"])
+model = ShockCooling2(lc)
+priors = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0), UniformPrior(5.0, 100.0),
+          UniformPrior(-1.0, 0.9)]
+
+# ONE GLOBAL MESH over all 4 devices (2 per process): walkers shard across
+# both processes; the stretch move's complementary-half all_gather rides DCN
+mesh = walker_mesh()   # all global devices
+assert len({{d.process_index for d in mesh.devices.flat}}) == nproc
+sampler = lightcurve_mcmc(lc, model, priors=priors,
+                          p_lo=[5.0, 0.5, 20.0, -0.5], p_up=[25.0, 5.0, 60.0, 0.5],
+                          nwalkers=32, nsteps=150, nsteps_burnin=150,
+                          seed=4, mesh=mesh, quiet=True)
+assert isinstance(sampler, ShardedEnsembleSampler)
+flat = sampler.flatchain
+med = np.median(flat, axis=0)
+digest = hashlib.sha1(np.ascontiguousarray(flat).tobytes()).hexdigest()
+np.savez(os.path.join(outdir, "gm_" + str(proc_id) + ".npz"),
+         medians=med, digest=np.array(digest), shape=np.array(flat.shape))
+print("proc", proc_id, "medians", med, flush=True)
+"""
+
+
+def test_two_process_global_mesh_walker_sharding(tmp_path):
+    """The SURVEY §5 DCN communication row demonstrated live: two
+    jax.distributed processes form ONE global mesh and
+    ``lightcurve_mcmc(mesh=global)`` shards the walker axis across both —
+    the per-half-step all_gather of the complementary half crosses the
+    process boundary. Both processes reconstruct the identical full chain
+    (gathered through the coordination service) and recover the truth."""
+    worker = tmp_path / "worker_gm.py"
+    worker.write_text(GLOBAL_MESH_WORKER.format(repo=os.path.abspath(REPO)))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen([sys.executable, str(worker), str(pid), "2", str(port),
+                               str(tmp_path)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+             for pid in range(2)]
+    outputs = []
+    for p in procs:
+        out, _ = p.communicate(timeout=600)
+        outputs.append(out.decode())
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out
+
+    d0 = np.load(tmp_path / "gm_0.npz")
+    d1 = np.load(tmp_path / "gm_1.npz")
+    # both processes hold the same complete chain
+    assert str(d0["digest"]) == str(d1["digest"])
+    assert tuple(d0["shape"]) == (150 * 32, 4)
+    np.testing.assert_allclose(d0["medians"], d1["medians"])
+    # and it is the right posterior (truth T1=14, L1=2.5)
+    assert d0["medians"][0] == pytest.approx(14.0, rel=0.25)
+    assert d0["medians"][1] == pytest.approx(2.5, rel=0.35)
