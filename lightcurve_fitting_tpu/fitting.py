@@ -384,7 +384,8 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
                    n_warmup=800, sampler="nuts", max_depth=9, n_leapfrog=32,
                    use_sigma=False, sigma_type="relative", seed=None,
                    warmup_walkers=64, warmup_steps=300,
-                   save_sampler_as="", quiet=False, mesh=None):
+                   save_sampler_as="", quiet=False, mesh=None,
+                   checkpoint_every=None, checkpoint_file=None, resume_from=None):
     """One-call gradient-based fit of a light-curve model (NUTS by default).
 
     The flagship beyond-reference capability as a product API, shaped like
@@ -414,6 +415,13 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
     the full gradient stack scales over ICI like the stretch-move drivers
     (``nchains`` and ``warmup_walkers/2`` must divide the mesh size; the
     warm-up walker count is rounded up automatically).
+
+    ``checkpoint_every=N`` with ``checkpoint_file``: once adaptation is done,
+    production runs in N-sample segments, each saving the full sampler state
+    plus the whitening transform; ``resume_from`` restores it and continues
+    — the resumed chain is bit-identical to the uninterrupted one (index-
+    folded per-step keys). The warm start + warmup are atomic: a kill before
+    the first checkpoint restarts from scratch.
     """
     from .parallel.hmc import HMCSampler, BoundsTransform, WhitenedPosterior
     from .parallel.nuts import NUTSSampler
@@ -427,51 +435,80 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
         raise ValueError('sampler must be "nuts" or "hmc"')
 
     log_posterior = make_log_posterior(model, lc, priors, use_sigma, sigma_type)
-    lo, up = _hmc_init_window(priors, p_lo, p_up, ndim)
-
-    # ensemble warm start: typical-set location + covariance + seeds
-    rng = np.random.RandomState(seed) if seed is not None else np.random
-    if mesh is None:
-        warm = EnsembleSampler(warmup_walkers, ndim, log_posterior, seed=seed)
-    else:
-        from .parallel.mesh import ShardedEnsembleSampler
-        n_dev = int(mesh.devices.size)
-        if nchains % n_dev:
-            raise ValueError(f"nchains={nchains} must be divisible by the mesh "
-                             f"size {n_dev}")
-        if (warmup_walkers // 2) % n_dev:
-            warmup_walkers = 2 * n_dev * (warmup_walkers // (2 * n_dev) + 1)
-        warm = ShardedEnsembleSampler(warmup_walkers, ndim, log_posterior,
-                                      mesh=mesh, axis_name=mesh.axis_names[0],
-                                      seed=seed)
-    guesses = rng.rand(warmup_walkers, ndim) * (up - lo) + lo
-    warm.run_mcmc(guesses, warmup_steps, progress=not quiet,
-                  progress_kwargs={"desc": " HMC warm start"})
-    warm_flat = warm.get_chain(flat=True, discard=warmup_steps // 2)
-    warm_logp = warm.get_log_prob(flat=True, discard=warmup_steps // 2)
-
     bounds = BoundsTransform([getattr(p, "p_min", -np.inf) for p in priors],
                              [getattr(p, "p_max", np.inf) for p in priors])
-    warm_u = bounds.to_unbounded(warm_flat)
-    white = WhitenedPosterior(warm_u)
+    if checkpoint_every is not None and not checkpoint_file:
+        raise ValueError("checkpoint_every requires checkpoint_file")
 
-    def log_posterior_w(w):
-        uvec = white.to_u(w)
-        return log_posterior(bounds.to_bounded(uvec)) + bounds.log_jacobian(uvec)
+    def make_engine(white):
+        def log_posterior_w(w):
+            uvec = white.to_u(w)
+            return log_posterior(bounds.to_bounded(uvec)) + bounds.log_jacobian(uvec)
 
-    # seed chains from the warm draws already inside the typical set: short
-    # warm runs still carry low-probability stragglers from the contraction
-    # transient, and a chain seeded on one wastes its whole warmup escaping
-    good = np.flatnonzero(warm_logp >= np.median(warm_logp))
-    seeds = good[rng.choice(good.size, nchains, replace=good.size < nchains)]
-    w0 = white.to_w(warm_u[seeds])
-    if sampler == "nuts":
-        engine = NUTSSampler(nchains, ndim, log_posterior_w, max_depth=max_depth,
-                             seed=seed, mesh=mesh)
+        if sampler == "nuts":
+            return NUTSSampler(nchains, ndim, log_posterior_w, max_depth=max_depth,
+                               seed=seed, mesh=mesh)
+        return HMCSampler(nchains, ndim, log_posterior_w, n_leapfrog=n_leapfrog,
+                          seed=seed, mesh=mesh)
+
+    if resume_from is not None:
+        # the whitening map must be bit-identical to the original run's; it
+        # rides in the checkpoint so the warm phase is skipped entirely
+        ck = np.load(resume_from)
+        if str(ck["extra_sampler"][()]) != sampler:
+            raise ValueError(f"checkpoint was a {ck['extra_sampler'][()]} run, "
+                             f"not {sampler}")
+        white = WhitenedPosterior.from_moments(ck["extra_white_mean"],
+                                               ck["extra_white_L"])
+        engine = make_engine(white)
+        engine.load_checkpoint(resume_from)
+        done = engine._nsteps
+        pos = engine._last_pos
     else:
-        engine = HMCSampler(nchains, ndim, log_posterior_w, n_leapfrog=n_leapfrog,
-                            seed=seed, mesh=mesh)
-    engine.run_mcmc(w0, nsamples, n_warmup=n_warmup)
+        lo, up = _hmc_init_window(priors, p_lo, p_up, ndim)
+
+        # ensemble warm start: typical-set location + covariance + seeds
+        rng = np.random.RandomState(seed) if seed is not None else np.random
+        if mesh is None:
+            warm = EnsembleSampler(warmup_walkers, ndim, log_posterior, seed=seed)
+        else:
+            from .parallel.mesh import ShardedEnsembleSampler
+            n_dev = int(mesh.devices.size)
+            if nchains % n_dev:
+                raise ValueError(f"nchains={nchains} must be divisible by the mesh "
+                                 f"size {n_dev}")
+            if (warmup_walkers // 2) % n_dev:
+                warmup_walkers = 2 * n_dev * (warmup_walkers // (2 * n_dev) + 1)
+            warm = ShardedEnsembleSampler(warmup_walkers, ndim, log_posterior,
+                                          mesh=mesh, axis_name=mesh.axis_names[0],
+                                          seed=seed)
+        guesses = rng.rand(warmup_walkers, ndim) * (up - lo) + lo
+        warm.run_mcmc(guesses, warmup_steps, progress=not quiet,
+                      progress_kwargs={"desc": " HMC warm start"})
+        warm_flat = warm.get_chain(flat=True, discard=warmup_steps // 2)
+        warm_logp = warm.get_log_prob(flat=True, discard=warmup_steps // 2)
+
+        warm_u = bounds.to_unbounded(warm_flat)
+        white = WhitenedPosterior(warm_u)
+
+        # seed chains from the warm draws already inside the typical set: short
+        # warm runs still carry low-probability stragglers from the contraction
+        # transient, and a chain seeded on one wastes its whole warmup escaping
+        good = np.flatnonzero(warm_logp >= np.median(warm_logp))
+        seeds = good[rng.choice(good.size, nchains, replace=good.size < nchains)]
+        engine = make_engine(white)
+        done = 0
+        pos = white.to_w(warm_u[seeds])
+
+    while done < nsamples:
+        seg = nsamples - done if checkpoint_every is None \
+            else min(checkpoint_every, nsamples - done)
+        pos = engine.run_mcmc(pos, seg, n_warmup=n_warmup if done == 0 else 0)
+        done += seg
+        if checkpoint_file:
+            engine.save_checkpoint(checkpoint_file, extra={
+                "sampler": sampler, "nsamples": nsamples,
+                "white_mean": white.mean, "white_L": white.L})
 
     u_chain = white.u_from_w_chain(engine._chain)
     x_chain = np.asarray(bounds.to_bounded(jnp.asarray(u_chain)))

@@ -100,6 +100,18 @@ class WhitenedPosterior:
         self._Lj = jnp.asarray(self.L)
         self._muj = jnp.asarray(self.mean)
 
+    @classmethod
+    def from_moments(cls, mean, L):
+        """Rebuild from stored (mean, Cholesky factor) — used by checkpoint
+        resume, where the warm samples are gone but the affine map must be
+        bit-identical for the resumed chain to continue the original."""
+        self = cls.__new__(cls)
+        self.mean = np.asarray(mean, float)
+        self.L = np.asarray(L, float)
+        self._Lj = jnp.asarray(self.L)
+        self._muj = jnp.asarray(self.mean)
+        return self
+
     def to_u(self, w):
         return self._muj + self._Lj @ w
 
@@ -143,8 +155,16 @@ class HMCSampler:
         self.axis_name = _validate_chain_mesh(mesh, axis_name, self.nchains)
         if seed is None:
             seed = np.random.randint(0, 2 ** 31 - 1)
-        self._key = jr.PRNGKey(seed)
+        # per-step keys fold the global step index (exact checkpoint/resume,
+        # see NUTSSampler)
+        self._base_key = jr.PRNGKey(seed)
+        self._draw_count = 0
         self.reset()
+
+    def _take_keys(self, n):
+        idx = jnp.arange(self._draw_count, self._draw_count + n)
+        self._draw_count += n
+        return jax.vmap(lambda i: jr.fold_in(self._base_key, i))(idx)
 
     def _sharding(self, *spec):
         from jax.sharding import NamedSharding, PartitionSpec
@@ -156,6 +176,53 @@ class HMCSampler:
         self._nsteps = 0
         self.step_size = None
         self.inv_mass = None
+        self._last_pos = None
+        self._last_logp = None
+
+    # ----------------------------------------------------------- checkpointing
+    def save_checkpoint(self, filename, extra=None):
+        """Serialize sampler state for exact resume (see
+        :meth:`NUTSSampler.save_checkpoint`)."""
+        if self._last_pos is None:
+            raise ValueError("nothing to checkpoint: no run has completed")
+        state = {
+            "key": jr.key_data(self._base_key),
+            "draw_count": self._draw_count,
+            "pos": self._last_pos,
+            "logp": self._last_logp,
+            "chain": self._chain,
+            "accept_prob_sum": self._accept_prob_sum,
+            "nsteps": self._nsteps,
+            "step_size": self.step_size if self.step_size is not None else np.nan,
+            "inv_mass": (self.inv_mass if self.inv_mass is not None
+                         else np.full(self.ndim, np.nan)),
+            "nchains": self.nchains,
+            "ndim": self.ndim,
+        }
+        for k, v in (extra or {}).items():
+            state["extra_" + k] = v
+        np.savez(filename, **state)
+
+    def load_checkpoint(self, filename):
+        """Restore :meth:`save_checkpoint` state; returns the extras dict."""
+        data = np.load(filename)
+        if int(data["nchains"]) != self.nchains or int(data["ndim"]) != self.ndim:
+            raise ValueError("checkpoint shape mismatch: "
+                             f"{int(data['nchains'])}x{int(data['ndim'])} vs "
+                             f"{self.nchains}x{self.ndim}")
+        self._base_key = jr.wrap_key_data(jnp.asarray(data["key"]))
+        self._draw_count = int(data["draw_count"])
+        self._last_pos = np.asarray(data["pos"])
+        self._last_logp = np.asarray(data["logp"]) if "logp" in data else None
+        self._chain = data["chain"]
+        self._accept_prob_sum = data["accept_prob_sum"]
+        self._nsteps = int(data["nsteps"])
+        eps = float(data["step_size"])
+        self.step_size = None if np.isnan(eps) else eps
+        im = np.asarray(data["inv_mass"])
+        self.inv_mass = None if np.isnan(im).all() else im
+        return {k[len("extra_"):]: data[k][()] for k in data.files
+                if k.startswith("extra_")}
 
     # ------------------------------------------------------------- internals
     def _transition(self, x, logp, key, eps, inv_mass):
@@ -192,10 +259,16 @@ class HMCSampler:
 
     # ---------------------------------------------------------------- run
     def run_mcmc(self, initial_state, n_samples, n_warmup=500):
-        x0 = jnp.asarray(np.asarray(initial_state, float))
+        x_np = np.asarray(initial_state, float)
+        x0 = jnp.asarray(x_np)
         if x0.shape != (self.nchains, self.ndim):
             raise ValueError(f"initial_state must be {(self.nchains, self.ndim)}")
-        logp0 = jax.vmap(self._log_prob_fn)(x0)
+        if (self._last_logp is not None and self._last_pos is not None
+                and np.array_equal(x_np, self._last_pos)):
+            # bit-exact continuation (see NUTSSampler.run_mcmc)
+            logp0 = jnp.asarray(self._last_logp)
+        else:
+            logp0 = jax.vmap(self._log_prob_fn)(x0)
         if not bool(jnp.all(jnp.isfinite(logp0))):
             raise ValueError("non-finite initial log-probability")
         if n_warmup == 0:
@@ -233,15 +306,7 @@ class HMCSampler:
                         m, mean, m2, i + 1.0), aprob
             return warmup_step
 
-        def sample_step(carry, key):
-            x, logp, eps, inv_mass = carry
-            keys = jr.split(key, self.nchains)
-            x, logp, aprob = jax.vmap(
-                lambda xi, li, ki: self._transition(xi, li, ki, eps, inv_mass)
-            )(x, logp, keys)
-            return (x, logp, eps, inv_mass), (x, aprob)
-
-        def run_fn(x, logp, wkeys1, wkeys2, skeys):
+        def run_fn(x, logp, wkeys1, wkeys2):
             # phase 1: adapt eps on the user-provided scale mass, estimate the
             # posterior variance; phase 2: re-adapt eps on the estimated mass
             # (Stan-style windows — eps tuned for one metric is invalid for
@@ -259,10 +324,7 @@ class HMCSampler:
                      jnp.zeros(self.ndim), jnp.zeros(self.ndim), 0.0)
             carry, _ = jax.lax.scan(make_warmup_step(mu2), carry, wkeys2)
             x, logp, _, _, log_eps_bar, _, _, _, _, _ = carry
-            eps = jnp.exp(log_eps_bar)
-            (x, logp, eps, inv_mass), (xs, aprob) = jax.lax.scan(
-                sample_step, (x, logp, eps, inv_mass), skeys)
-            return xs, aprob, eps, inv_mass
+            return x, logp, jnp.exp(log_eps_bar), inv_mass
 
         if self.mesh is None:
             run = jax.jit(run_fn)
@@ -270,31 +332,26 @@ class HMCSampler:
             ax = self.axis_name
             s = self._sharding
             run = jax.jit(run_fn,
-                          in_shardings=(s(ax, None), s(ax), s(), s(), s()),
-                          out_shardings=(s(None, ax, None), s(None, ax), s(), s()))
+                          in_shardings=(s(ax, None), s(ax), s(), s()),
+                          out_shardings=(s(ax, None), s(ax), s(), s()))
 
-        self._key, k1, k1b, k2 = jr.split(self._key, 4)
         n_w1 = (2 * n_warmup) // 3
-        wkeys = jr.split(k1, n_w1)
-        wkeys2 = jr.split(k1b, n_warmup - n_w1)
-        skeys = jr.split(k2, n_samples)
-        xs, aprob, eps, inv_mass = run(x0, logp0, wkeys, wkeys2, skeys)
-        self._chain = np.concatenate([self._chain, np.asarray(xs)])
-        self._accept_prob_sum += np.asarray(aprob).sum(0)
-        self._nsteps += n_samples
+        x, logp, eps, inv_mass = run(x0, logp0, self._take_keys(n_w1),
+                                     self._take_keys(n_warmup - n_w1))
         self.step_size = float(eps)
         self.inv_mass = np.asarray(inv_mass)
-        return np.asarray(xs[-1])
+        # production always runs through the ONE compiled sample kernel (see
+        # NUTSSampler: a warmup-jit-local sample scan compiled with last-ulp
+        # differences vs the continuation path, forking resumed chains)
+        return self._sample(x, logp, n_samples)
 
-    def _run_adapted(self, x0, logp0, n_samples):
-        """Sampling-only scan at the stored (step_size, inv_mass)."""
-        if self.step_size is None or self.inv_mass is None:
-            raise ValueError("n_warmup=0 requires a previous adapted run "
-                             "(no stored step_size/inv_mass)")
-        eps = jnp.asarray(self.step_size)
-        inv_mass = jnp.asarray(self.inv_mass)
+    def _sample_jitted(self):
+        """The shared production kernel (bitwise identical from warmup,
+        continuation, and checkpoint resume)."""
+        if getattr(self, "_sample_run", None) is not None:
+            return self._sample_run
 
-        def run_fn(x, logp, skeys):
+        def run_fn(x, logp, eps, inv_mass, skeys):
             def sample_step(carry, key):
                 x, logp = carry
                 keys = jr.split(key, self.nchains)
@@ -303,24 +360,38 @@ class HMCSampler:
                 )(x, logp, keys)
                 return (x, logp), (x, aprob)
 
-            _, (xs, aprob) = jax.lax.scan(sample_step, (x, logp), skeys)
-            return xs, aprob
+            (x, logp), (xs, aprob) = jax.lax.scan(sample_step, (x, logp), skeys)
+            return xs, aprob, logp
 
         if self.mesh is None:
-            run = jax.jit(run_fn)
+            self._sample_run = jax.jit(run_fn)
         else:
             s = self._sharding
-            run = jax.jit(run_fn,
-                          in_shardings=(s(self.axis_name, None), s(self.axis_name), s()),
-                          out_shardings=(s(None, self.axis_name, None),
-                                         s(None, self.axis_name)))
+            self._sample_run = jax.jit(
+                run_fn,
+                in_shardings=(s(self.axis_name, None), s(self.axis_name), s(), s(), s()),
+                out_shardings=(s(None, self.axis_name, None),
+                               s(None, self.axis_name), s(self.axis_name)))
+        return self._sample_run
 
-        self._key, k2 = jr.split(self._key)
-        xs, aprob = run(x0, logp0, jr.split(k2, n_samples))
+    def _sample(self, x0, logp0, n_samples):
+        run = self._sample_jitted()
+        xs, aprob, logp_f = run(x0, logp0, jnp.asarray(self.step_size),
+                                jnp.asarray(self.inv_mass),
+                                self._take_keys(n_samples))
         self._chain = np.concatenate([self._chain, np.asarray(xs)])
         self._accept_prob_sum += np.asarray(aprob).sum(0)
         self._nsteps += n_samples
-        return np.asarray(xs[-1])
+        self._last_pos = np.asarray(xs[-1])
+        self._last_logp = np.asarray(logp_f)
+        return self._last_pos
+
+    def _run_adapted(self, x0, logp0, n_samples):
+        """Sampling-only run at the stored (step_size, inv_mass)."""
+        if self.step_size is None or self.inv_mass is None:
+            raise ValueError("n_warmup=0 requires a previous adapted run "
+                             "(no stored step_size/inv_mass)")
+        return self._sample(x0, logp0, n_samples)
 
     @property
     def chain(self):

@@ -224,12 +224,71 @@ class NUTSSampler:
         self.axis_name = _validate_chain_mesh(mesh, axis_name, self.nchains)
         if seed is None:
             seed = np.random.randint(0, 2 ** 31 - 1)
-        self._key = jr.PRNGKey(seed)
+        # per-step keys fold the global step index: chains are identical
+        # however a run is segmented (enables exact checkpoint/resume)
+        self._base_key = jr.PRNGKey(seed)
+        self._draw_count = 0
         self.reset()
+
+    def _take_keys(self, n):
+        idx = jnp.arange(self._draw_count, self._draw_count + n)
+        self._draw_count += n
+        return jax.vmap(lambda i: jr.fold_in(self._base_key, i))(idx)
 
     def _sharding(self, *spec):
         from jax.sharding import NamedSharding, PartitionSpec
         return NamedSharding(self.mesh, PartitionSpec(*spec))
+
+    # ----------------------------------------------------------- checkpointing
+    def save_checkpoint(self, filename, extra=None):
+        """Serialize sampler state for exact resume: RNG base key + step
+        counter, last chain positions, accumulated chain + stats, and the
+        adapted kinetic terms. Meaningful once adaptation has run (the
+        warmup scan is atomic — a kill during warmup restarts it)."""
+        if self._last_pos is None:
+            raise ValueError("nothing to checkpoint: no run has completed")
+        state = {
+            "key": jr.key_data(self._base_key),
+            "draw_count": self._draw_count,
+            "pos": self._last_pos,
+            "logp": self._last_logp,
+            "chain": self._chain,
+            "accept_sum": self._accept_sum,
+            "depth_sum": self._depth_sum,
+            "divergences": self._divergences,
+            "nsteps": self._nsteps,
+            "step_size": self.step_size if self.step_size is not None else np.nan,
+            "inv_mass": (self.inv_mass if self.inv_mass is not None
+                         else np.full(self.ndim, np.nan)),
+            "nchains": self.nchains,
+            "ndim": self.ndim,
+        }
+        for k, v in (extra or {}).items():
+            state["extra_" + k] = v
+        np.savez(filename, **state)
+
+    def load_checkpoint(self, filename):
+        """Restore :meth:`save_checkpoint` state; returns the extras dict."""
+        data = np.load(filename)
+        if int(data["nchains"]) != self.nchains or int(data["ndim"]) != self.ndim:
+            raise ValueError("checkpoint shape mismatch: "
+                             f"{int(data['nchains'])}x{int(data['ndim'])} vs "
+                             f"{self.nchains}x{self.ndim}")
+        self._base_key = jr.wrap_key_data(jnp.asarray(data["key"]))
+        self._draw_count = int(data["draw_count"])
+        self._last_pos = np.asarray(data["pos"])
+        self._last_logp = np.asarray(data["logp"]) if "logp" in data else None
+        self._chain = data["chain"]
+        self._accept_sum = data["accept_sum"]
+        self._depth_sum = data["depth_sum"]
+        self._divergences = data["divergences"]
+        self._nsteps = int(data["nsteps"])
+        eps = float(data["step_size"])
+        self.step_size = None if np.isnan(eps) else eps
+        im = np.asarray(data["inv_mass"])
+        self.inv_mass = None if np.isnan(im).all() else im
+        return {k[len("extra_"):]: data[k][()] for k in data.files
+                if k.startswith("extra_")}
 
     def reset(self):
         self._chain = np.empty((0, self.nchains, self.ndim))
@@ -239,12 +298,22 @@ class NUTSSampler:
         self._nsteps = 0
         self.step_size = None
         self.inv_mass = None
+        self._last_pos = None
+        self._last_logp = None
 
     def run_mcmc(self, initial_state, n_samples, n_warmup=500):
-        x0 = jnp.asarray(np.asarray(initial_state, float))
+        x_np = np.asarray(initial_state, float)
+        x0 = jnp.asarray(x_np)
         if x0.shape != (self.nchains, self.ndim):
             raise ValueError(f"initial_state must be {(self.nchains, self.ndim)}")
-        logp0 = jax.vmap(self._log_prob_fn)(x0)
+        if (self._last_logp is not None and self._last_pos is not None
+                and np.array_equal(x_np, self._last_pos)):
+            # bit-exact continuation: the carried logp can differ from a
+            # recomputation in the last ulp (value_and_grad vs plain eval),
+            # which would fork a resumed chain from the uninterrupted one
+            logp0 = jnp.asarray(self._last_logp)
+        else:
+            logp0 = jax.vmap(self._log_prob_fn)(x0)
         if not bool(jnp.all(jnp.isfinite(logp0))):
             raise ValueError("non-finite initial log-probability")
         if n_warmup == 0:
@@ -281,15 +350,7 @@ class NUTSSampler:
                         m, mean, m2, i + 1.0), None
             return warmup_step
 
-        def sample_step(carry, key):
-            x, logp, eps, inv_mass = carry
-            keys = jr.split(key, nchains)
-            x, logp, stats = jax.vmap(
-                lambda xi, li, ki: transition(xi, li, ki, eps, inv_mass)
-            )(x, logp, keys)
-            return (x, logp, eps, inv_mass), (x, stats)
-
-        def run_fn(x, logp, wkeys1, wkeys2, skeys):
+        def run_fn(x, logp, wkeys1, wkeys2):
             inv_mass0 = jnp.asarray(self.init_scales ** 2)
             mu = jnp.log(10.0 * self.init_step_size)
             carry = (x, logp, inv_mass0, jnp.log(self.init_step_size),
@@ -304,48 +365,36 @@ class NUTSSampler:
                      jnp.zeros(self.ndim), jnp.zeros(self.ndim), 0.0)
             carry, _ = jax.lax.scan(make_warmup_step(mu2), carry, wkeys2)
             x, logp, _, _, log_eps_bar, _, _, _, _, _ = carry
-            eps = jnp.exp(log_eps_bar)
-            (x, logp, eps, inv_mass), (xs, stats) = jax.lax.scan(
-                sample_step, (x, logp, eps, inv_mass), skeys)
-            return xs, stats, eps, inv_mass
+            return x, logp, jnp.exp(log_eps_bar), inv_mass
 
         if self.mesh is None:
             run = jax.jit(run_fn)
         else:
             ax = self.axis_name
             s = self._sharding
-            run = jax.jit(
-                run_fn,
-                in_shardings=(s(ax, None), s(ax), s(), s(), s()),
-                out_shardings=(s(None, ax, None),
-                               (s(None, ax), s(None, ax), s(None, ax)),
-                               s(), s()))
+            run = jax.jit(run_fn,
+                          in_shardings=(s(ax, None), s(ax), s(), s()),
+                          out_shardings=(s(ax, None), s(ax), s(), s()))
 
-        self._key, k1, k1b, k2 = jr.split(self._key, 4)
         n_w1 = (2 * n_warmup) // 3
-        xs, (astat, depth, div), eps, inv_mass = run(
-            x0, logp0, jr.split(k1, n_w1), jr.split(k1b, n_warmup - n_w1),
-            jr.split(k2, n_samples))
-        self._chain = np.concatenate([self._chain, np.asarray(xs)])
-        self._accept_sum += np.asarray(astat).sum(0)
-        self._depth_sum += np.asarray(depth, float).sum(0)
-        self._divergences += np.asarray(div, float).sum(0)
-        self._nsteps += n_samples
+        x, logp, eps, inv_mass = run(x0, logp0, self._take_keys(n_w1),
+                                     self._take_keys(n_warmup - n_w1))
         self.step_size = float(eps)
         self.inv_mass = np.asarray(inv_mass)
-        return np.asarray(xs[-1])
+        # production always runs through the ONE compiled sample kernel (the
+        # warmup jit compiling its own sample scan produced last-ulp codegen
+        # differences vs the continuation path, forking resumed chains)
+        return self._sample(x, logp, n_samples)
 
-    def _run_adapted(self, x0, logp0, n_samples):
-        """Sampling-only scan at the stored (step_size, inv_mass)."""
-        if self.step_size is None or self.inv_mass is None:
-            raise ValueError("n_warmup=0 requires a previous adapted run "
-                             "(no stored step_size/inv_mass)")
-        eps = jnp.asarray(self.step_size)
-        inv_mass = jnp.asarray(self.inv_mass)
+    def _sample_jitted(self):
+        """The shared production kernel: sampling is bitwise identical
+        whether reached from warmup, continuation, or checkpoint resume."""
+        if getattr(self, "_sample_run", None) is not None:
+            return self._sample_run
         transition = self._transition
         nchains = self.nchains
 
-        def run_fn(x, logp, skeys):
+        def run_fn(x, logp, eps, inv_mass, skeys):
             def sample_step(carry, key):
                 x, logp = carry
                 keys = jr.split(key, nchains)
@@ -354,27 +403,43 @@ class NUTSSampler:
                 )(x, logp, keys)
                 return (x, logp), (x, stats)
 
-            _, (xs, stats) = jax.lax.scan(sample_step, (x, logp), skeys)
-            return xs, stats
+            (x, logp), (xs, stats) = jax.lax.scan(sample_step, (x, logp), skeys)
+            return xs, stats, logp
 
         if self.mesh is None:
-            run = jax.jit(run_fn)
+            self._sample_run = jax.jit(run_fn)
         else:
             ax = self.axis_name
             s = self._sharding
-            run = jax.jit(run_fn,
-                          in_shardings=(s(ax, None), s(ax), s()),
-                          out_shardings=(s(None, ax, None),
-                                         (s(None, ax), s(None, ax), s(None, ax))))
+            self._sample_run = jax.jit(
+                run_fn,
+                in_shardings=(s(ax, None), s(ax), s(), s(), s()),
+                out_shardings=(s(None, ax, None),
+                               (s(None, ax), s(None, ax), s(None, ax)),
+                               s(ax)))
+        return self._sample_run
 
-        self._key, k2 = jr.split(self._key)
-        xs, (astat, depth, div) = run(x0, logp0, jr.split(k2, n_samples))
+    def _sample(self, x0, logp0, n_samples):
+        run = self._sample_jitted()
+        xs, (astat, depth, div), logp_f = run(x0, logp0,
+                                              jnp.asarray(self.step_size),
+                                              jnp.asarray(self.inv_mass),
+                                              self._take_keys(n_samples))
         self._chain = np.concatenate([self._chain, np.asarray(xs)])
         self._accept_sum += np.asarray(astat).sum(0)
         self._depth_sum += np.asarray(depth, float).sum(0)
         self._divergences += np.asarray(div, float).sum(0)
         self._nsteps += n_samples
-        return np.asarray(xs[-1])
+        self._last_pos = np.asarray(xs[-1])
+        self._last_logp = np.asarray(logp_f)
+        return self._last_pos
+
+    def _run_adapted(self, x0, logp0, n_samples):
+        """Sampling-only run at the stored (step_size, inv_mass)."""
+        if self.step_size is None or self.inv_mass is None:
+            raise ValueError("n_warmup=0 requires a previous adapted run "
+                             "(no stored step_size/inv_mass)")
+        return self._sample(x0, logp0, n_samples)
 
     @property
     def chain(self):

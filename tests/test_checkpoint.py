@@ -130,3 +130,34 @@ def test_ptmcmc_checkpoint_roundtrip(lc_early, tmp_path):
                                 resume_from=ck, **EV_KW)
     np.testing.assert_array_equal(resumed.flatchain, ref.flatchain)
     assert resumed.log_z == ref.log_z
+
+
+def test_hmc_kill_and_resume_exact(lc_early, tmp_path):
+    """lightcurve_hmc checkpoints after adaptation and resumes production
+    bit-identically (the whitening map rides in the checkpoint; per-step
+    keys fold the global sample index)."""
+    from lightcurve_fitting_tpu.fitting import lightcurve_hmc
+    from lightcurve_fitting_tpu.models import GaussianPrior
+
+    gp = [GaussianPrior(0.0, 100.0, 30.0, 15.0),
+          GaussianPrior(0.0, 100.0, 4.0, 3.0),
+          GaussianPrior(0.0, 100.0, 30.0, 15.0),
+          GaussianPrior(57468.0, 57468.7, 57468.5, 0.2)]
+    kw = dict(nchains=4, nsamples=24, n_warmup=50, max_depth=6,
+              warmup_walkers=32, warmup_steps=60, seed=3, quiet=True)
+
+    model = ShockCooling2(lc_early)
+    ref = lightcurve_hmc(lc_early, model, gp, **kw)
+
+    ck = str(tmp_path / "hmc.npz")
+    # 'kill' after 8 of 24 production samples: the truncated run's checkpoint
+    # is the mid-run state of the full run
+    lightcurve_hmc(lc_early, ShockCooling2(lc_early), gp, checkpoint_every=8,
+                   checkpoint_file=ck, **dict(kw, nsamples=8))
+    resumed = lightcurve_hmc(lc_early, ShockCooling2(lc_early), gp,
+                             resume_from=ck, **kw)
+    np.testing.assert_array_equal(resumed.flatchain, ref.flatchain)
+    # sampler-type mismatch is rejected
+    with pytest.raises(ValueError, match="nuts run"):
+        lightcurve_hmc(lc_early, ShockCooling2(lc_early), gp, resume_from=ck,
+                       sampler="hmc", **{k: v for k, v in kw.items()})
