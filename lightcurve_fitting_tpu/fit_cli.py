@@ -195,6 +195,10 @@ def main(argv=None):
     priors = _build_priors(cfg["priors"])
     driver = cfg.get("driver", "mcmc")
     kw = dict(cfg.get("driver_kwargs", {}))
+    # checkpoint paths resolve relative to the config file, like outputs
+    for pk in ("checkpoint_file", "resume_from"):
+        if kw.get(pk) and not os.path.isabs(kw[pk]):
+            kw[pk] = os.path.join(config_dir, kw[pk])
     outputs = cfg.get("outputs", {})
 
     def outpath(key):

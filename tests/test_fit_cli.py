@@ -153,3 +153,28 @@ def test_cli_hmc_and_ptmcmc(tmp_path, synth_csv):
     assert summary["posterior"]["T_1"]["median"] == pytest.approx(12.0, rel=0.4)
     assert np.isfinite(summary["log_z"])
     assert len(summary["swap_rate"]) == 6
+
+
+def test_cli_checkpoint_resume(tmp_path, synth_csv):
+    """Checkpoint/resume rides through driver_kwargs; checkpoint paths
+    resolve relative to the config file; the resumed chain equals the
+    uninterrupted run exactly."""
+    base = {"data": synth_csv, "model": "ShockCooling2",
+            "priors": [["Uniform", 1, 50], ["Uniform", 0.1, 20],
+                       ["Uniform", 5, 100], ["Uniform", -0.5, 0.5]],
+            "p_lo": [5, 0.5, 20, -0.4], "p_up": [25, 5, 60, 0.4],
+            "driver": "mcmc",
+            "outputs": {"flatchain": "chain.npy", "summary": "summary.json"}}
+    kw = {"nwalkers": 16, "nsteps": 60, "nsteps_burnin": 40, "seed": 1,
+          "quiet": True, "shard": False}
+
+    _run(tmp_path, dict(base, driver_kwargs=kw))
+    ref = np.load(str(tmp_path / "chain.npy"))
+
+    # truncated run saving checkpoints (relative path), then resume
+    _run(tmp_path, dict(base, driver_kwargs=dict(
+        kw, nsteps=20, checkpoint_every=20, checkpoint_file="fit_ck.npz")))
+    assert os.path.exists(str(tmp_path / "fit_ck.npz"))
+    _run(tmp_path, dict(base, driver_kwargs=dict(kw, resume_from="fit_ck.npz")))
+    resumed = np.load(str(tmp_path / "chain.npy"))
+    np.testing.assert_array_equal(resumed, ref)
