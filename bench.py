@@ -129,17 +129,24 @@ def main():
     import jax.random as jr
     logpost, _ = _build_logposterior()
 
+    lo = np.array([20.0, 2.0, 20.0, 57468.5])
+    up = np.array([50.0, 5.0, 50.0, 57468.7])
+    offset = (lo + up) / 2.0
+    scale = (up - lo) / 2.0
+
     def measure(nwalkers, nsteps, repeats=2, replicas=1):
-        # f32 chain storage is the production configuration for long runs
-        # (lightcurve_mcmc(store_dtype=...)): halves the per-step chain write
-        # (the biggest HBM write after the likelihood) and the host transfer
+        # production configuration (lightcurve_mcmc state_dtype="auto" on
+        # accelerators): float32 walker state over the affine-rescaled init
+        # window (+25% at 131k walkers, identical acceptance — the absolute
+        # f32 state would quantize t_0 at ~6 min) + f32 chain storage
+        # (halves the per-step chain write and the host transfer)
         sampler = EnsembleSampler(nwalkers, 4, logpost, seed=0, replicas=replicas,
-                                  store_dtype=np.float32)
+                                  store_dtype=np.float32, dtype=jnp.float32,
+                                  param_offset=offset, param_scale=scale)
         rng = np.random.default_rng(0)
-        p0 = rng.uniform([20.0, 2.0, 20.0, 57468.5], [50.0, 5.0, 50.0, 57468.7],
-                         size=(sampler.total_walkers, 4))
+        p0 = rng.uniform(lo, up, size=(sampler.total_walkers, 4))
         shape = sampler._state_shape()
-        x = jnp.asarray(p0.reshape(shape))
+        x = jnp.asarray(((p0 - offset) / scale).reshape(shape), jnp.float32)
         logp = sampler.batched_logp(x.reshape(-1, 4)).reshape(shape[:-1])
         run = sampler._compiled_run(nsteps, 1)
 
@@ -172,6 +179,7 @@ def main():
     value_1k, elapsed_1k, _ = measure(1024, 300, replicas=32)
     value_1k_single, _, _ = measure(1024, 300)
     binning = _bench_host_binning()
+    bolometric = _bench_bolometric()
 
     baseline = 1e7  # north-star target (BASELINE.json)
     result = {
@@ -182,7 +190,8 @@ def main():
         "detail": {
             "workload": "ShockCooling2 x SN2016bkv early LC (149 pts, 9 bands), "
                         "jitted stretch-move ensemble, Chebyshev band tables, "
-                        "f32 hot path + f64 epochs, f32 chain store",
+                        "f32 hot path + f64 epochs, affine-rescaled f32 walker "
+                        "state, f32 chain store",
             "nwalkers": 131072,
             "nsteps": 300,
             "elapsed_s": elapsed,
@@ -192,6 +201,24 @@ def main():
             "evals_at_1024_walkers_replicas": 32,
             "evals_per_sec_at_1024_walkers_single_ensemble": float(value_1k_single),
             "host_binning": binning,
+            "bolometric_pipeline": bolometric,
+            # round-3 asymptote experiments (tools/perf_experiments_r3.py,
+            # measured on this chip; interleaved round-robin repeats at
+            # 131072 walkers x 300 steps, varied inputs + forced transfer):
+            # each untried lever from the round-2 verdict, win or null
+            "r3_experiments_131072walkers_evals_per_sec": {
+                "f64_absolute_state_baseline": 5.89e7,
+                "f32_rescaled_state": 7.40e7,     # ADOPTED: +25%, acceptance identical (0.4687)
+                "f32_absolute_state": 7.53e7,     # REJECTED: t_0 quantized, acceptance 0.492
+                "donate_argnums_carry": "null (48.4e6 vs 49.5e6 same-window baseline)",
+                "compiler_flag_sweep": "null: scoped_vmem_64m/licm_ratio_8/"
+                                       "latency_sched/nested_loop_fusion/"
+                                       "no_rwb_fusion/opt_barrier_removal all "
+                                       "within noise of baseline; "
+                                       "xla_tpu_enable_aggressive_loop_fusion "
+                                       "does not exist on this toolchain",
+                "scan_unroll2_with_donation": "null (5.18e7)",
+            },
             "device": str(jax.devices()[0]),
         },
     }

@@ -131,8 +131,32 @@ def _check_window_inside_priors(model, priors, p_lo, p_up):
                             f"(p_max = {support_up})")
 
 
+def _state_rescaling(state_dtype, p_lo, p_up):
+    """Resolve the walker-state dtype + affine rescaling for this run.
+
+    ``state_dtype="auto"``: on accelerators the walker state runs in float32
+    over the rescaled space ``q = (p - mid) / halfwidth`` of the init window
+    (O(1) values make f32 safe; the stretch move is affine-equivariant so
+    statistics are identical; measured +25% step throughput at 131k walkers,
+    tools/perf_experiments_r3.py). On CPU (where f64 is native speed) the
+    state stays absolute float64. Pass ``np.float32``/``np.float64`` to
+    force either mode.
+    """
+    if state_dtype == "auto":
+        use_f32 = jax.default_backend() != "cpu"
+    else:
+        use_f32 = np.dtype(state_dtype) == np.float32
+    if not use_f32:
+        return {}
+    offset = (np.asarray(p_lo, float) + np.asarray(p_up, float)) / 2.0
+    scale = (np.asarray(p_up, float) - np.asarray(p_lo, float)) / 2.0
+    scale = np.maximum(scale, 1e-12 * np.maximum(1.0, np.abs(offset)))
+    import jax.numpy as jnp
+    return {"dtype": jnp.float32, "param_offset": offset, "param_scale": scale}
+
+
 def _select_sampler(log_posterior, nwalkers, ndim, seed, replicas=1, mesh=None,
-                    shard=None, store_dtype=None):
+                    shard=None, store_dtype=None, state_kw=None):
     """Choose the sampler implementation for this run.
 
     * ``shard=None`` (auto): shard the walker axis over the device mesh when
@@ -142,11 +166,13 @@ def _select_sampler(log_posterior, nwalkers, ndim, seed, replicas=1, mesh=None,
       scan (single-device; amortizes the per-dispatch floor at small walker
       counts).
     """
+    state_kw = state_kw or {}
     if replicas > 1:
         if shard or mesh is not None:
             raise ValueError("replicas > 1 and walker sharding are mutually exclusive")
         return EnsembleSampler(nwalkers, ndim, log_posterior, seed=seed,
-                               replicas=replicas, store_dtype=store_dtype)
+                               replicas=replicas, store_dtype=store_dtype,
+                               **state_kw)
 
     n_dev = mesh.devices.size if mesh is not None else jax.device_count()
     divisible = (nwalkers // 2) % n_dev == 0
@@ -161,9 +187,9 @@ def _select_sampler(log_posterior, nwalkers, ndim, seed, replicas=1, mesh=None,
                              "adjust nwalkers")
         return ShardedEnsembleSampler(nwalkers, ndim, log_posterior,
                                       mesh=mesh or walker_mesh(), seed=seed,
-                                      store_dtype=store_dtype)
+                                      store_dtype=store_dtype, **state_kw)
     return EnsembleSampler(nwalkers, ndim, log_posterior, seed=seed,
-                           store_dtype=store_dtype)
+                           store_dtype=store_dtype, **state_kw)
 
 
 def _plot_chain_histories(ax_column, sampler, model, title):
@@ -199,7 +225,8 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
                     show=False, save_plot_as="", save_sampler_as="", use_sigma=False,
                     sigma_type="relative", seed=None, replicas=1, mesh=None, shard=None,
                     store_dtype=None, init="window", quiet=False,
-                    checkpoint_every=None, checkpoint_file=None, resume_from=None):
+                    checkpoint_every=None, checkpoint_file=None, resume_from=None,
+                    state_dtype="auto"):
     """Fit an analytical model to observed photometry with ensemble MCMC.
 
     Same signature and behavior as the reference (fitting.py:16-168) plus:
@@ -226,7 +253,13 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
       every N steps; ``resume_from=path.npz`` restores it and continues.
       Per-step RNG keys are folded from the global step index, so a killed
       run resumed from its checkpoint reproduces the uninterrupted chain
-      EXACTLY (requires the same seed/nwalkers/nsteps_burnin).
+      EXACTLY (requires the same seed/nwalkers/nsteps_burnin);
+    * ``state_dtype`` — ``"auto"`` (default) runs float32 walker state over
+      the affine-rescaled init window on accelerators (+25% measured step
+      throughput, identical statistics: the stretch move is
+      affine-equivariant and the likelihood still receives float64
+      parameters); CPU keeps absolute float64. Force with
+      ``np.float32``/``np.float64``.
 
     Returns an :class:`~lightcurve_fitting_tpu.parallel.sampler.EnsembleSampler`
     exposing the emcee attributes the reference workflow uses (``flatchain``,
@@ -251,7 +284,8 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
 
     log_posterior = make_log_posterior(model, lc, priors, use_sigma, sigma_type)
     sampler = _select_sampler(log_posterior, nwalkers, ndim, seed, replicas=replicas,
-                              mesh=mesh, shard=shard, store_dtype=store_dtype)
+                              mesh=mesh, shard=shard, store_dtype=store_dtype,
+                              state_kw=_state_rescaling(state_dtype, p_lo, p_up))
 
     if checkpoint_every is not None and not checkpoint_file:
         raise ValueError("checkpoint_every requires checkpoint_file")

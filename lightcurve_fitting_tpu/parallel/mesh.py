@@ -72,12 +72,15 @@ class ShardedEnsembleSampler(EnsembleSampler):
     half); chains/acceptance bookkeeping are gathered to host as usual."""
 
     def __init__(self, nwalkers, ndim, log_prob_fn, mesh=None, axis_name="walkers",
-                 a=2.0, seed=None, dtype=jnp.float64, store_dtype=None):
+                 a=2.0, seed=None, dtype=jnp.float64, store_dtype=None,
+                 param_offset=None, param_scale=None):
         self.mesh = mesh if mesh is not None else walker_mesh(axis_name=axis_name)
         self.axis_name = axis_name
         super().__init__(nwalkers, ndim, log_prob_fn, a=a, seed=seed, dtype=dtype,
-                         store_dtype=store_dtype)
-        self._step = make_sharded_stretch_step(log_prob_fn, nwalkers, ndim,
+                         store_dtype=store_dtype, param_offset=param_offset,
+                         param_scale=param_scale)
+        # self._log_prob_fn is the post-rescaling form the base class built
+        self._step = make_sharded_stretch_step(self._log_prob_fn, nwalkers, ndim,
                                                self.mesh, axis_name, a)
         self._run_jit = {}
         self._state_sharding = NamedSharding(self.mesh, P(None, axis_name, None))

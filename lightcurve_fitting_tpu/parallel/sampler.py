@@ -116,11 +116,11 @@ class EnsembleSampler:
     """
 
     def __init__(self, nwalkers, ndim, log_prob_fn, a=2.0, seed=None, dtype=jnp.float64,
-                 store_dtype=None, replicas=1):
+                 store_dtype=None, replicas=1, param_offset=None, param_scale=None):
         """``store_dtype`` (e.g. np.float32) downcasts the *stored* chain
         history — halves host-transfer and memory for long production runs
-        (walker state and proposals stay float64). The default ``None`` is
-        auto: runs whose projected history exceeds ~1 GB downcast to
+        (walker state and proposals stay in ``dtype``). The default ``None``
+        is auto: runs whose projected history exceeds ~1 GB downcast to
         float32 with a printed note; pass ``np.float64`` to always keep
         full-precision storage.
 
@@ -130,10 +130,32 @@ class EnsembleSampler:
         ensembles, so batching R replicas recovers the large-batch
         throughput at reference-default walker counts; chains are pooled in
         ``flatchain`` (independent ensembles sample the same posterior).
-        The effective walker count is ``nwalkers * replicas``."""
+        The effective walker count is ``nwalkers * replicas``.
+
+        ``param_offset``/``param_scale`` (ndim,): walkers internally hold the
+        affine-rescaled state ``q = (p - offset) / scale``; ``log_prob_fn``
+        still receives absolute parameters (reconstructed in float64) and
+        every public surface (initial_state, chains, returned positions)
+        stays absolute. The stretch move is affine-equivariant, so the
+        statistics are identical — the point is that O(1) scaled values make
+        ``dtype=float32`` walker state safe (an absolute f32 explosion epoch
+        MJD ~5.7e4 quantizes at ~6 min, swamping a 15 s posterior width;
+        measured on-chip: f32 state + offsets = +25% step throughput at 131k
+        walkers with acceptance identical to f64, tools/perf_experiments_r3.py)."""
         if nwalkers % 2:
             raise ValueError("nwalkers must be even")
         self._store_dtype = store_dtype
+        if (param_offset is None) != (param_scale is None):
+            raise ValueError("param_offset and param_scale must be given together")
+        self._offset = None if param_offset is None else np.asarray(param_offset, float)
+        self._scale = None if param_scale is None else np.asarray(param_scale, float)
+        if self._scale is not None:
+            if self._scale.shape != (int(ndim),) or not np.all(self._scale > 0):
+                raise ValueError("param_scale must be (ndim,) positive")
+            o = jnp.asarray(self._offset)
+            s = jnp.asarray(self._scale)
+            user_fn = log_prob_fn
+            log_prob_fn = lambda q: user_fn(o + s * q)  # noqa: E731
         if nwalkers < 2 * ndim + 2:
             # same spirit as emcee's guardrail; keep it a warning not an error
             import warnings
@@ -154,6 +176,7 @@ class EnsembleSampler:
         # checkpoint_every restarts, kill-and-resume)
         self._base_key = jr.PRNGKey(seed)
         self._draw_count = 0
+        self._log_prob_fn = log_prob_fn  # post-rescaling; subclasses rebuild kernels from this
         self._step, self.batched_logp = make_stretch_kernel(log_prob_fn, self._half, self.ndim, a)
         self._run_jit = {}
         self.reset()
@@ -231,6 +254,8 @@ class EnsembleSampler:
             pos = np.ascontiguousarray(np.asarray(initial_state, float))
             if pos.shape != (self.total_walkers, self.ndim):
                 raise ValueError(f"initial_state must have shape {(self.total_walkers, self.ndim)}")
+            if self._offset is not None:
+                pos = (pos - self._offset) / self._scale
             shape = self._state_shape()
             x = self._prepare_state(jnp.asarray(pos.reshape(shape), dtype=self._dtype))
             logp = self.batched_logp(x.reshape(-1, self.ndim)).reshape(shape[:-1])
@@ -275,7 +300,18 @@ class EnsembleSampler:
 
         self._pos_internal = x
         self._logp_internal = logp
-        pos = self._to_host(x).reshape(self.total_walkers, self.ndim)
+        pos = self._absolute(self._to_host(x).reshape(self.total_walkers, self.ndim))
+        if self._offset is not None and np.dtype(self._dtype) == np.float32:
+            # contraction safeguard: warn before the posterior width sinks
+            # into f32 quantization of the scaled space
+            spread = pos.std(axis=0) / self._scale
+            if np.any((spread > 0) & (spread < 32 * np.finfo(np.float32).eps)):
+                import warnings
+                warnings.warn(
+                    "walker spread has contracted below ~32 float32 ulps of "
+                    "the rescaled state in at least one dimension; pass "
+                    "dtype=jnp.float64 (or a narrower init window) to keep "
+                    "resolving the posterior")
         return pos, self._to_host(logp).reshape(self.total_walkers), None
 
     def _run_segment(self, x, logp, nsteps, thin_by):
@@ -330,6 +366,10 @@ class EnsembleSampler:
             "ndim": self.ndim,
             "a": self.a,
             "replicas": self.replicas,
+            # state is stored in the internal (rescaled) space; resume must
+            # use the identical affine map (empty array = no rescaling)
+            "param_offset": self._offset if self._offset is not None else np.array([]),
+            "param_scale": self._scale if self._scale is not None else np.array([]),
         }
         if include_chain:
             state["chain"] = self._chain
@@ -350,6 +390,16 @@ class EnsembleSampler:
         if "replicas" in data and int(data["replicas"]) != self.replicas:
             raise ValueError(f"checkpoint replicas mismatch: {int(data['replicas'])} "
                              f"vs {self.replicas}")
+        if "param_offset" in data:
+            ck_off = data["param_offset"] if data["param_offset"].size else None
+            ck_sc = data["param_scale"] if data["param_scale"].size else None
+            same = ((ck_off is None) == (self._offset is None)
+                    and (ck_off is None or (np.array_equal(ck_off, self._offset)
+                                            and np.array_equal(ck_sc, self._scale))))
+            if not same:
+                raise ValueError("checkpoint parameter rescaling (param_offset/"
+                                 "param_scale) does not match this sampler's; "
+                                 "resume with the original settings")
         self._pos_internal = jnp.asarray(data["pos"])
         self._logp_internal = jnp.asarray(data["logp"])
         self._base_key = jr.wrap_key_data(jnp.asarray(data["key"]))
@@ -365,8 +415,16 @@ class EnsembleSampler:
     sample = run_mcmc
 
     # ------------------------------------------------------------- accessors
+    def _absolute(self, c):
+        """Internal (possibly rescaled) state -> absolute parameter values.
+        The map runs in float64 so a float32 scaled store still resolves
+        absolute values to (scale * f32 ulp) precision."""
+        if self._offset is None:
+            return c
+        return np.asarray(c, np.float64) * self._scale + self._offset
+
     def get_chain(self, flat=False, thin=1, discard=0):
-        c = self._chain[discard::thin]
+        c = self._absolute(self._chain[discard::thin])
         if flat:
             return c.reshape(-1, self.ndim)
         return c
@@ -379,7 +437,7 @@ class EnsembleSampler:
     def chain(self):
         """(nwalkers, nsteps, ndim), emcee's legacy layout (used by the
         reference's chain-history plots, fitting.py:139)."""
-        return np.swapaxes(self._chain, 0, 1)
+        return np.swapaxes(self._absolute(self._chain), 0, 1)
 
     @property
     def flatchain(self):

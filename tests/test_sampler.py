@@ -277,3 +277,81 @@ def test_vectorized_autocorr_matches_per_walker_loop():
     # zero-variance columns contribute zeros instead of roundoff garbage
     chain[:, 3, 0] = 42.0
     assert np.all(np.isfinite(_integrated_autocorr(chain)))
+
+
+def test_param_rescaled_f32_state_matches_f64_statistics():
+    """param_offset/param_scale: walkers hold an affine-rescaled float32
+    state; every public surface stays absolute, the stretch move is
+    affine-equivariant, and a narrow posterior far from zero (the absolute-
+    f32 killer: MJD-scale epochs quantize at ~6 min) is still resolved."""
+    import jax.numpy as jnpp
+
+    mu = np.array([57468.6999, 5.0])
+    sig = np.array([2e-4, 0.05])
+    mu_j, sig_j = jnp.asarray(mu), jnp.asarray(sig)
+
+    def logp(p):
+        return -0.5 * jnp.sum(((p - mu_j) / sig_j) ** 2)
+
+    rng = np.random.default_rng(0)
+    p0 = mu + sig * rng.normal(size=(64, 2))
+    offset = np.array([57468.5, 4.0])
+    scale = np.array([0.5, 2.0])
+
+    s32 = EnsembleSampler(64, 2, logp, seed=3, dtype=jnpp.float32,
+                          param_offset=offset, param_scale=scale)
+    s32.run_mcmc(p0, 400)
+    s32.reset()
+    s32.run_mcmc(None, 1200)
+
+    s64 = EnsembleSampler(64, 2, logp, seed=4)
+    s64.run_mcmc(p0, 400)
+    s64.reset()
+    s64.run_mcmc(None, 1200)
+
+    a, b = s32.flatchain, s64.flatchain
+    assert a.shape == b.shape
+    # absolute values recovered: means within MC error, widths match f64
+    for d in range(2):
+        assert abs(a[:, d].mean() - mu[d]) < 5 * sig[d] / np.sqrt(200)
+        assert 0.9 < a[:, d].std() / b[:, d].std() < 1.1, (d, a[:, d].std(), b[:, d].std())
+    # the t_0-like dimension is resolved far below the absolute-f32 ulp (~0.004)
+    assert a[:, 0].std() < 3e-4
+    assert 0.2 < s32.acceptance_fraction.mean() < 0.9
+    assert abs(s32.acceptance_fraction.mean() - s64.acceptance_fraction.mean()) < 0.05
+
+
+def test_param_rescaled_checkpoint_roundtrip(tmp_path):
+    """Checkpoints store the rescaled state + the affine map; resume with a
+    different map is rejected; with the same map the chain continues
+    exactly."""
+    import jax.numpy as jnpp
+
+    def logp(p):
+        return -0.5 * jnp.sum((p - 3.0) ** 2)
+
+    offset, scale = np.array([3.0, 3.0]), np.array([2.0, 2.0])
+    kw = dict(dtype=jnpp.float32, param_offset=offset, param_scale=scale)
+    rng = np.random.default_rng(1)
+    p0 = 3.0 + rng.normal(size=(16, 2))
+
+    ref = EnsembleSampler(16, 2, logp, seed=5, **kw)
+    ref.run_mcmc(p0, 60)
+
+    s = EnsembleSampler(16, 2, logp, seed=5, **kw)
+    s.run_mcmc(p0, 25)
+    path = str(tmp_path / "ck.npz")
+    s.save_checkpoint(path)
+
+    s2 = EnsembleSampler(16, 2, logp, seed=5, **kw)
+    s2.load_checkpoint(path)
+    s2.run_mcmc(None, 35)
+    np.testing.assert_array_equal(s2.flatchain, ref.flatchain)
+
+    bad = EnsembleSampler(16, 2, logp, seed=5, dtype=jnpp.float32,
+                          param_offset=offset + 1.0, param_scale=scale)
+    with pytest.raises(ValueError, match="rescaling"):
+        bad.load_checkpoint(path)
+    plain = EnsembleSampler(16, 2, logp, seed=5)
+    with pytest.raises(ValueError, match="rescaling"):
+        plain.load_checkpoint(path)
