@@ -759,11 +759,18 @@ def _prior_log_norm(prior):
 
 
 def _tempered_setup(lc, model, priors, p_lo, p_up, nwalkers, use_sigma,
-                    sigma_type, seed):
+                    sigma_type, seed, state_dtype="auto"):
     """Shared setup for the tempered-ladder drivers (evidence and PT):
     derived fit columns, sigma parameter, prior properness validation, the
     (log prior, log likelihood) pair the kernel tracks separately, and the
-    walker starting cloud."""
+    walker starting cloud.
+
+    With ``state_dtype="auto"`` on accelerators, both functions are wrapped
+    in the affine rescaling of the init window and ``p0`` is transformed, so
+    the ladder's walker state runs in float32 (see ``_state_rescaling``).
+    The evidence is invariant: the constant Jacobian of the affine map
+    cancels in the stepping-stone ratio Z(1)/Z(0), and the log-likelihood
+    values are identical functions of the underlying parameters."""
     _derive_fit_columns(lc, model)
     _ensure_sigma_param(model, use_sigma)
     ndim = model.nparams
@@ -784,14 +791,25 @@ def _tempered_setup(lc, model, priors, p_lo, p_up, nwalkers, use_sigma,
     lo, up = _hmc_init_window(priors, p_lo, p_up, ndim)
     rng = np.random.default_rng(seed)
     p0 = rng.uniform(lo, up, size=(nwalkers, ndim))
-    return log_prior_fn, log_like_fn, p0
+
+    state_kw = _state_rescaling(state_dtype, lo, up)
+    if state_kw:
+        import jax.numpy as jnp
+        offset, scale = state_kw["param_offset"], state_kw["param_scale"]
+        o, s = jnp.asarray(offset), jnp.asarray(scale)
+        base_prior, base_like = log_prior_fn, log_like_fn
+        log_prior_fn = lambda q: base_prior(o + s * q)   # noqa: E731
+        log_like_fn = lambda q: base_like(o + s * q)     # noqa: E731
+        p0 = (p0 - offset) / scale
+    return log_prior_fn, log_like_fn, p0, state_kw
 
 
 def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
                         n_rungs=32, nsteps=500, nsteps_burnin=500,
                         use_sigma=False, sigma_type="relative", seed=None,
                         mesh=None, quiet=False, checkpoint_every=None,
-                        checkpoint_file=None, resume_from=None):
+                        checkpoint_file=None, resume_from=None,
+                        state_dtype="auto"):
     """log marginal likelihood (Bayesian evidence) of a model for this light
     curve, by stepping-stone sampling over a ladder of power posteriors —
     the whole ladder runs as one vmapped device kernel
@@ -816,13 +834,15 @@ def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
     """
     from .parallel.evidence import stepping_stone_evidence
 
-    log_prior_fn, log_like_fn, p0 = _tempered_setup(
-        lc, model, priors, p_lo, p_up, nwalkers, use_sigma, sigma_type, seed)
+    log_prior_fn, log_like_fn, p0, state_kw = _tempered_setup(
+        lc, model, priors, p_lo, p_up, nwalkers, use_sigma, sigma_type, seed,
+        state_dtype=state_dtype)
     log_z, log_z_err, info = stepping_stone_evidence(
         log_prior_fn, log_like_fn, p0, n_rungs=n_rungs, nsteps=nsteps,
         nsteps_burnin=nsteps_burnin, seed=seed if seed is not None else 0,
         mesh=mesh, checkpoint_every=checkpoint_every,
-        checkpoint_file=checkpoint_file, resume_from=resume_from)
+        checkpoint_file=checkpoint_file, resume_from=resume_from,
+        state_dtype=state_kw.get("dtype"))
     if not quiet:
         print(f"log evidence: {log_z:.2f} +/- {log_z_err:.2f} "
               f"({n_rungs} rungs x {nwalkers} walkers x {nsteps} steps; "
@@ -864,7 +884,7 @@ def lightcurve_ptmcmc(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
                       use_sigma=False, sigma_type="relative", seed=None,
                       mesh=None, save_sampler_as="", quiet=False,
                       checkpoint_every=None, checkpoint_file=None,
-                      resume_from=None):
+                      resume_from=None, state_dtype="auto"):
     """Parallel-tempering fit: robust to multimodal posteriors, and the
     evidence comes free.
 
@@ -884,14 +904,21 @@ def lightcurve_ptmcmc(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
     """
     from .parallel.evidence import stepping_stone_evidence
 
-    log_prior_fn, log_like_fn, p0 = _tempered_setup(
-        lc, model, priors, p_lo, p_up, nwalkers, use_sigma, sigma_type, seed)
+    log_prior_fn, log_like_fn, p0, state_kw = _tempered_setup(
+        lc, model, priors, p_lo, p_up, nwalkers, use_sigma, sigma_type, seed,
+        state_dtype=state_dtype)
     log_z, log_z_err, info = stepping_stone_evidence(
         log_prior_fn, log_like_fn, p0, n_rungs=n_rungs, nsteps=nsteps,
         nsteps_burnin=nsteps_burnin, seed=seed if seed is not None else 0,
         return_cold_chain=True, mesh=mesh, checkpoint_every=checkpoint_every,
-        checkpoint_file=checkpoint_file, resume_from=resume_from)
-    result = _PTFitResult(info.pop("cold_chain"), info.pop("cold_logl"),
+        checkpoint_file=checkpoint_file, resume_from=resume_from,
+        state_dtype=state_kw.get("dtype"))
+    cold = info.pop("cold_chain")
+    if state_kw:
+        # map the rescaled float32 cold chain back to absolute parameters
+        cold = (np.asarray(cold, np.float64) * state_kw["param_scale"]
+                + state_kw["param_offset"])
+    result = _PTFitResult(cold, info.pop("cold_logl"),
                           log_z, log_z_err, info)
     if save_sampler_as:
         np.save(save_sampler_as, result.flatchain)

@@ -126,7 +126,8 @@ def _make_tempered_step(log_prior_fn, log_like_fn, half, ndim, betas, a=2.0,
 def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
                          nsteps_burnin, a=2.0, seed=0, mesh=None,
                          axis_name="walkers", checkpoint_every=None,
-                         checkpoint_file=None, resume_from=None):
+                         checkpoint_file=None, resume_from=None,
+                         state_dtype=None):
     """Burn in and sample every rung of ``betas_all`` (typically including
     beta = 1) with replica-exchange swaps after each stretch step.
 
@@ -258,8 +259,12 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
             blocks["swap"].append(ck["prod_swap"])
             blocks["cold"].append(ck["prod_cold"])
     else:
+        # state_dtype=float32 runs the ladder's walker state (and proposal
+        # draws) in f32 — the caller wraps the fns in an affine rescaling so
+        # O(1) values make that safe (see fitting._tempered_setup)
         x0 = jnp.asarray(np.broadcast_to(p0.reshape(1, 2, half, ndim),
-                                         (K, 2, half, ndim)))
+                                         (K, 2, half, ndim)),
+                         dtype=state_dtype)
         carry = init_carry(x0)
         steps_done = 0
 
@@ -310,7 +315,8 @@ def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
                             nsteps=500, nsteps_burnin=500, alpha=0.3, a=2.0,
                             seed=0, return_cold_chain=False, mesh=None,
                             axis_name="walkers", checkpoint_every=None,
-                            checkpoint_file=None, resume_from=None):
+                            checkpoint_file=None, resume_from=None,
+                            state_dtype=None):
     """log Z and its uncertainty from one compiled tempered-ladder run.
 
     p0: (nwalkers, ndim) starting positions, drawn from (or near) the prior;
@@ -330,7 +336,7 @@ def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
         log_prior_fn, log_like_fn, p0, betas_all, nsteps, nsteps_burnin,
         a=a, seed=seed, mesh=mesh, axis_name=axis_name,
         checkpoint_every=checkpoint_every, checkpoint_file=checkpoint_file,
-        resume_from=resume_from)
+        resume_from=resume_from, state_dtype=state_dtype)
     nsteps_out = logl_samples.shape[0]
 
     def rung_terms(ll_block):

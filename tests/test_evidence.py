@@ -216,3 +216,47 @@ def test_ladder_survives_nonfinite_start_walker():
                                                nsteps_burnin=300, seed=4)
     assert np.isfinite(log_z)
     assert abs(log_z - true_log_z) < max(4 * err, 0.1)
+
+
+def test_f32_rescaled_ladder_state_preserves_evidence():
+    """state_dtype=np.float32 on the evidence/PT drivers runs the ladder's
+    walker state over the affine-rescaled init window in f32 (the TPU
+    production mode). The evidence is invariant — the affine Jacobian is a
+    constant that cancels in the stepping-stone ratio — and the PT cold
+    chain maps back to correct absolute parameters even for a narrow
+    posterior far from zero."""
+    import os
+    from lightcurve_fitting_tpu.lightcurve import LC
+    from lightcurve_fitting_tpu.filters import filtdict
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.fitting import lightcurve_evidence, lightcurve_ptmcmc
+
+    rng = np.random.default_rng(0)
+    filters = [filtdict[n] for n in ["g", "r", "i"]]
+    t0_true = 57000.0
+    t = np.repeat(t0_true + np.linspace(1.0, 8.0, 5), 3)
+    f = np.array(filters * 5)
+    y = ShockCooling2()(t, f, 12.0, 2.0, 35.0, t0_true)
+    dy = 0.05 * y
+    lc = LC([t, f, y + rng.normal(scale=dy), dy],
+            names=["MJD", "filter", "lum", "dlum"])
+    model = ShockCooling2(lc)
+    priors = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0),
+              UniformPrior(5.0, 100.0), UniformPrior(56999.5, 57000.5)]
+    kw = dict(p_lo=[5.0, 0.5, 20.0, 56999.7], p_up=[25.0, 5.0, 60.0, 57000.3],
+              nwalkers=32, n_rungs=8, nsteps=150, nsteps_burnin=150, seed=2,
+              quiet=True)
+
+    z64, e64, _ = lightcurve_evidence(lc, model, priors, state_dtype=np.float64, **kw)
+    z32, e32, _ = lightcurve_evidence(lc, ShockCooling2(lc), priors,
+                                      state_dtype=np.float32, **kw)
+    assert abs(z32 - z64) < 4.0 * np.hypot(e32, e64) + 0.5, (z32, z64, e32, e64)
+
+    pt = lightcurve_ptmcmc(lc, ShockCooling2(lc), priors,
+                           state_dtype=np.float32, **kw)
+    med = np.median(pt.flatchain, axis=0)
+    assert med[0] == pytest.approx(12.0, rel=0.3)
+    assert med[3] == pytest.approx(t0_true, abs=0.2)
+    # absolute values reconstructed in f64: t_0 resolution far below the
+    # absolute-f32 quantization (~0.004 d at MJD 5.7e4)
+    assert 1e-8 < pt.flatchain[:, 3].std() < 0.2
