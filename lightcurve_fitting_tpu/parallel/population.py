@@ -199,7 +199,8 @@ def _map_seeded_guesses(make_logpost, packed, priors, p_lo, p_up, S, nwalkers,
 def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
                    nsteps_burnin=500, use_sigma=False, sigma_type="relative",
                    seed=0, mesh=None, axis_name="transients", a=2.0,
-                   init="window", n_map_starts=16, n_map_iter=400):
+                   init="window", n_map_starts=16, n_map_iter=400,
+                   state_dtype="auto"):
     """Fit every light curve with its own ensemble, all in one device call.
 
     ``init="map"`` first runs a batched multi-start Adam ascent of every
@@ -209,6 +210,13 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
     thousands of steps (VALIDATION.md), and at population scale that
     pathology hits every transient whose posterior is tight; MAP seeding
     makes a ~100-step burn-in sufficient.
+
+    ``state_dtype="auto"``: on accelerators the walker state (and returned
+    chains) run float32 over the affine-rescaled [p_lo, p_up] window — the
+    shared-window analog of ``lightcurve_mcmc(state_dtype="auto")``
+    (statistics identical: the stretch move is affine-equivariant and the
+    likelihood receives float64 parameters; an MJD-scale t_0 would quantize
+    at minutes in absolute f32). Returned flatchains are absolute float64.
 
     Returns (flatchains (S, nsteps*nwalkers, ndim), acceptance (S,)).
     With ``mesh``, the transient axis is sharded across it (S must divide
@@ -223,6 +231,20 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
     rng = np.random.default_rng(seed)
     p_lo = np.asarray(p_lo, float)
     p_up = np.asarray(p_up, float)
+
+    # shared-window affine rescaling for float32 walker state on accelerators
+    # (see the docstring; MAP seeding below stays in absolute space)
+    if state_dtype == "auto":
+        use_f32_state = jax.default_backend() != "cpu"
+    else:
+        use_f32_state = np.dtype(state_dtype) == np.float32
+    if use_f32_state:
+        q_off = (p_lo + p_up) / 2.0
+        q_sc = np.maximum((p_up - p_lo) / 2.0,
+                          1e-12 * np.maximum(1.0, np.abs((p_lo + p_up) / 2.0)))
+        o_j, s_j = jnp.asarray(q_off), jnp.asarray(q_sc)
+    else:
+        q_off = q_sc = o_j = s_j = None
 
     from ..core import config
     dt = config.get_compute_dtype()
@@ -282,7 +304,11 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
         raise ValueError('init must be "window" or "map"')
 
     def run_one(t_s, y_s, dy_s, mask_s, yscale_s, quad_s, guess_s, key):
-        logpost = make_logpost(t_s, y_s, dy_s, mask_s, yscale_s, quad_s)
+        logpost_abs = make_logpost(t_s, y_s, dy_s, mask_s, yscale_s, quad_s)
+        if o_j is None:
+            logpost = logpost_abs
+        else:
+            logpost = lambda q: logpost_abs(o_j + s_j * q)  # noqa: E731
         step, batched_logp = make_stretch_kernel(logpost, half, ndim, a)
         x = guess_s.reshape(2, half, ndim)
         logp = batched_logp(guess_s).reshape(2, half)
@@ -297,14 +323,20 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
     keys = jr.split(jr.PRNGKey(seed), S)
     vmapped = jax.vmap(run_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
 
+    guesses = np.asarray(guesses, float)
+    if q_off is not None:
+        guesses = (guesses - q_off) / q_sc
+    guess_dev = jnp.asarray(guesses,
+                            dtype=jnp.float32 if use_f32_state else None)
     args = (packed["t"], packed["y"], packed["dy"], packed["mask"], packed["yscale"],
-            packed["quad"], jnp.asarray(guesses), keys)
+            packed["quad"], guess_dev, keys)
 
     # cache compiled executables across calls: the graph is determined by the
     # model class, prior structure, shapes, and run configuration
     cache_key = (model_sig, prior_sig,
                  packed["t"].shape, packed["quad"]["nodes"].shape if "nodes" in packed["quad"] else None,
                  nwalkers, nsteps, nsteps_burnin, use_sigma, sigma_type, a,
+                 None if q_off is None else (tuple(q_off), tuple(q_sc)),
                  None if mesh is None else (tuple(mesh.shape.items()), axis_name))
 
     if mesh is None:
@@ -329,4 +361,8 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
             fn = jax.jit(sharded)
             _COMPILED_CACHE[cache_key] = fn
         flat, acc = fn(*args)
-    return np.asarray(flat), np.asarray(acc)
+    flat = np.asarray(flat)
+    if q_off is not None:
+        # rescaled float32 chains -> absolute float64 parameters
+        flat = np.asarray(flat, np.float64) * q_sc + q_off
+    return flat, np.asarray(acc)

@@ -206,3 +206,27 @@ def test_compiled_cache_keys_distinguish_physics_and_kde_samples():
         KDEPrior(np.array([1.0, 2.0, 3.0]), 0.0, 10.0))
     u1, u2 = UniformPrior(0.0, 1.0), UniformPrior(0.0, 2.0)
     assert _prior_fingerprint(u1) != _prior_fingerprint(u2)
+
+
+def test_fit_population_f32_rescaled_state_matches_f64(population):
+    """state_dtype=np.float32 (the accelerator default) runs the population
+    walker state over the rescaled shared window; posteriors match the f64
+    run statistically and chains come back absolute."""
+    lcs, models, priors = population
+    lcs2, models2 = [], []
+    for lc in lcs:
+        lc2 = lc.copy()
+        lc2["MJD"] = np.asarray(lc2["MJD"], float) - lc2["MJD"].min() + 1.0
+        lcs2.append(lc2)
+        models2.append(type(models[0])(lc2))
+    kw = dict(p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
+              nwalkers=16, nsteps=150, nsteps_burnin=150, seed=3)
+    f64, acc64 = fit_population(models2, lcs2, priors[:3], state_dtype=np.float64, **kw)
+    f32, acc32 = fit_population(models2, lcs2, priors[:3], state_dtype=np.float32, **kw)
+    assert f32.dtype == np.float64  # absolute values, mapped back
+    assert np.all(acc32 > 0.1)
+    for s in range(len(lcs2)):
+        m64 = np.median(f64[s], axis=0)
+        m32 = np.median(f32[s], axis=0)
+        sig = f64[s].std(axis=0)
+        assert np.all(np.abs(m64 - m32) < 3.0 * sig + 0.05 * np.abs(m64)), (s, m64, m32)
