@@ -151,6 +151,12 @@ def _state_rescaling(state_dtype, p_lo, p_up):
     offset = (np.asarray(p_lo, float) + np.asarray(p_up, float)) / 2.0
     scale = (np.asarray(p_up, float) - np.asarray(p_lo, float)) / 2.0
     scale = np.maximum(scale, 1e-12 * np.maximum(1.0, np.abs(offset)))
+    # inflate the scale a hair so the window edges map strictly INSIDE
+    # |q| < 1: otherwise a draw within half an f32 ulp of the window edge
+    # (common when p_lo/p_up equal the prior support) rounds to exactly the
+    # bound, the open-interval prior returns -inf, and the initial-state
+    # check aborts the run probabilistically at large walker counts
+    scale = scale * (1.0 + 1e-6)
     import jax.numpy as jnp
     return {"dtype": jnp.float32, "param_offset": offset, "param_scale": scale}
 
@@ -253,7 +259,10 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
       every N steps; ``resume_from=path.npz`` restores it and continues.
       Per-step RNG keys are folded from the global step index, so a killed
       run resumed from its checkpoint reproduces the uninterrupted chain
-      EXACTLY (requires the same seed/nwalkers/nsteps_burnin);
+      EXACTLY (requires the same seed/nwalkers/nsteps_burnin). Each save
+      rewrites the accumulated chain history (atomically), so checkpoint I/O
+      grows with run length — for very long large-ensemble runs pick a
+      ``checkpoint_every`` that keeps nsteps/checkpoint_every modest;
     * ``state_dtype`` — ``"auto"`` (default) runs float32 walker state over
       the affine-rescaled init window on accelerators (+25% measured step
       throughput, identical statistics: the stretch move is

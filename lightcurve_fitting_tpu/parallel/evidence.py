@@ -250,6 +250,19 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
             raise ValueError(f"checkpoint nsteps_burnin {int(ck['nsteps_burnin'])} != "
                              f"{nsteps_burnin}: the burn-in/production boundary would "
                              "shift and the saved production outputs would be wrong")
+        run_sd = np.dtype(state_dtype) if state_dtype is not None else np.float64
+        if "state_dtype" in ck and str(ck["state_dtype"][()]) != str(run_sd):
+            # e.g. a TPU run (auto -> rescaled float32 coordinates) resumed on
+            # CPU (auto -> absolute float64): the saved walkers live in a
+            # DIFFERENT coordinate system than this run's fns expect
+            raise ValueError(f"checkpoint state_dtype {ck['state_dtype'][()]} != "
+                             f"{run_sd}: the saved walkers are in a different "
+                             "state representation; resume with the original "
+                             "state_dtype setting")
+        if not np.allclose(np.asarray(ck["betas"]), np.asarray(betas_all)):
+            raise ValueError("checkpoint beta ladder does not match this run's "
+                             "(different n_rungs/alpha?); resume with the "
+                             "original ladder settings")
         carry = (constrain(jnp.asarray(ck["x"])), jnp.asarray(ck["logpri"]),
                  jnp.asarray(ck["logl"]))
         steps_done = int(ck["steps_done"])
@@ -271,10 +284,13 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
     def save_checkpoint():
         prod_logl = (np.concatenate(blocks["logl"]) if blocks["logl"]
                      else np.empty((0, K, 2, half)))
-        np.savez(checkpoint_file,
+        from ..utils.checkpoint_io import atomic_savez
+        atomic_savez(checkpoint_file,
                  x=np.asarray(carry[0]), logpri=np.asarray(carry[1]),
                  logl=np.asarray(carry[2]), steps_done=steps_done, seed=seed,
                  betas=np.asarray(betas_all),
+                 state_dtype=str(np.dtype(state_dtype)
+                                 if state_dtype is not None else np.float64),
                  nsteps=nsteps, nsteps_burnin=nsteps_burnin,
                  prod_logl=prod_logl,
                  prod_acc=(np.concatenate(blocks["acc"]) if blocks["acc"]
@@ -300,8 +316,12 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
             blocks["swap"].append(np.asarray(sw))
             blocks["cold"].append(np.asarray(cold))
         steps_done += seg
-        if checkpoint_every is not None and (steps_done % checkpoint_every == 0
-                                             or steps_done == total):
+        if checkpoint_every is not None:
+            # save after EVERY segment: segment boundaries are clipped to the
+            # burn-in/production phase edge, so steps_done drifts off the
+            # checkpoint_every cadence whenever nsteps_burnin is not a
+            # multiple of it — a modulo condition would then silently stop
+            # saving for the rest of the run
             save_checkpoint()
 
     logl_samples = np.concatenate(blocks["logl"]).reshape(nsteps, K, nwalkers)

@@ -201,7 +201,8 @@ class HMCSampler:
         }
         for k, v in (extra or {}).items():
             state["extra_" + k] = v
-        np.savez(filename, **state)
+        from ..utils.checkpoint_io import atomic_savez
+        atomic_savez(filename, **state)
 
     def load_checkpoint(self, filename):
         """Restore :meth:`save_checkpoint` state; returns the extras dict."""

@@ -33,23 +33,34 @@ def _array_digest(a):
     return (a.shape, str(a.dtype), hashlib.sha1(a.tobytes()).hexdigest()[:16])
 
 
+# per-instance memoization caches that never alter compiled physics
+_FINGERPRINT_SKIP = {"_bank_cache"}
+
+
 def _model_fingerprint(model):
     """Hashable digest of the instance constants a jitted closure over
     ``model._eval_points`` bakes in (ShockCooling n/A/a/alpha/epsilon_*,
     cutoff_freq, z, ...). The compiled-kernel caches MUST key on this, not
     just the class name: two same-shape fits with n=1.5 vs n=3.0 compile
-    different physics."""
+    different physics. Underscore attributes are included too (skipping only
+    known memo caches), and dict attributes digest their scalar/array values
+    — constants are fingerprinted wherever the instance stores them."""
+    def _digest(v):
+        if isinstance(v, (int, float, bool, str, type(None))):
+            return v
+        if isinstance(v, (np.ndarray, jax.Array)):
+            return _array_digest(v)
+        if isinstance(v, dict):
+            return tuple(sorted((str(kk), _digest(vv)) for kk, vv in v.items()))
+        if isinstance(v, (list, tuple)):
+            return tuple(_digest(vv) for vv in v)
+        return type(v).__name__  # callables/objects: identity-free marker
+
     items = []
     for k in sorted(vars(model)):
-        if k.startswith("_"):
+        if k in _FINGERPRINT_SKIP:
             continue
-        v = vars(model)[k]
-        if isinstance(v, (int, float, bool, str, type(None))):
-            items.append((k, v))
-        elif isinstance(v, (np.ndarray, jax.Array)):
-            items.append((k, _array_digest(v)))
-        elif isinstance(v, dict):
-            items.append((k, tuple(sorted(str(kk) for kk in v))))
+        items.append((k, _digest(vars(model)[k])))
     return (type(model).__name__, tuple(items))
 
 
@@ -233,15 +244,13 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
     p_up = np.asarray(p_up, float)
 
     # shared-window affine rescaling for float32 walker state on accelerators
-    # (see the docstring; MAP seeding below stays in absolute space)
-    if state_dtype == "auto":
-        use_f32_state = jax.default_backend() != "cpu"
-    else:
-        use_f32_state = np.dtype(state_dtype) == np.float32
+    # (one policy, owned by fitting._state_rescaling; MAP seeding below stays
+    # in absolute space)
+    from ..fitting import _state_rescaling
+    _state_kw = _state_rescaling(state_dtype, p_lo, p_up)
+    use_f32_state = bool(_state_kw)
     if use_f32_state:
-        q_off = (p_lo + p_up) / 2.0
-        q_sc = np.maximum((p_up - p_lo) / 2.0,
-                          1e-12 * np.maximum(1.0, np.abs((p_lo + p_up) / 2.0)))
+        q_off, q_sc = _state_kw["param_offset"], _state_kw["param_scale"]
         o_j, s_j = jnp.asarray(q_off), jnp.asarray(q_sc)
     else:
         q_off = q_sc = o_j = s_j = None

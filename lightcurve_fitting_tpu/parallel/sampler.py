@@ -376,7 +376,8 @@ class EnsembleSampler:
             state["logp_chain"] = self._logp
         for k, v in (extra or {}).items():
             state["extra_" + k] = v
-        np.savez(filename, **state)
+        from ..utils.checkpoint_io import atomic_savez
+        atomic_savez(filename, **state)
 
     def load_checkpoint(self, filename):
         """Restore state saved by :meth:`save_checkpoint` into this sampler
@@ -400,7 +401,10 @@ class EnsembleSampler:
                 raise ValueError("checkpoint parameter rescaling (param_offset/"
                                  "param_scale) does not match this sampler's; "
                                  "resume with the original settings")
-        self._pos_internal = jnp.asarray(data["pos"])
+        # re-place the state through the subclass hook: a sharded sampler must
+        # distribute the restored walkers onto its (possibly multi-process)
+        # mesh, not leave them committed to one local device
+        self._pos_internal = self._prepare_state(jnp.asarray(data["pos"]))
         self._logp_internal = jnp.asarray(data["logp"])
         self._base_key = jr.wrap_key_data(jnp.asarray(data["key"]))
         self._draw_count = int(data["draw_count"])
@@ -409,6 +413,12 @@ class EnsembleSampler:
         if "chain" in data:
             self._chain = data["chain"]
             self._logp = data["logp_chain"]
+            if self._store_dtype is None and self._chain.dtype == np.float32:
+                # the original run auto-downcast its history; keep emitting
+                # f32 so the resumed chain stays identical (and bounded)
+                # instead of silently promoting back to float64
+                self._store_dtype = np.float32
+                self._run_jit = {}
         return {k[len("extra_"):]: data[k][()] for k in data.files
                 if k.startswith("extra_")}
 

@@ -161,3 +161,131 @@ def test_hmc_kill_and_resume_exact(lc_early, tmp_path):
     with pytest.raises(ValueError, match="nuts run"):
         lightcurve_hmc(lc_early, ShockCooling2(lc_early), gp, resume_from=ck,
                        sampler="hmc", **{k: v for k, v in kw.items()})
+
+
+def test_checkpoint_file_without_npz_extension(lc_early, tmp_path):
+    """np.savez silently appends '.npz' to bare paths, which would break
+    resume_from with the exact configured name; the atomic writer uses the
+    name verbatim (review finding, round 3)."""
+    ck = str(tmp_path / "run.ckpt")
+    lightcurve_mcmc(lc_early, ShockCooling2(lc_early), checkpoint_every=20,
+                    checkpoint_file=ck, **dict(FIT_KW, nsteps=20))
+    assert os.path.exists(ck)
+    assert not os.path.exists(ck + ".npz")
+    ref = lightcurve_mcmc(lc_early, ShockCooling2(lc_early), **FIT_KW)
+    resumed = lightcurve_mcmc(lc_early, ShockCooling2(lc_early),
+                              resume_from=ck, **FIT_KW)
+    np.testing.assert_array_equal(resumed.flatchain, ref.flatchain)
+
+
+def test_ladder_checkpoints_off_cadence_burnin(lc_early, tmp_path):
+    """checkpoint_every saves after EVERY segment even when nsteps_burnin is
+    not a multiple of it (the round-3 review caught a modulo condition that
+    silently stopped saving once segment boundaries drifted off-cadence)."""
+    ck = str(tmp_path / "ladder.npz")
+    kw = dict(EV_KW, nsteps_burnin=20)  # 20 % 15 != 0
+    ref_z, _, ref_info = lightcurve_evidence(lc_early, ShockCooling2(lc_early),
+                                             PRIORS, **kw)
+    # truncated run: segments end at 15 (burn), 20 (burn end), 35, 40 —
+    # every boundary must save; mtime advances past the 15-step save
+    import time
+    lightcurve_evidence(lc_early, ShockCooling2(lc_early), PRIORS,
+                        checkpoint_every=15, checkpoint_file=ck,
+                        **dict(kw, nsteps=20))
+    data = np.load(ck)
+    assert int(data["steps_done"]) == 40  # saved at the LAST segment, not 15
+    z, _, info = lightcurve_evidence(lc_early, ShockCooling2(lc_early), PRIORS,
+                                     resume_from=ck, **kw)
+    assert z == ref_z
+    # a mismatched ladder is rejected (different n_rungs changes the shape;
+    # an equal-length ladder with different betas trips the betas check)
+    with pytest.raises(ValueError, match="ladder"):
+        lightcurve_evidence(lc_early, ShockCooling2(lc_early), PRIORS,
+                            resume_from=ck, **dict(kw, n_rungs=5))
+    data2 = dict(np.load(ck))
+    data2["betas"] = np.asarray(data2["betas"]) * 0.99
+    from lightcurve_fitting_tpu.utils.checkpoint_io import atomic_savez
+    atomic_savez(ck, **data2)
+    with pytest.raises(ValueError, match="beta ladder"):
+        lightcurve_evidence(lc_early, ShockCooling2(lc_early), PRIORS,
+                            resume_from=ck, **kw)
+
+
+def test_auto_store_dtype_sticks_across_resume(tmp_path, monkeypatch):
+    """A resumed run adopts the checkpoint's auto-downcast f32 chain storage
+    instead of silently emitting f64 blocks (which would both break the
+    memory bound and promote the concatenated history)."""
+    import jax.numpy as jnp
+    from lightcurve_fitting_tpu.parallel import sampler as sampler_mod
+
+    def logp(p):
+        return -0.5 * jnp.sum(p ** 2)
+
+    monkeypatch.setattr(sampler_mod, "_AUTO_STORE_BYTES", 10_000)
+    rng = np.random.default_rng(0)
+    p0 = rng.normal(size=(16, 2))
+
+    ref = sampler_mod.EnsembleSampler(16, 2, logp, seed=2)
+    ref.run_mcmc(p0, 80)
+
+    s = sampler_mod.EnsembleSampler(16, 2, logp, seed=2)
+    s.run_mcmc(p0, 30)
+    assert s._chain.dtype == np.float32
+    path = str(tmp_path / "auto.npz")
+    s.save_checkpoint(path)
+
+    monkeypatch.setattr(sampler_mod, "_AUTO_STORE_BYTES", 1e18)  # resume under the bound
+    s2 = sampler_mod.EnsembleSampler(16, 2, logp, seed=2)
+    s2.load_checkpoint(path)
+    s2.run_mcmc(None, 50)
+    assert s2._chain.dtype == np.float32
+    np.testing.assert_array_equal(s2.flatchain, ref.flatchain)
+
+
+def test_state_rescaling_window_edges_stay_inside():
+    """The rescaling inflates the scale so f32-rounded window-edge draws
+    reconstruct strictly inside (p_lo, p_up) — open-interval priors at the
+    window bounds must not see -inf starts."""
+    from lightcurve_fitting_tpu.fitting import _state_rescaling
+
+    p_lo = np.array([0.0, 57468.5])
+    p_up = np.array([100.0, 57468.7])
+    kw = _state_rescaling(np.float32, p_lo, p_up)
+    o, s = kw["param_offset"], kw["param_scale"]
+    for edge in (p_lo, p_up):
+        q32 = np.float32((edge - o) / s)      # what the f32 state would hold
+        back = o + s * np.asarray(q32, np.float64)
+        assert np.all(back > p_lo - 1e-30)
+        assert np.all(back < p_up + 1e-30)
+        assert np.all((back > p_lo) | (edge == p_lo))
+        assert np.all((back < p_up) | (edge == p_up))
+        # strictly inside even for the exact-edge draw
+        assert np.all(back[edge == p_up] < p_up[edge == p_up])
+        assert np.all(back[edge == p_lo] > p_lo[edge == p_lo])
+
+
+def test_sharded_sampler_checkpoint_roundtrip(tmp_path):
+    """ShardedEnsembleSampler resume re-places the restored walkers through
+    _prepare_state (device_put onto the mesh) and continues exactly."""
+    import jax.numpy as jnp
+    from lightcurve_fitting_tpu.parallel.mesh import (ShardedEnsembleSampler,
+                                                      walker_mesh)
+
+    def logp(p):
+        return -0.5 * jnp.sum(p ** 2)
+
+    rng = np.random.default_rng(1)
+    p0 = rng.normal(size=(32, 3))
+    mesh = walker_mesh(8)
+
+    ref = ShardedEnsembleSampler(32, 3, logp, mesh=mesh, seed=6)
+    ref.run_mcmc(p0, 60)
+
+    s = ShardedEnsembleSampler(32, 3, logp, mesh=mesh, seed=6)
+    s.run_mcmc(p0, 25)
+    path = str(tmp_path / "sh.npz")
+    s.save_checkpoint(path)
+    s2 = ShardedEnsembleSampler(32, 3, logp, mesh=mesh, seed=6)
+    s2.load_checkpoint(path)
+    s2.run_mcmc(None, 35)
+    np.testing.assert_array_equal(s2.flatchain, ref.flatchain)
