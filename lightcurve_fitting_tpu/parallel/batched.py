@@ -113,9 +113,17 @@ def pack_epochs(epochs, bank, z=0.0):
 
 def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_steps,
                            steps, cutoff_freq=np.inf, use_sigma=False,
-                           sigma_type="relative", a=2.0, seed=0):
+                           sigma_type="relative", a=2.0, seed=0,
+                           state_dtype="auto"):
     """Run E independent stretch-move ensembles, one per epoch, in a single
     jitted call.
+
+    ``state_dtype="auto"``: float32 walker state on accelerators — the
+    blackbody parameters (T in kK, R in 1000 R_sun, sigma in dy units) are
+    O(1)-O(1e3), so f32's 6e-8 relative resolution needs no affine
+    rescaling (unlike MJD-scale epochs; see
+    ``EnsembleSampler(param_offset=...)``); the likelihood casts to the
+    configured compute dtype internally either way.
 
     Parameters
     ----------
@@ -124,12 +132,16 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
 
     Returns
     -------
-    flatchains : (E, steps*nwalkers, ndim) production samples
+    flatchains : (E, steps*nwalkers, ndim) production samples (float64)
     acceptance : (E,) mean acceptance fraction
     """
     ndim = len(priors)
     half = nwalkers // 2
     E = packed["y"].shape[0]
+    if state_dtype == "auto":
+        use_f32_state = jax.default_backend() != "cpu"
+    else:
+        use_f32_state = np.dtype(state_dtype) == np.float32
 
     from ..core import config
     dt = config.get_compute_dtype()
@@ -148,15 +160,17 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
 
     keys = jr.split(jr.PRNGKey(seed), E)
     ck = _cache_key("mcmc", packed, priors, cutoff_freq, use_sigma, sigma_type,
-                    nwalkers, burnin_steps, steps, a, dt)
+                    nwalkers, burnin_steps, steps, a, dt, use_f32_state)
     run_all = _COMPILED_CACHE.get(ck)
     if run_all is None:
         run_all = jax.jit(jax.vmap(run_one))
         _COMPILED_CACHE[ck] = run_all
     flat, acc = run_all(packed["y"], packed["dy"], packed["mask"], packed["nodes"],
                         packed["weights"], packed["yscale"],
-                        jnp.asarray(starting_guesses), keys)
-    return np.asarray(flat), np.asarray(acc)
+                        jnp.asarray(starting_guesses,
+                                    dtype=jnp.float32 if use_f32_state else None),
+                        keys)
+    return np.asarray(flat, np.float64), np.asarray(acc)
 
 
 def batched_map_centers(packed, priors, cutoff_freq=np.inf, use_sigma=False,

@@ -288,3 +288,44 @@ def test_missing_masks_numpy_masked_values():
     assert not _missing(False)
     assert _missing("")
     assert not _missing("src")
+
+
+def test_batched_mcmc_f32_state_matches_f64():
+    """batched_blackbody_mcmc(state_dtype=np.float32) — the accelerator
+    default — reproduces the f64-state posteriors (epoch parameters are
+    O(1)-O(1e3), so f32 needs no rescaling here)."""
+    from lightcurve_fitting_tpu.ops.filterbank import FilterBank
+    from lightcurve_fitting_tpu.models import UniformPrior, LogUniformPrior
+    from lightcurve_fitting_tpu.models.blackbody import planck_lnu
+    from lightcurve_fitting_tpu.parallel.batched import (pack_epochs,
+                                                         batched_blackbody_mcmc)
+    from lightcurve_fitting_tpu.utils.table import Table
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(0)
+    filters = [filtdict[n] for n in ["U", "B", "g", "V", "r", "i"]]
+    bank = FilterBank(filters)
+    epochs, truths = [], []
+    for e in range(4):
+        T, R = rng.uniform(5.0, 18.0), rng.uniform(1.0, 20.0)
+        truths.append((T, R))
+        lnu = np.asarray(planck_lnu(jnp.asarray(bank.emitted_nodes(0.0)), T, R))
+        y = (bank.weights * lnu).sum(-1)
+        dy = 0.05 * np.abs(y)
+        epochs.append(Table([filters, y + rng.normal(scale=dy), dy],
+                            names=["filter", "lum", "dlum"]))
+    packed = pack_epochs(epochs, bank, 0.0)
+    priors = [UniformPrior(1.0, 100.0), LogUniformPrior(0.01, 1000.0)]
+    guesses = np.stack([np.column_stack([rng.uniform(5, 20, 16), rng.uniform(1, 20, 16)])
+                        for _ in range(4)])
+    f64, a64 = batched_blackbody_mcmc(packed, priors, guesses, 16, 150, 150,
+                                      state_dtype=np.float64, seed=1)
+    f32, a32 = batched_blackbody_mcmc(packed, priors, guesses, 16, 150, 150,
+                                      state_dtype=np.float32, seed=1)
+    assert f32.dtype == np.float64
+    for e, (T, R) in enumerate(truths):
+        m64 = np.median(f64[e], axis=0)
+        m32 = np.median(f32[e], axis=0)
+        sig = f64[e].std(axis=0)
+        assert np.all(np.abs(m64 - m32) < 3 * sig + 0.05 * np.abs(m64)), (e, m64, m32)
+        assert abs(m32[0] - T) < 0.15 * T + 3 * sig[0], (e, m32, T)

@@ -289,3 +289,26 @@ def test_sharded_sampler_checkpoint_roundtrip(tmp_path):
     s2.load_checkpoint(path)
     s2.run_mcmc(None, 35)
     np.testing.assert_array_equal(s2.flatchain, ref.flatchain)
+
+
+def test_hmc_mesh_plus_resume(lc_early, tmp_path):
+    """lightcurve_hmc(mesh=) and checkpoint/resume compose: the resumed
+    sharded run continues the original exactly."""
+    from lightcurve_fitting_tpu.fitting import lightcurve_hmc
+    from lightcurve_fitting_tpu.models import GaussianPrior
+    from lightcurve_fitting_tpu.parallel.mesh import walker_mesh
+
+    gp = [GaussianPrior(0.0, 100.0, 30.0, 15.0),
+          GaussianPrior(0.0, 100.0, 4.0, 3.0),
+          GaussianPrior(0.0, 100.0, 30.0, 15.0),
+          GaussianPrior(57468.0, 57468.7, 57468.5, 0.2)]
+    mesh = walker_mesh(axis_name="chains")
+    kw = dict(nchains=8, nsamples=16, n_warmup=40, max_depth=5,
+              warmup_walkers=32, warmup_steps=50, seed=4, quiet=True, mesh=mesh)
+    ref = lightcurve_hmc(lc_early, ShockCooling2(lc_early), gp, **kw)
+    ck = str(tmp_path / "hmcm.npz")
+    lightcurve_hmc(lc_early, ShockCooling2(lc_early), gp, checkpoint_every=8,
+                   checkpoint_file=ck, **dict(kw, nsamples=8))
+    resumed = lightcurve_hmc(lc_early, ShockCooling2(lc_early), gp,
+                             resume_from=ck, **kw)
+    np.testing.assert_array_equal(resumed.flatchain, ref.flatchain)
