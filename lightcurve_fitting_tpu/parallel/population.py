@@ -211,7 +211,8 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
                    nsteps_burnin=500, use_sigma=False, sigma_type="relative",
                    seed=0, mesh=None, axis_name="transients", a=2.0,
                    init="window", n_map_starts=16, n_map_iter=400,
-                   state_dtype="auto"):
+                   state_dtype="auto", checkpoint_every=None,
+                   checkpoint_file=None, resume_from=None):
     """Fit every light curve with its own ensemble, all in one device call.
 
     ``init="map"`` first runs a batched multi-start Adam ascent of every
@@ -228,6 +229,12 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
     (statistics identical: the stretch move is affine-equivariant and the
     likelihood receives float64 parameters; an MJD-scale t_0 would quantize
     at minutes in absolute f32). Returned flatchains are absolute float64.
+
+    ``checkpoint_every=N`` with ``checkpoint_file``: the whole population's
+    walker state + partial production chains save every N steps (atomic);
+    ``resume_from`` restores and continues — per-step RNG keys fold the
+    global step index from each transient's base key, so the resumed chains
+    equal the uninterrupted run's exactly.
 
     Returns (flatchains (S, nsteps*nwalkers, ndim), acceptance (S,)).
     With ``mesh``, the transient axis is sharded across it (S must divide
@@ -312,66 +319,146 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
     else:
         raise ValueError('init must be "window" or "map"')
 
-    def run_one(t_s, y_s, dy_s, mask_s, yscale_s, quad_s, guess_s, key):
-        logpost_abs = make_logpost(t_s, y_s, dy_s, mask_s, yscale_s, quad_s)
+    def _wrap(logpost_abs):
         if o_j is None:
-            logpost = logpost_abs
-        else:
-            logpost = lambda q: logpost_abs(o_j + s_j * q)  # noqa: E731
-        step, batched_logp = make_stretch_kernel(logpost, half, ndim, a)
+            return logpost_abs
+        return lambda q: logpost_abs(o_j + s_j * q)
+
+    def init_one(t_s, y_s, dy_s, mask_s, yscale_s, quad_s, guess_s):
+        logpost = _wrap(make_logpost(t_s, y_s, dy_s, mask_s, yscale_s, quad_s))
         x = guess_s.reshape(2, half, ndim)
-        logp = batched_logp(guess_s).reshape(2, half)
-        keys = jr.split(key, nsteps_burnin + nsteps)
-        (x, logp), (xs, lps, acc) = jax.lax.scan(step, (x, logp), keys)
-        prod = xs[nsteps_burnin:]
-        # return float32 chains: posterior summaries are unaffected and the
-        # host transfer halves (it dominates wall time on remote devices)
-        return (prod.reshape(nsteps * nwalkers, ndim).astype(jnp.float32),
-                acc[nsteps_burnin:].mean())
+        logp = jax.vmap(logpost)(guess_s).reshape(2, half)
+        return x, logp
 
-    keys = jr.split(jr.PRNGKey(seed), S)
-    vmapped = jax.vmap(run_one, in_axes=(0, 0, 0, 0, 0, 0, 0, 0))
+    def make_seg(collect):
+        """One scan segment per transient; per-step keys fold the GLOBAL step
+        index from the transient's base key, so chains are identical however
+        the run is segmented (exact checkpoint/resume, like the plain
+        ensemble and the tempered ladder)."""
+        def seg_one(t_s, y_s, dy_s, mask_s, yscale_s, quad_s, x_s, logp_s,
+                    key_s, idx):
+            logpost = _wrap(make_logpost(t_s, y_s, dy_s, mask_s, yscale_s, quad_s))
+            step, _ = make_stretch_kernel(logpost, half, ndim, a)
+            keys = jax.vmap(lambda i: jr.fold_in(key_s, i))(idx)
+            (x, logp), (xs, lps, acc) = jax.lax.scan(step, (x_s, logp_s), keys)
+            if collect:
+                # float32 chains: posterior summaries are unaffected and the
+                # host transfer halves (it dominates on remote devices)
+                return x, logp, xs.astype(jnp.float32), acc
+            return x, logp
+        return seg_one
 
-    guesses = np.asarray(guesses, float)
-    if q_off is not None:
-        guesses = (guesses - q_off) / q_sc
-    guess_dev = jnp.asarray(guesses,
-                            dtype=jnp.float32 if use_f32_state else None)
-    args = (packed["t"], packed["y"], packed["dy"], packed["mask"], packed["yscale"],
-            packed["quad"], guess_dev, keys)
+    data_args = (packed["t"], packed["y"], packed["dy"], packed["mask"],
+                 packed["yscale"], packed["quad"])
+    base_cache = (model_sig, prior_sig,
+                  packed["t"].shape,
+                  packed["quad"]["nodes"].shape if "nodes" in packed["quad"] else None,
+                  nwalkers, use_sigma, sigma_type, a,
+                  None if q_off is None else (tuple(q_off), tuple(q_sc)),
+                  None if mesh is None else (tuple(mesh.shape.items()), axis_name))
 
-    # cache compiled executables across calls: the graph is determined by the
-    # model class, prior structure, shapes, and run configuration
-    cache_key = (model_sig, prior_sig,
-                 packed["t"].shape, packed["quad"]["nodes"].shape if "nodes" in packed["quad"] else None,
-                 nwalkers, nsteps, nsteps_burnin, use_sigma, sigma_type, a,
-                 None if q_off is None else (tuple(q_off), tuple(q_sc)),
-                 None if mesh is None else (tuple(mesh.shape.items()), axis_name))
-
-    if mesh is None:
-        fn = _COMPILED_CACHE.get(cache_key)
-        if fn is None:
-            fn = jax.jit(vmapped)
-            _COMPILED_CACHE[cache_key] = fn
-        flat, acc = fn(*args)
-    else:
+    if mesh is not None:
         n_dev = mesh.shape[axis_name]
         if S % n_dev:
             raise ValueError(f"number of transients {S} must divide mesh size {n_dev}; "
                              "pad the input list")
-        spec = P(axis_name)
-        fn = _COMPILED_CACHE.get(cache_key)
-        if fn is None:
-            sharded = shard_map(vmapped, mesh=mesh,
-                                in_specs=(spec,) * 5 + (jax.tree.map(lambda _: spec, packed["quad"]),
-                                                        spec, spec),
-                                out_specs=(spec, spec),
-                                check_vma=False)
-            fn = jax.jit(sharded)
-            _COMPILED_CACHE[cache_key] = fn
-        flat, acc = fn(*args)
-    flat = np.asarray(flat)
+    spec = P(axis_name) if mesh is not None else None
+    quad_spec = (jax.tree.map(lambda _: spec, packed["quad"])
+                 if mesh is not None else None)
+
+    def compiled(tag, fn, in_axes, in_specs, out_specs):
+        key = base_cache + (tag,)
+        f = _COMPILED_CACHE.get(key)
+        if f is None:
+            v = jax.vmap(fn, in_axes=in_axes)
+            if mesh is not None:
+                v = shard_map(v, mesh=mesh, in_specs=in_specs,
+                              out_specs=out_specs, check_vma=False)
+            f = jax.jit(v)
+            _COMPILED_CACHE[key] = f
+        return f
+
+    data_axes = (0, 0, 0, 0, 0, 0)
+    data_specs = (spec,) * 5 + (quad_spec,)
+
+    init_fn = compiled("init", init_one, data_axes + (0,),
+                       data_specs + (spec,), (spec, spec))
+    seg_burn = compiled("seg_burn", make_seg(False), data_axes + (0, 0, 0, None),
+                        data_specs + (spec, spec, spec, P()),
+                        (spec, spec))
+    seg_prod = compiled("seg_prod", make_seg(True), data_axes + (0, 0, 0, None),
+                        data_specs + (spec, spec, spec, P()),
+                        (spec, spec, spec, spec))
+
+    tkeys = jr.split(jr.PRNGKey(seed), S)
+    total = nsteps_burnin + nsteps
+    blocks = {"xs": [], "acc": []}
+    if checkpoint_every is not None and not checkpoint_file:
+        raise ValueError("checkpoint_every requires checkpoint_file")
+
+    state_repr = str(np.dtype(np.float32 if use_f32_state else np.float64))
+    if resume_from is not None:
+        ck = np.load(resume_from)
+        if ck["x"].shape != (S, 2, half, ndim):
+            raise ValueError(f"checkpoint shape {ck['x'].shape} does not match "
+                             f"this run {(S, 2, half, ndim)}")
+        if int(ck["seed"]) != int(seed):
+            raise ValueError(f"checkpoint seed {int(ck['seed'])} != {seed}")
+        if int(ck["nsteps_burnin"]) != int(nsteps_burnin):
+            raise ValueError(f"checkpoint nsteps_burnin {int(ck['nsteps_burnin'])} "
+                             f"!= {nsteps_burnin}")
+        if str(ck["state_repr"][()]) != state_repr:
+            raise ValueError(f"checkpoint state representation "
+                             f"{ck['state_repr'][()]} != {state_repr}: resume "
+                             "with the original state_dtype/backend")
+        x, logp = jnp.asarray(ck["x"]), jnp.asarray(ck["logp"])
+        steps_done = int(ck["steps_done"])
+        if ck["prod_xs"].size:
+            blocks["xs"].append(ck["prod_xs"])
+            blocks["acc"].append(ck["prod_acc"])
+    else:
+        guesses = np.asarray(guesses, float)
+        if q_off is not None:
+            guesses = (guesses - q_off) / q_sc
+        guess_dev = jnp.asarray(guesses,
+                                dtype=jnp.float32 if use_f32_state else None)
+        x, logp = init_fn(*data_args, guess_dev)
+        steps_done = 0
+
+    def save_checkpoint():
+        from ..utils.checkpoint_io import atomic_savez
+        atomic_savez(checkpoint_file,
+                     x=np.asarray(x), logp=np.asarray(logp),
+                     steps_done=steps_done, seed=seed,
+                     nsteps_burnin=nsteps_burnin, state_repr=state_repr,
+                     prod_xs=(np.concatenate(blocks["xs"], axis=1)
+                              if blocks["xs"]
+                              else np.empty((S, 0, 2, half, ndim), np.float32)),
+                     prod_acc=(np.concatenate(blocks["acc"], axis=1)
+                               if blocks["acc"]
+                               else np.empty((S, 0, 2, half))))
+
+    while steps_done < total:
+        in_burn = steps_done < nsteps_burnin
+        phase_end = nsteps_burnin if in_burn else total
+        seg = phase_end - steps_done
+        if checkpoint_every is not None:
+            seg = min(seg, checkpoint_every)
+        idx = jnp.arange(steps_done, steps_done + seg)
+        if in_burn:
+            x, logp = seg_burn(*data_args, x, logp, tkeys, idx)
+        else:
+            x, logp, xs, acc = seg_prod(*data_args, x, logp, tkeys, idx)
+            blocks["xs"].append(np.asarray(xs))
+            blocks["acc"].append(np.asarray(acc))
+        steps_done += seg
+        if checkpoint_every is not None:
+            save_checkpoint()
+
+    prod = np.concatenate(blocks["xs"], axis=1)       # (S, nsteps, 2, half, ndim)
+    acc = np.concatenate(blocks["acc"], axis=1)       # (S, nsteps, 2, half)
+    flat = prod.reshape(S, nsteps * nwalkers, ndim)
     if q_off is not None:
         # rescaled float32 chains -> absolute float64 parameters
         flat = np.asarray(flat, np.float64) * q_sc + q_off
-    return flat, np.asarray(acc)
+    return flat, acc.reshape(S, -1).mean(axis=1)

@@ -230,3 +230,29 @@ def test_fit_population_f32_rescaled_state_matches_f64(population):
         m32 = np.median(f32[s], axis=0)
         sig = f64[s].std(axis=0)
         assert np.all(np.abs(m64 - m32) < 3.0 * sig + 0.05 * np.abs(m64)), (s, m64, m32)
+
+
+def test_fit_population_kill_and_resume_exact(population, tmp_path):
+    """Population fits checkpoint/resume exactly like every other driver
+    (index-folded per-step keys from per-transient base keys)."""
+    lcs, models, priors = population
+    lcs2, models2 = [], []
+    for lc in lcs:
+        lc2 = lc.copy()
+        lc2["MJD"] = np.asarray(lc2["MJD"], float) - lc2["MJD"].min() + 1.0
+        lcs2.append(lc2)
+        models2.append(type(models[0])(lc2))
+    kw = dict(p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
+              nwalkers=16, nsteps=60, nsteps_burnin=45, seed=7)
+    ref, ref_acc = fit_population(models2, lcs2, priors[:3], **kw)
+
+    ck = str(tmp_path / "pop.ckpt")
+    # truncated run 'killed' mid-production (25 of 60 production steps)
+    fit_population(models2, lcs2, priors[:3], checkpoint_every=25,
+                   checkpoint_file=ck, **dict(kw, nsteps=25))
+    flat, acc = fit_population(models2, lcs2, priors[:3], resume_from=ck, **kw)
+    np.testing.assert_array_equal(flat, ref)
+    np.testing.assert_allclose(acc, ref_acc)
+    with pytest.raises(ValueError, match="seed"):
+        fit_population(models2, lcs2, priors[:3], resume_from=ck,
+                       **dict(kw, seed=8))
