@@ -199,6 +199,26 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
                 x, NamedSharding(mesh, P(None, None, axis_name, None)))
         return x
 
+    # the mesh may span jax.distributed processes (DCN walker sharding, like
+    # ShardedEnsembleSampler): host-side state must be placed via device_put
+    # and read back through the coordination service
+    multiprocess = (mesh is not None
+                    and len({d.process_index for d in mesh.devices.flat}) > 1)
+
+    def place(x_host):
+        x_dev = jnp.asarray(x_host)
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+            return jax.device_put(
+                x_dev, NamedSharding(mesh, P(None, None, axis_name, None)))
+        return x_dev
+
+    def to_host(a):
+        if multiprocess:
+            from jax.experimental import multihost_utils
+            return np.asarray(multihost_utils.process_allgather(a, tiled=True))
+        return np.asarray(a)
+
     @jax.jit
     def init_carry(x):
         x = constrain(x)
@@ -263,7 +283,7 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
             raise ValueError("checkpoint beta ladder does not match this run's "
                              "(different n_rungs/alpha?); resume with the "
                              "original ladder settings")
-        carry = (constrain(jnp.asarray(ck["x"])), jnp.asarray(ck["logpri"]),
+        carry = (place(ck["x"]), jnp.asarray(ck["logpri"]),
                  jnp.asarray(ck["logl"]))
         steps_done = int(ck["steps_done"])
         if ck["prod_logl"].size:
@@ -275,9 +295,9 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
         # state_dtype=float32 runs the ladder's walker state (and proposal
         # draws) in f32 — the caller wraps the fns in an affine rescaling so
         # O(1) values make that safe (see fitting._tempered_setup)
-        x0 = jnp.asarray(np.broadcast_to(p0.reshape(1, 2, half, ndim),
-                                         (K, 2, half, ndim)),
-                         dtype=state_dtype)
+        x0 = place(np.asarray(np.broadcast_to(p0.reshape(1, 2, half, ndim),
+                                              (K, 2, half, ndim)),
+                              dtype=state_dtype or np.float64))
         carry = init_carry(x0)
         steps_done = 0
 
@@ -286,8 +306,8 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
                      else np.empty((0, K, 2, half)))
         from ..utils.checkpoint_io import atomic_savez
         atomic_savez(checkpoint_file,
-                 x=np.asarray(carry[0]), logpri=np.asarray(carry[1]),
-                 logl=np.asarray(carry[2]), steps_done=steps_done, seed=seed,
+                 x=to_host(carry[0]), logpri=to_host(carry[1]),
+                 logl=to_host(carry[2]), steps_done=steps_done, seed=seed,
                  betas=np.asarray(betas_all),
                  state_dtype=str(np.dtype(state_dtype)
                                  if state_dtype is not None else np.float64),
@@ -311,10 +331,10 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
             carry = run_burn(carry, xs)
         else:
             carry, (ls, acc, sw, cold) = run_prod(carry, xs)
-            blocks["logl"].append(np.asarray(ls))
-            blocks["acc"].append(np.asarray(acc))
-            blocks["swap"].append(np.asarray(sw))
-            blocks["cold"].append(np.asarray(cold))
+            blocks["logl"].append(to_host(ls))
+            blocks["acc"].append(to_host(acc))
+            blocks["swap"].append(to_host(sw))
+            blocks["cold"].append(to_host(cold))
         steps_done += seg
         if checkpoint_every is not None:
             # save after EVERY segment: segment boundaries are clipped to the

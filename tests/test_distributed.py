@@ -187,3 +187,71 @@ def test_two_process_global_mesh_walker_sharding(tmp_path):
     # and it is the right posterior (truth T1=14, L1=2.5)
     assert d0["medians"][0] == pytest.approx(14.0, rel=0.25)
     assert d0["medians"][1] == pytest.approx(2.5, rel=0.35)
+
+
+LADDER_WORKER = """
+import os, sys, hashlib
+proc_id, nproc, port, outdir = int(sys.argv[1]), int(sys.argv[2]), sys.argv[3], sys.argv[4]
+os.environ["XLA_FLAGS"] = "--xla_force_host_platform_device_count=2"
+import jax
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+sys.path.insert(0, {repo!r})
+import numpy as np
+from lightcurve_fitting_tpu.parallel import distributed
+from lightcurve_fitting_tpu.parallel.mesh import walker_mesh
+from lightcurve_fitting_tpu.lightcurve import LC
+from lightcurve_fitting_tpu.filters import filtdict
+from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+from lightcurve_fitting_tpu.fitting import lightcurve_ptmcmc
+
+distributed.initialize(coordinator_address="127.0.0.1:" + port,
+                       num_processes=nproc, process_id=proc_id)
+
+rng = np.random.default_rng(0)
+filters = [filtdict[n] for n in ["g", "r", "i"]]
+t = np.repeat(np.linspace(1.0, 8.0, 5), 3)
+f = np.array(filters * 5)
+y_true = ShockCooling2()(t, f, 14.0, 2.5, 40.0, 0.0)
+dy = 0.05 * y_true
+lc = LC([t, f, y_true + rng.normal(scale=dy), dy],
+        names=["MJD", "filter", "lum", "dlum"])
+model = ShockCooling2(lc)
+priors = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0),
+          UniformPrior(5.0, 100.0), UniformPrior(-1.0, 0.9)]
+
+# the tempered ladder's walker axis sharded over ONE global mesh spanning
+# both processes (evidence + PT posteriors over DCN)
+mesh = walker_mesh()
+pt = lightcurve_ptmcmc(lc, model, priors,
+                       p_lo=[5.0, 0.5, 20.0, -0.5], p_up=[25.0, 5.0, 60.0, 0.5],
+                       nwalkers=16, n_rungs=5, nsteps=120, nsteps_burnin=120,
+                       seed=3, mesh=mesh, quiet=True)
+flat = pt.flatchain
+digest = hashlib.sha1(np.ascontiguousarray(flat).tobytes()).hexdigest()
+np.savez(os.path.join(outdir, "lad_" + str(proc_id) + ".npz"),
+         medians=np.median(flat, axis=0), log_z=pt.log_z,
+         digest=np.array(digest))
+print("proc", proc_id, "log_z", pt.log_z, flush=True)
+"""
+
+
+def test_two_process_global_mesh_tempered_ladder(tmp_path):
+    """Evidence/PT's walker axis sharded across two jax.distributed
+    processes: identical cold chains + log Z on both, truths recovered."""
+    worker = tmp_path / "worker_lad.py"
+    worker.write_text(LADDER_WORKER.format(repo=os.path.abspath(REPO)))
+    port = _free_port()
+    env = {k: v for k, v in os.environ.items() if k != "XLA_FLAGS"}
+    procs = [subprocess.Popen([sys.executable, str(worker), str(pid), "2", str(port),
+                               str(tmp_path)],
+                              stdout=subprocess.PIPE, stderr=subprocess.STDOUT, env=env)
+             for pid in range(2)]
+    outputs = [p.communicate(timeout=600)[0].decode() for p in procs]
+    for p, out in zip(procs, outputs):
+        assert p.returncode == 0, out
+    d0 = np.load(tmp_path / "lad_0.npz")
+    d1 = np.load(tmp_path / "lad_1.npz")
+    assert str(d0["digest"]) == str(d1["digest"])
+    assert float(d0["log_z"]) == float(d1["log_z"])
+    assert d0["medians"][0] == pytest.approx(14.0, rel=0.25)
