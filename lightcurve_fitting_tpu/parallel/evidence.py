@@ -205,12 +205,16 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
     multiprocess = (mesh is not None
                     and len({d.process_index for d in mesh.devices.flat}) > 1)
 
-    def place(x_host):
+    def place(x_host, spec_tail=(None,)):
+        """Host array -> device, distributed onto the mesh when one is set
+        (required for meshes spanning processes; harmless single-process).
+        ``spec_tail``: partition dims after the leading (K, 2, walkers)."""
         x_dev = jnp.asarray(x_host)
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
             return jax.device_put(
-                x_dev, NamedSharding(mesh, P(None, None, axis_name, None)))
+                x_dev, NamedSharding(mesh, P(None, None, axis_name,
+                                             *spec_tail)))
         return x_dev
 
     def to_host(a):
@@ -283,9 +287,13 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
             raise ValueError("checkpoint beta ladder does not match this run's "
                              "(different n_rungs/alpha?); resume with the "
                              "original ladder settings")
-        carry = (place(ck["x"]), jnp.asarray(ck["logpri"]),
-                 jnp.asarray(ck["logl"]))
+        carry = (place(ck["x"]), place(ck["logpri"], spec_tail=()),
+                 place(ck["logl"], spec_tail=()))
         steps_done = int(ck["steps_done"])
+        if steps_done > total:
+            raise ValueError(f"checkpoint already contains {steps_done} steps "
+                             f"(> nsteps_burnin + nsteps = {total}); resume "
+                             "with at least the original nsteps")
         if ck["prod_logl"].size:
             blocks["logl"].append(ck["prod_logl"])
             blocks["acc"].append(ck["prod_acc"])

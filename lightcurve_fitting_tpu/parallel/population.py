@@ -307,16 +307,18 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
     prior_sig = tuple(_prior_fingerprint(p) for p in priors)
     model_sig = _model_fingerprint(model)
 
-    if init == "map":
-        map_key = ("mapseed", model_sig, prior_sig,
-                   packed["t"].shape, n_map_starts, n_map_iter, use_sigma,
-                   sigma_type)
-        guesses = _map_seeded_guesses(make_logpost, packed, priors, p_lo, p_up,
-                                      S, nwalkers, ndim, n_map_starts,
-                                      n_map_iter, rng, cache_key=map_key)
-    elif init == "window":
-        guesses = rng.uniform(size=(S, nwalkers, ndim)) * (p_up - p_lo) + p_lo
-    else:
+    def make_guesses():
+        # only for fresh runs: a resume restores walkers from the checkpoint,
+        # and init="map"'s batched multi-start Adam is expensive to waste
+        if init == "map":
+            map_key = ("mapseed", model_sig, prior_sig,
+                       packed["t"].shape, n_map_starts, n_map_iter, use_sigma,
+                       sigma_type)
+            return _map_seeded_guesses(make_logpost, packed, priors, p_lo, p_up,
+                                       S, nwalkers, ndim, n_map_starts,
+                                       n_map_iter, rng, cache_key=map_key)
+        if init == "window":
+            return rng.uniform(size=(S, nwalkers, ndim)) * (p_up - p_lo) + p_lo
         raise ValueError('init must be "window" or "map"')
 
     def _wrap(logpost_abs):
@@ -353,7 +355,7 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
     base_cache = (model_sig, prior_sig,
                   packed["t"].shape,
                   packed["quad"]["nodes"].shape if "nodes" in packed["quad"] else None,
-                  nwalkers, use_sigma, sigma_type, a,
+                  nwalkers, use_sigma, sigma_type, a, dt, use_f32_state,
                   None if q_off is None else (tuple(q_off), tuple(q_sc)),
                   None if mesh is None else (tuple(mesh.shape.items()), axis_name))
 
@@ -397,6 +399,14 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
         raise ValueError("checkpoint_every requires checkpoint_file")
 
     state_repr = str(np.dtype(np.float32 if use_f32_state else np.float64))
+    # data identity: a checkpoint must only resume against the SAME packed
+    # photometry — shapes, seed, and state repr all match across different
+    # shards of a distributed population (fit_population_local_shard forwards
+    # identical kwargs to every process), so without this a shared
+    # checkpoint_file would silently restore another shard's walkers
+    data_digest = hashlib.sha1(
+        np.ascontiguousarray(np.asarray(packed["t"])).tobytes()
+        + np.ascontiguousarray(np.asarray(packed["y"])).tobytes()).hexdigest()
     if resume_from is not None:
         ck = np.load(resume_from)
         if ck["x"].shape != (S, 2, half, ndim):
@@ -411,13 +421,22 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
             raise ValueError(f"checkpoint state representation "
                              f"{ck['state_repr'][()]} != {state_repr}: resume "
                              "with the original state_dtype/backend")
-        x, logp = jnp.asarray(ck["x"]), jnp.asarray(ck["logp"])
+        if "data_digest" in ck and str(ck["data_digest"][()]) != data_digest:
+            raise ValueError("checkpoint was written for different photometry "
+                             "(data digest mismatch) — e.g. another shard of a "
+                             "distributed population sharing the same "
+                             "checkpoint_file; give each shard its own file")
         steps_done = int(ck["steps_done"])
+        if steps_done > total:
+            raise ValueError(f"checkpoint already contains {steps_done} steps "
+                             f"(> nsteps_burnin + nsteps = {total}); resume "
+                             "with at least the original nsteps")
+        x, logp = jnp.asarray(ck["x"]), jnp.asarray(ck["logp"])
         if ck["prod_xs"].size:
             blocks["xs"].append(ck["prod_xs"])
             blocks["acc"].append(ck["prod_acc"])
     else:
-        guesses = np.asarray(guesses, float)
+        guesses = np.asarray(make_guesses(), float)
         if q_off is not None:
             guesses = (guesses - q_off) / q_sc
         guess_dev = jnp.asarray(guesses,
@@ -431,6 +450,7 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
                      x=np.asarray(x), logp=np.asarray(logp),
                      steps_done=steps_done, seed=seed,
                      nsteps_burnin=nsteps_burnin, state_repr=state_repr,
+                     data_digest=data_digest,
                      prod_xs=(np.concatenate(blocks["xs"], axis=1)
                               if blocks["xs"]
                               else np.empty((S, 0, 2, half, ndim), np.float32)),
@@ -455,6 +475,9 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
         if checkpoint_every is not None:
             save_checkpoint()
 
+    if not blocks["xs"]:
+        # burn-in-only runs (nsteps=0): empty chains, graceful like before
+        return (np.empty((S, 0, ndim)), np.zeros(S))
     prod = np.concatenate(blocks["xs"], axis=1)       # (S, nsteps, 2, half, ndim)
     acc = np.concatenate(blocks["acc"], axis=1)       # (S, nsteps, 2, half)
     flat = prod.reshape(S, nsteps * nwalkers, ndim)
