@@ -68,9 +68,20 @@ def test_fit_converges_to_published_region(fit):
 @pytest.mark.slow
 def test_posterior_matches_independent_mh(fit):
     """Cross-validate the ensemble posterior against a long numpy random-walk
-    Metropolis chain on the same log posterior (statistical 1sigma/sqrt(Neff))."""
-    lc_early, model, sampler = fit
+    Metropolis chain on the same log posterior (statistical 1sigma/sqrt(Neff)).
+
+    Both chains start inside the known typical set (VALIDATION.md: the SC2
+    posterior is a thin curved ridge and wide-start ensembles are still
+    contracting after hundreds of steps, so comparing wide-start snapshots
+    re-rolls with every RNG-schedule change; the shared ``fit`` fixture stays
+    wide-start because other tests check convergence behavior)."""
+    lc_early, model, _ = fit
     logpost = make_log_posterior(model, lc_early, PRIORS)
+    sampler = lightcurve_mcmc(lc_early, model, priors=PRIORS,
+                              p_lo=[37.2, 5.2, 16.0, 57468.699],
+                              p_up=[38.0, 5.5, 16.5, 57468.7],
+                              nwalkers=20, nsteps=400, nsteps_burnin=300,
+                              seed=11, quiet=True)
 
     def logpost_np(p):
         return float(logpost(np.asarray(p)))
