@@ -649,13 +649,16 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
                          cutoff_freq=np.inf, show=False, colors=None, do_mcmc=True,
                          save_chains=False, use_sigma=False, sigma_type="relative",
                          also_group_by=(), seed=None, save_corners=True,
-                         batch_mode=False):
+                         batch_mode=False, mesh=None):
     """Full bolometric light curve from broadband photometry (behavioral
     spec: reference bolometric.py:648-832). Adds ``seed`` for
     reproducibility, ``save_corners`` to skip per-epoch corner PDFs, and
     ``batch_mode`` to run every multi-filter epoch's MCMC concurrently in one
     jitted vmap on device (identical statistics; starting guesses centered on
     the default p0 rather than the previous epoch's curve_fit solution).
+    With ``mesh`` (a ``jax.sharding.Mesh`` with an ``"epochs"`` axis, e.g.
+    ``walker_mesh(8, axis_name="epochs")``), batch mode shards the epoch axis
+    across the mesh — each chip fits its own epochs, no collectives.
     Single-filter epochs always run sequentially so the KDE temperature-prior
     chaining (reference :753-759) is preserved."""
     if z:
@@ -700,13 +703,15 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
             # the default p0, the curve_fit-RuntimeError degrade semantics.
             centers = batched_map_centers(packed, priors, cutoff_freq,
                                           use_sigma, sigma_type,
-                                          seed=seed if seed is not None else 0)
+                                          seed=seed if seed is not None else 0,
+                                          mesh=mesh)
             guesses = rng.normal(size=(len(eligible), nwalkers, ndim)) + centers[:, None, :]
             guesses[guesses <= 0.0] = 1.0
             flat, _acc = batched_blackbody_mcmc(packed, priors, guesses, nwalkers,
                                                 burnin_steps, steps, cutoff_freq,
                                                 use_sigma, sigma_type,
-                                                seed=seed if seed is not None else 0)
+                                                seed=seed if seed is not None else 0,
+                                                mesh=mesh)
             batched_chains = {i: flat[j] for j, i in enumerate(eligible)}
 
     for i_epoch, epoch1 in enumerate(groups):

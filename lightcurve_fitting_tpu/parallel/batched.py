@@ -12,6 +12,8 @@ import numpy as np
 import jax
 import jax.numpy as jnp
 import jax.random as jr
+from jax import shard_map
+from jax.sharding import PartitionSpec as P
 
 from ..models.blackbody import planck_lnu
 from .sampler import make_stretch_kernel
@@ -29,6 +31,22 @@ def _cache_key(tag, packed, priors, cutoff_freq, use_sigma, sigma_type, *extra):
     return (tag, tuple(_prior_fingerprint(p) for p in priors),
             packed["y"].shape, packed["nodes"].shape, float(cutoff_freq),
             use_sigma, sigma_type) + extra
+
+
+def _mesh_sig(mesh, axis_name):
+    return None if mesh is None else (tuple(mesh.shape.items()), axis_name)
+
+
+def _pad_epoch_axis(arrays, n_dev):
+    """Pad every array's leading (epoch) axis up to a multiple of ``n_dev``
+    by repeating the last epoch; padded results are sliced away by the
+    caller. Returns (padded_arrays, original_E)."""
+    E = arrays[0].shape[0]
+    pad = (-E) % n_dev
+    if pad == 0:
+        return arrays, E
+    return [jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)], axis=0)
+            for a in arrays], E
 
 
 def _make_epoch_logpost(priors, cutoff_freq, use_sigma, sigma_type, dt):
@@ -114,7 +132,7 @@ def pack_epochs(epochs, bank, z=0.0):
 def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_steps,
                            steps, cutoff_freq=np.inf, use_sigma=False,
                            sigma_type="relative", a=2.0, seed=0,
-                           state_dtype="auto"):
+                           state_dtype="auto", mesh=None, axis_name="epochs"):
     """Run E independent stretch-move ensembles, one per epoch, in a single
     jitted call.
 
@@ -124,6 +142,11 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
     rescaling (unlike MJD-scale epochs; see
     ``EnsembleSampler(param_offset=...)``); the likelihood casts to the
     configured compute dtype internally either way.
+
+    ``mesh``: shard the epoch axis across a device mesh (``shard_map``, zero
+    collectives — each chip fits its own epochs, the same scale-out shape as
+    :func:`..population.fit_population`). Epoch counts that don't divide the
+    mesh are padded by repeating the last epoch and sliced back after.
 
     Parameters
     ----------
@@ -159,23 +182,32 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
         return prod.reshape(steps * nwalkers, ndim), acc[burnin_steps:].mean()
 
     keys = jr.split(jr.PRNGKey(seed), E)
+    guesses_dev = jnp.asarray(starting_guesses,
+                              dtype=jnp.float32 if use_f32_state else None)
+    args = [packed["y"], packed["dy"], packed["mask"], packed["nodes"],
+            packed["weights"], packed["yscale"], guesses_dev, keys]
+    if mesh is not None:
+        args, E = _pad_epoch_axis(args, mesh.shape[axis_name])
     ck = _cache_key("mcmc", packed, priors, cutoff_freq, use_sigma, sigma_type,
-                    nwalkers, burnin_steps, steps, a, dt, use_f32_state)
+                    nwalkers, burnin_steps, steps, a, dt, use_f32_state,
+                    _mesh_sig(mesh, axis_name), args[0].shape[0])
     run_all = _COMPILED_CACHE.get(ck)
     if run_all is None:
-        run_all = jax.jit(jax.vmap(run_one))
+        run_all = jax.vmap(run_one)
+        if mesh is not None:
+            spec = P(axis_name)
+            run_all = shard_map(run_all, mesh=mesh, in_specs=(spec,) * 8,
+                                out_specs=(spec, spec), check_vma=False)
+        run_all = jax.jit(run_all)
         _COMPILED_CACHE[ck] = run_all
-    flat, acc = run_all(packed["y"], packed["dy"], packed["mask"], packed["nodes"],
-                        packed["weights"], packed["yscale"],
-                        jnp.asarray(starting_guesses,
-                                    dtype=jnp.float32 if use_f32_state else None),
-                        keys)
-    return np.asarray(flat, np.float64), np.asarray(acc)
+    flat, acc = run_all(*args)
+    return np.asarray(flat[:E], np.float64), np.asarray(acc[:E])
 
 
 def batched_map_centers(packed, priors, cutoff_freq=np.inf, use_sigma=False,
                         sigma_type="relative", n_starts=8, n_iter=300, seed=0,
-                        fallback=None, n_cloud=512):
+                        fallback=None, n_cloud=512, mesh=None,
+                        axis_name="epochs"):
     """MAP centers for every epoch at once, replacing the serial per-epoch
     scipy ``curve_fit`` centering loop of round 2 (bolometric.py batch mode;
     reference bolometric.py:483-534 is the sequential analog).
@@ -194,6 +226,10 @@ def batched_map_centers(packed, priors, cutoff_freq=np.inf, use_sigma=False,
     Epochs where every start ends non-finite fall back to ``fallback``
     (default: T=10 kK, R=10 kR_sun, sigma=1) — the same degrade-don't-crash
     semantics as the curve_fit RuntimeError path (reference :767-771).
+
+    ``mesh``: shard both stages' epoch axis across a device mesh
+    (zero-collective ``shard_map``, same shape as
+    :func:`batched_blackbody_mcmc`; non-divisible epoch counts are padded).
 
     Returns centers (E, ndim) float64 numpy.
     """
@@ -222,63 +258,76 @@ def batched_map_centers(packed, priors, cutoff_freq=np.inf, use_sigma=False,
     cloud = np.exp(rng.uniform(size=(E, n_cloud, ndim))
                    * (np.log(up) - np.log(lo)) + np.log(lo))
 
-    score_key = _cache_key("mapscore", packed, priors, cutoff_freq, use_sigma,
-                           sigma_type, n_cloud, dt)
-    score = _COMPILED_CACHE.get(score_key)
-    if score is None:
-        def score_fn(xs, y, dy, mask, nodes, weights, yscale):
-            def per_epoch(x_e, y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e):
-                lp = logpost_for(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e)
-                return jax.vmap(lp)(x_e)
-            return jax.vmap(per_epoch)(xs, y, dy, mask, nodes, weights, yscale)
+    # both stages run on the (possibly padded) epoch axis; slice at the end
+    data = [packed["y"], packed["dy"], packed["mask"], packed["nodes"],
+            packed["weights"], packed["yscale"]]
+    cloud_dev = jnp.asarray(cloud)
+    if mesh is not None:
+        (cloud_dev, *data), _ = _pad_epoch_axis([cloud_dev] + data,
+                                                mesh.shape[axis_name])
+    Ep = cloud_dev.shape[0]
+    msig = _mesh_sig(mesh, axis_name)
 
-        score = jax.jit(score_fn)
-        _COMPILED_CACHE[score_key] = score
+    def _compiled(tag, fn, n_in, n_out, *extra):
+        key = _cache_key(tag, packed, priors, cutoff_freq, use_sigma,
+                         sigma_type, dt, msig, Ep) + extra
+        f = _COMPILED_CACHE.get(key)
+        if f is None:
+            f = fn
+            if mesh is not None:
+                spec = P(axis_name)
+                f = shard_map(f, mesh=mesh, in_specs=(spec,) * n_in,
+                              out_specs=(spec,) * n_out if n_out > 1 else spec,
+                              check_vma=False)
+            f = jax.jit(f)
+            _COMPILED_CACHE[key] = f
+        return f
 
-    logp_cloud = np.asarray(score(jnp.asarray(cloud), packed["y"], packed["dy"],
-                                  packed["mask"], packed["nodes"],
-                                  packed["weights"], packed["yscale"]))
+    def score_fn(xs, y, dy, mask, nodes, weights, yscale):
+        def per_epoch(x_e, y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e):
+            lp = logpost_for(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e)
+            return jax.vmap(lp)(x_e)
+        return jax.vmap(per_epoch)(xs, y, dy, mask, nodes, weights, yscale)
+
+    score = _compiled("mapscore", score_fn, 7, 1, n_cloud)
+
+    logp_cloud = np.asarray(score(cloud_dev, *data))
     logp_cloud = np.where(np.isfinite(logp_cloud), logp_cloud, -np.inf)
-    top = np.argsort(-logp_cloud, axis=1)[:, :n_starts]        # (E, n_starts)
-    x0 = cloud[np.arange(E)[:, None], top]                     # (E, n_starts, ndim)
+    cloud_np = np.asarray(cloud_dev)
+    top = np.argsort(-logp_cloud, axis=1)[:, :n_starts]        # (Ep, n_starts)
+    x0 = cloud_np[np.arange(Ep)[:, None], top]                 # (Ep, n_starts, ndim)
     u0 = jnp.asarray(bounds.to_unbounded(x0))
 
-    ck = _cache_key("map", packed, priors, cutoff_freq, use_sigma, sigma_type,
-                    n_starts, n_iter, dt)
-    optimize = _COMPILED_CACHE.get(ck)
-    if optimize is None:
-        schedule = optax.cosine_decay_schedule(0.05, n_iter, alpha=0.01)
-        opt = optax.adam(schedule)
+    schedule = optax.cosine_decay_schedule(0.05, n_iter, alpha=0.01)
+    opt = optax.adam(schedule)
 
-        def neg_one(u, y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e):
-            logpost = logpost_for(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e)
-            return -logpost(bounds.to_bounded(u))
+    def neg_one(u, y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e):
+        logpost = logpost_for(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e)
+        return -logpost(bounds.to_bounded(u))
 
-        vg = jax.vmap(jax.value_and_grad(neg_one), in_axes=(0,) + (None,) * 6)
-        vg = jax.vmap(vg, in_axes=(0,) * 7)
+    vg = jax.vmap(jax.value_and_grad(neg_one), in_axes=(0,) + (None,) * 6)
+    vg = jax.vmap(vg, in_axes=(0,) * 7)
 
-        def optimize_fn(u, y, dy, mask, nodes, weights, yscale):
-            def step(carry, _):
-                u, state = carry
-                _, g = vg(u, y, dy, mask, nodes, weights, yscale)
-                g = jnp.where(jnp.isfinite(g), g, 0.0)
-                updates, state = opt.update(g, state, u)
-                return (optax.apply_updates(u, updates), state), None
+    def optimize_fn(u, y, dy, mask, nodes, weights, yscale):
+        def step(carry, _):
+            u, state = carry
+            _, g = vg(u, y, dy, mask, nodes, weights, yscale)
+            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            updates, state = opt.update(g, state, u)
+            return (optax.apply_updates(u, updates), state), None
 
-            (u, _), _ = jax.lax.scan(step, (u, opt.init(u)), None, length=n_iter)
-            neg_final, _ = vg(u, y, dy, mask, nodes, weights, yscale)
-            return u, neg_final
+        (u, _), _ = jax.lax.scan(step, (u, opt.init(u)), None, length=n_iter)
+        neg_final, _ = vg(u, y, dy, mask, nodes, weights, yscale)
+        return u, neg_final
 
-        optimize = jax.jit(optimize_fn)
-        _COMPILED_CACHE[ck] = optimize
+    optimize = _compiled("map", optimize_fn, 7, 2, n_starts, n_iter)
 
-    u_fin, neg_fin = optimize(u0, packed["y"], packed["dy"], packed["mask"],
-                              packed["nodes"], packed["weights"], packed["yscale"])
+    u_fin, neg_fin = optimize(u0, *data)
     neg_fin = np.asarray(neg_fin)
     best = np.argmin(np.where(np.isfinite(neg_fin), neg_fin, np.inf), axis=1)
     x_fin = np.asarray(bounds.to_bounded(u_fin))
-    centers = x_fin[np.arange(E), best]
-    dead = ~np.isfinite(neg_fin[np.arange(E), best])
+    centers = x_fin[np.arange(Ep), best][:E]
+    dead = ~np.isfinite(neg_fin[np.arange(Ep), best])[:E]
     if dead.any():
         centers = np.where(dead[:, None], fallback, centers)
     return centers

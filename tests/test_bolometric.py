@@ -329,3 +329,62 @@ def test_batched_mcmc_f32_state_matches_f64():
         sig = f64[e].std(axis=0)
         assert np.all(np.abs(m64 - m32) < 3 * sig + 0.05 * np.abs(m64)), (e, m64, m32)
         assert abs(m32[0] - T) < 0.15 * T + 3 * sig[0], (e, m32, T)
+
+
+def test_batched_mcmc_epoch_sharding_matches_single_device():
+    """The epoch axis shards over a mesh (zero-collective shard_map) with
+    identical results, including a non-divisible epoch count (5 epochs on 8
+    devices -> padded with the last epoch, sliced back)."""
+    from lightcurve_fitting_tpu.ops.filterbank import FilterBank
+    from lightcurve_fitting_tpu.models import UniformPrior, LogUniformPrior
+    from lightcurve_fitting_tpu.models.blackbody import planck_lnu
+    from lightcurve_fitting_tpu.parallel.batched import (
+        pack_epochs, batched_blackbody_mcmc, batched_map_centers)
+    from lightcurve_fitting_tpu.parallel.mesh import walker_mesh
+    from lightcurve_fitting_tpu.utils.table import Table
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(5)
+    filters = [filtdict[n] for n in ["U", "B", "g", "V", "r", "i"]]
+    bank = FilterBank(filters)
+    epochs = []
+    for e in range(5):
+        T, R = rng.uniform(5.0, 18.0), rng.uniform(1.0, 20.0)
+        lnu = np.asarray(planck_lnu(jnp.asarray(bank.emitted_nodes(0.0)), T, R))
+        y = (bank.weights * lnu).sum(-1)
+        dy = 0.05 * np.abs(y)
+        epochs.append(Table([filters, y + rng.normal(scale=dy), dy],
+                            names=["filter", "lum", "dlum"]))
+    packed = pack_epochs(epochs, bank, 0.0)
+    priors = [UniformPrior(1.0, 100.0), LogUniformPrior(0.01, 1000.0)]
+    mesh = walker_mesh(8, axis_name="epochs")
+
+    c1 = batched_map_centers(packed, priors, seed=2)
+    c8 = batched_map_centers(packed, priors, seed=2, mesh=mesh)
+    np.testing.assert_allclose(c8, c1, rtol=1e-9)
+
+    guesses = rng.normal(size=(5, 16, 2)) * 0.5 + c1[:, None, :]
+    guesses[guesses <= 0.0] = 1.0
+    f1, a1 = batched_blackbody_mcmc(packed, priors, guesses, 16, 50, 50, seed=3)
+    f8, a8 = batched_blackbody_mcmc(packed, priors, guesses, 16, 50, 50, seed=3,
+                                    mesh=mesh)
+    assert f8.shape == f1.shape == (5, 50 * 16, 2)
+    np.testing.assert_allclose(f8, f1, rtol=1e-12)
+    np.testing.assert_allclose(a8, a1, rtol=1e-12)
+
+
+def test_calculate_bolometric_mesh_smoke(tmp_path):
+    """calculate_bolometric(batch_mode=True, mesh=...) runs the epoch-sharded
+    device path end-to-end and matches the unsharded batch mode."""
+    from lightcurve_fitting_tpu.parallel.mesh import walker_mesh
+
+    lc = load_lc().where(MJD_min=57468.0, MJD_max=57472.0)
+    kwargs = dict(res=1.0, nwalkers=10, burnin_steps=60, steps=40, seed=7,
+                  save_corners=False, batch_mode=True)
+    t_b = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "b"), **kwargs)
+    t_m = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "m"),
+                                   mesh=walker_mesh(8, axis_name="epochs"),
+                                   **kwargs)
+    for col in ["temp_mcmc", "radius_mcmc", "L_mcmc"]:
+        np.testing.assert_allclose(np.asarray(t_m[col], float),
+                                   np.asarray(t_b[col], float), rtol=1e-9)
