@@ -659,6 +659,9 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
     With ``mesh`` (a ``jax.sharding.Mesh`` with an ``"epochs"`` axis, e.g.
     ``walker_mesh(8, axis_name="epochs")``), batch mode shards the epoch axis
     across the mesh — each chip fits its own epochs, no collectives.
+    ``mesh=None`` (the default) auto-shards over all visible devices when
+    more than one is present, like ``lightcurve_mcmc(shard=None)``;
+    ``mesh=False`` forces single-device.
     Single-filter epochs always run sequentially so the KDE temperature-prior
     chaining (reference :753-759) is preserved."""
     if z:
@@ -685,6 +688,11 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
     batched_chains = {}
     if batch_mode and do_mcmc:
         from .parallel.batched import pack_epochs, batched_blackbody_mcmc
+        if mesh is None and jax.device_count() > 1:
+            from .parallel.mesh import walker_mesh
+            mesh = walker_mesh(jax.device_count(), axis_name="epochs")
+        elif mesh is False:
+            mesh = None
         eligible = []
         for i, ep in enumerate(groups):
             nfilt_i = len(set(ep.where(nondet=False)["filter"]))

@@ -381,7 +381,10 @@ def test_calculate_bolometric_mesh_smoke(tmp_path):
     lc = load_lc().where(MJD_min=57468.0, MJD_max=57472.0)
     kwargs = dict(res=1.0, nwalkers=10, burnin_steps=60, steps=40, seed=7,
                   save_corners=False, batch_mode=True)
-    t_b = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "b"), **kwargs)
+    # mesh=False forces single-device (mesh=None would auto-shard over the
+    # 8 virtual devices, same as passing the mesh explicitly)
+    t_b = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "b"),
+                                   mesh=False, **kwargs)
     t_m = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "m"),
                                    mesh=walker_mesh(8, axis_name="epochs"),
                                    **kwargs)
