@@ -237,14 +237,26 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
     equal the uninterrupted run's exactly.
 
     Returns (flatchains (S, nsteps*nwalkers, ndim), acceptance (S,)).
-    With ``mesh``, the transient axis is sharded across it (S must divide
-    evenly; pad the input list if needed).
+    With ``mesh``, the transient axis is sharded across it; transient counts
+    that don't divide the mesh are padded internally by repeating the last
+    transient (its duplicate chains are computed and discarded — waste is
+    bounded by mesh_size - 1 transients).
     """
     ndim = len(priors)
     half = nwalkers // 2
     S = len(lcs)
+    S_out = S
     model = models[0]
     packed = pack_population(models, lcs, use_sigma)
+    if mesh is not None:
+        pad = (-S) % mesh.shape[axis_name]
+        if pad:
+            def _pad(a):
+                return jnp.concatenate([a, jnp.repeat(a[-1:], pad, axis=0)],
+                                       axis=0)
+            packed = {k: jax.tree.map(_pad, v) if k == "quad" else _pad(v)
+                      for k, v in packed.items()}
+            S = S + pad
 
     rng = np.random.default_rng(seed)
     p_lo = np.asarray(p_lo, float)
@@ -359,11 +371,6 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
                   None if q_off is None else (tuple(q_off), tuple(q_sc)),
                   None if mesh is None else (tuple(mesh.shape.items()), axis_name))
 
-    if mesh is not None:
-        n_dev = mesh.shape[axis_name]
-        if S % n_dev:
-            raise ValueError(f"number of transients {S} must divide mesh size {n_dev}; "
-                             "pad the input list")
     spec = P(axis_name) if mesh is not None else None
     quad_spec = (jax.tree.map(lambda _: spec, packed["quad"])
                  if mesh is not None else None)
@@ -477,11 +484,12 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
 
     if not blocks["xs"]:
         # burn-in-only runs (nsteps=0): empty chains, graceful like before
-        return (np.empty((S, 0, ndim)), np.zeros(S))
+        return (np.empty((S_out, 0, ndim)), np.zeros(S_out))
     prod = np.concatenate(blocks["xs"], axis=1)       # (S, nsteps, 2, half, ndim)
     acc = np.concatenate(blocks["acc"], axis=1)       # (S, nsteps, 2, half)
     flat = prod.reshape(S, nsteps * nwalkers, ndim)
     if q_off is not None:
         # rescaled float32 chains -> absolute float64 parameters
         flat = np.asarray(flat, np.float64) * q_sc + q_off
-    return flat, acc.reshape(S, -1).mean(axis=1)
+    # slice away internally-padded transients (non-divisible mesh runs)
+    return flat[:S_out], acc.reshape(S, -1).mean(axis=1)[:S_out]

@@ -256,3 +256,26 @@ def test_fit_population_kill_and_resume_exact(population, tmp_path):
     with pytest.raises(ValueError, match="seed"):
         fit_population(models2, lcs2, priors[:3], resume_from=ck,
                        **dict(kw, seed=8))
+
+
+def test_fit_population_non_divisible_mesh_pads(population):
+    """Transient counts that don't divide the mesh are padded internally
+    (repeat-last) and the padded chains sliced away; for window init the
+    first-S chains are bitwise identical to the unsharded run (numpy uniform
+    and jr.split both fill prefixes identically)."""
+    lcs, models, priors = population
+    lcs3, models3 = [], []
+    for lc, truth in zip(lcs[:3], TRUTHS[:3]):
+        lc2 = lc.copy()
+        lc2["MJD"] = np.asarray(lc2["MJD"], float) - truth[3]
+        lcs3.append(LC(lc2))
+    models3 = [ShockCooling2(lc) for lc in lcs3]
+    kw = dict(p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
+              nwalkers=16, nsteps=150, nsteps_burnin=150, seed=4)
+    flat1, acc1 = fit_population(models3, lcs3, priors, **kw)
+    flat8, acc8 = fit_population(models3, lcs3, priors,
+                                 mesh=walker_mesh(8, axis_name="transients"),
+                                 **kw)
+    assert flat8.shape == flat1.shape == (3, 150 * 16, 3)
+    np.testing.assert_array_equal(flat8, flat1)
+    np.testing.assert_array_equal(acc8, acc1)
