@@ -212,24 +212,30 @@ def batched_map_centers(packed, priors, cutoff_freq=np.inf, use_sigma=False,
     scipy ``curve_fit`` centering loop of round 2 (bolometric.py batch mode;
     reference bolometric.py:483-534 is the sequential analog).
 
-    Two stages, both batched over epochs in compiled kernels:
+    One fused device kernel per epoch (vmapped over epochs):
 
-    1. **Scored cloud**: evaluate the posterior at ``n_cloud`` log-uniform
-       candidate points (one vmapped call) and keep the top ``n_starts`` per
-       epoch. Pure gradient ascent from random starts is unreliable here —
-       the blackbody (T, R) posterior has a curved Rayleigh-Jeans valley
-       (low-T/huge-R fits optical SEDs deceptively well) that traps Adam.
-    2. **Adam polish**: the per-epoch-data form of
-       :func:`..optimize.multistart_maximize` — E x n_starts ascents of the
-       bounds-bijected posterior in one scan — refines the best candidates.
+    1. **Scored cloud**: draw ``n_cloud`` log-uniform candidates with the
+       on-device PRNG, evaluate the posterior at each, and ``lax.top_k`` the
+       best ``n_starts``. Pure gradient ascent from random starts is
+       unreliable here — the blackbody (T, R) posterior has a curved
+       Rayleigh-Jeans valley (low-T/huge-R fits optical SEDs deceptively
+       well) that traps Adam.
+    2. **Adam polish**: ``n_starts`` ascents of the bounds-bijected
+       posterior in one scan, then pick the best start.
+
+    Fusing both stages keeps the cloud and its scores on device: round 2's
+    two-call version shipped the (E, n_cloud, ndim) cloud up and the
+    (E, n_cloud) scores back for a host top-k, and those ~MB transfers
+    dominated the centering wall time through the TPU tunnel (~half the
+    whole batched pipeline); only the final (E, ndim) centers transfer now.
 
     Epochs where every start ends non-finite fall back to ``fallback``
     (default: T=10 kK, R=10 kR_sun, sigma=1) — the same degrade-don't-crash
     semantics as the curve_fit RuntimeError path (reference :767-771).
 
-    ``mesh``: shard both stages' epoch axis across a device mesh
-    (zero-collective ``shard_map``, same shape as
-    :func:`batched_blackbody_mcmc`; non-divisible epoch counts are padded).
+    ``mesh``: shard the epoch axis across a device mesh (zero-collective
+    ``shard_map``, same shape as :func:`batched_blackbody_mcmc`;
+    non-divisible epoch counts are padded).
 
     Returns centers (E, ndim) float64 numpy.
     """
@@ -247,7 +253,6 @@ def batched_map_centers(packed, priors, cutoff_freq=np.inf, use_sigma=False,
     bounds = BoundsTransform([getattr(p, "p_min", -np.inf) for p in priors],
                              [getattr(p, "p_max", np.inf) for p in priors])
 
-    rng = np.random.default_rng(seed)
     lo = np.array([getattr(p, "p_min", -np.inf) for p in priors])
     up = np.array([getattr(p, "p_max", np.inf) for p in priors])
     # candidate box: prior support clipped to a generous physical window;
@@ -255,79 +260,63 @@ def batched_map_centers(packed, priors, cutoff_freq=np.inf, use_sigma=False,
     # 2-5 decades)
     lo = np.where(np.isfinite(lo), np.maximum(lo, 1e-6), 0.1)
     up = np.where(np.isfinite(up), up, 100.0)
-    cloud = np.exp(rng.uniform(size=(E, n_cloud, ndim))
-                   * (np.log(up) - np.log(lo)) + np.log(lo))
+    log_lo, log_up = np.log(lo), np.log(up)
 
-    # both stages run on the (possibly padded) epoch axis; slice at the end
+    keys = jr.split(jr.PRNGKey(seed), E)
     data = [packed["y"], packed["dy"], packed["mask"], packed["nodes"],
             packed["weights"], packed["yscale"]]
-    cloud_dev = jnp.asarray(cloud)
     if mesh is not None:
-        (cloud_dev, *data), _ = _pad_epoch_axis([cloud_dev] + data,
-                                                mesh.shape[axis_name])
-    Ep = cloud_dev.shape[0]
+        (keys, *data), _ = _pad_epoch_axis([keys] + data,
+                                           mesh.shape[axis_name])
+    Ep = keys.shape[0]
     msig = _mesh_sig(mesh, axis_name)
-
-    def _compiled(tag, fn, n_in, n_out, *extra):
-        key = _cache_key(tag, packed, priors, cutoff_freq, use_sigma,
-                         sigma_type, dt, msig, Ep) + extra
-        f = _COMPILED_CACHE.get(key)
-        if f is None:
-            f = fn
-            if mesh is not None:
-                spec = P(axis_name)
-                f = shard_map(f, mesh=mesh, in_specs=(spec,) * n_in,
-                              out_specs=(spec,) * n_out if n_out > 1 else spec,
-                              check_vma=False)
-            f = jax.jit(f)
-            _COMPILED_CACHE[key] = f
-        return f
-
-    def score_fn(xs, y, dy, mask, nodes, weights, yscale):
-        def per_epoch(x_e, y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e):
-            lp = logpost_for(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e)
-            return jax.vmap(lp)(x_e)
-        return jax.vmap(per_epoch)(xs, y, dy, mask, nodes, weights, yscale)
-
-    score = _compiled("mapscore", score_fn, 7, 1, n_cloud)
-
-    logp_cloud = np.asarray(score(cloud_dev, *data))
-    logp_cloud = np.where(np.isfinite(logp_cloud), logp_cloud, -np.inf)
-    cloud_np = np.asarray(cloud_dev)
-    top = np.argsort(-logp_cloud, axis=1)[:, :n_starts]        # (Ep, n_starts)
-    x0 = cloud_np[np.arange(Ep)[:, None], top]                 # (Ep, n_starts, ndim)
-    u0 = jnp.asarray(bounds.to_unbounded(x0))
 
     schedule = optax.cosine_decay_schedule(0.05, n_iter, alpha=0.01)
     opt = optax.adam(schedule)
 
-    def neg_one(u, y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e):
-        logpost = logpost_for(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e)
-        return -logpost(bounds.to_bounded(u))
+    def center_one(key_e, y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e):
+        lp = logpost_for(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e)
+        cloud = jnp.exp(jr.uniform(key_e, (n_cloud, ndim))
+                        * (log_up - log_lo) + log_lo)
+        scores = jax.vmap(lp)(cloud)
+        scores = jnp.where(jnp.isfinite(scores), scores, -jnp.inf)
+        _, top = jax.lax.top_k(scores, n_starts)
+        u0 = bounds.to_unbounded_jax(cloud[top])
 
-    vg = jax.vmap(jax.value_and_grad(neg_one), in_axes=(0,) + (None,) * 6)
-    vg = jax.vmap(vg, in_axes=(0,) * 7)
+        def neg(u1):
+            return -lp(bounds.to_bounded(u1))
 
-    def optimize_fn(u, y, dy, mask, nodes, weights, yscale):
+        vg = jax.vmap(jax.value_and_grad(neg))
+
         def step(carry, _):
             u, state = carry
-            _, g = vg(u, y, dy, mask, nodes, weights, yscale)
+            _, g = vg(u)
             g = jnp.where(jnp.isfinite(g), g, 0.0)
             updates, state = opt.update(g, state, u)
             return (optax.apply_updates(u, updates), state), None
 
-        (u, _), _ = jax.lax.scan(step, (u, opt.init(u)), None, length=n_iter)
-        neg_final, _ = vg(u, y, dy, mask, nodes, weights, yscale)
-        return u, neg_final
+        (u, _), _ = jax.lax.scan(step, (u0, opt.init(u0)), None, length=n_iter)
+        neg_fin, _ = vg(u)
+        neg_fin = jnp.where(jnp.isfinite(neg_fin), neg_fin, jnp.inf)
+        best = jnp.argmin(neg_fin)
+        return bounds.to_bounded(u[best]), jnp.isfinite(neg_fin[best])
 
-    optimize = _compiled("map", optimize_fn, 7, 2, n_starts, n_iter)
+    key = _cache_key("center", packed, priors, cutoff_freq, use_sigma,
+                     sigma_type, dt, msig, Ep, n_cloud, n_starts, n_iter)
+    center_all = _COMPILED_CACHE.get(key)
+    if center_all is None:
+        center_all = jax.vmap(center_one)
+        if mesh is not None:
+            spec = P(axis_name)
+            center_all = shard_map(center_all, mesh=mesh,
+                                   in_specs=(spec,) * 7,
+                                   out_specs=(spec, spec), check_vma=False)
+        center_all = jax.jit(center_all)
+        _COMPILED_CACHE[key] = center_all
 
-    u_fin, neg_fin = optimize(u0, *data)
-    neg_fin = np.asarray(neg_fin)
-    best = np.argmin(np.where(np.isfinite(neg_fin), neg_fin, np.inf), axis=1)
-    x_fin = np.asarray(bounds.to_bounded(u_fin))
-    centers = x_fin[np.arange(Ep), best][:E]
-    dead = ~np.isfinite(neg_fin[np.arange(Ep), best])[:E]
+    centers_dev, alive = center_all(keys, *data)
+    centers = np.asarray(centers_dev, np.float64)[:E]
+    dead = ~np.asarray(alive)[:E]
     if dead.any():
         centers = np.where(dead[:, None], fallback, centers)
     return centers

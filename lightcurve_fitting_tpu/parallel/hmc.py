@@ -84,6 +84,18 @@ class BoundsTransform:
                         np.where(self.lower_only, np.log(gap_lo),
                                  np.where(self.upper_only, np.log(gap_hi), x)))
 
+    def to_unbounded_jax(self, x, eps=1e-6):
+        """jax twin of :meth:`to_unbounded` for traced values (used by the
+        fused on-device MAP-centering kernel, ``parallel/batched.py``)."""
+        p = jnp.clip((x - self._lo2) / self._width, eps, 1.0 - eps)
+        u2 = jnp.log(p) - jnp.log1p(-p)
+        gap_lo = jnp.maximum(x - self._lo1, eps)
+        gap_hi = jnp.maximum(self._hi1 - x, eps)
+        return jnp.where(self.two_sided, u2,
+                         jnp.where(self.lower_only, jnp.log(gap_lo),
+                                   jnp.where(self.upper_only, jnp.log(gap_hi),
+                                             x)))
+
 
 class WhitenedPosterior:
     """Affine reparametrization u = mu + L w of a (transformed) posterior,
