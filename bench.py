@@ -64,10 +64,12 @@ def _bench_host_binning():
 
 def _bench_bolometric(E=256, nwalkers=32, burnin_steps=200, steps=100):
     """Bolometric-pipeline throughput: E blackbody epochs fit concurrently
-    (batched MAP centering + batched per-epoch ensembles, the
-    calculate_bolometric(batch_mode=True) device path). Metric: epochs/s
-    end-to-end (centering + MCMC; the reference fits epochs serially,
-    ~3e3 emcee evals each, bolometric.py:648-671)."""
+    (batched MAP centering + batched per-epoch ensembles + on-device posterior
+    summaries, the calculate_bolometric(batch_mode=True, save_corners=False)
+    device path — chains never cross the tunnel; only the (E, 4, 3) summary
+    percentiles do). Metric: epochs/s end-to-end (centering + MCMC +
+    summaries; the reference fits epochs serially, ~3e3 emcee evals each,
+    bolometric.py:648-671)."""
     import jax
     import jax.numpy as jnp
     from lightcurve_fitting_tpu.filters import filtdict
@@ -95,14 +97,18 @@ def _bench_bolometric(E=256, nwalkers=32, burnin_steps=200, steps=100):
     priors = [UniformPrior(1.0, 100.0), LogUniformPrior(0.01, 1000.0)]
 
     packed = pack_epochs(epochs, bank, 0.0)
+    from lightcurve_fitting_tpu.bolometric import _pseudo_grid
+    summaries = {"z": 0.0, "pseudo_nu": _pseudo_grid()}
 
     def run(seed):
         centers = batched_map_centers(packed, priors, seed=seed)
         guesses = rng.normal(size=(E, nwalkers, 2)) * 0.5 + centers[:, None, :]
         guesses[guesses <= 0.0] = 1.0
-        flat, acc = batched_blackbody_mcmc(packed, priors, guesses, nwalkers,
-                                           burnin_steps, steps, seed=seed)
-        return float(np.asarray(flat).mean())  # forced host transfer
+        flat, acc, summ = batched_blackbody_mcmc(packed, priors, guesses, nwalkers,
+                                                 burnin_steps, steps, seed=seed,
+                                                 summaries=summaries,
+                                                 return_chains=False)
+        return float(np.asarray(summ).mean())  # forced host transfer
 
     run(0)  # compile both kernels
     times = []

@@ -614,6 +614,33 @@ def _mcmc_record(flatchain, z, cutoff_freq):
             "L_mcmc": L_opt, "dL_mcmc0": dL_opt0, "dL_mcmc1": dL_opt1}
 
 
+def _pseudo_grid(filter0=filtdict["I"], filter1=filtdict["U"]):
+    """The observed-frame 1-THz integration grid ``pseudo`` uses (reference
+    bolometric.py:32-59) — shared with the on-device batched summaries so
+    both paths integrate the same frequencies."""
+    freq0 = filter0.freq_eff.value - filter0.dfreq.value / 2.0
+    freq1 = filter1.freq_eff.value + filter1.dfreq.value / 2.0
+    return np.arange(freq0, freq1)
+
+
+def _summary_record(summ_row):
+    """The ``_mcmc_record`` fields from one epoch's on-device summary row
+    (``batched_blackbody_mcmc(summaries=...)``): rows (T, R, R^2T^4,
+    pseudo/1e12), columns (16th, 50th, 84th percentile). The unit constants
+    are applied here, host-side, where real float64 range is available;
+    percentiles commute with the positive scaling."""
+    (T_lo, T, T_hi), (R_lo, R, R_hi), u, s = summ_row
+    L_bol = 4.0 * np.pi * sigma_sb * np.asarray(u)
+    L_opt = 1e12 * np.asarray(s)
+    return {"temp_mcmc": T, "radius_mcmc": R,
+            "dtemp_mcmc0": T - T_lo, "dtemp_mcmc1": T_hi - T,
+            "dradius_mcmc0": R - R_lo, "dradius_mcmc1": R_hi - R,
+            "L_bol_mcmc": L_bol[1], "dL_bol_mcmc0": L_bol[1] - L_bol[0],
+            "dL_bol_mcmc1": L_bol[2] - L_bol[1],
+            "L_mcmc": L_opt[1], "dL_mcmc0": L_opt[1] - L_opt[0],
+            "dL_mcmc1": L_opt[2] - L_opt[1]}
+
+
 def _color_record(epoch1, colors):
     mags, dmags, lolims, uplims = calc_colors(epoch1, colors)
     record = {}
@@ -686,6 +713,7 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
 
     # batch mode: fit all multi-filter epochs concurrently in one device call
     batched_chains = {}
+    batched_summaries = {}
     if batch_mode and do_mcmc:
         from .parallel.batched import pack_epochs, batched_blackbody_mcmc
         if mesh is None and jax.device_count() > 1:
@@ -715,12 +743,21 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
                                           mesh=mesh)
             guesses = rng.normal(size=(len(eligible), nwalkers, ndim)) + centers[:, None, :]
             guesses[guesses <= 0.0] = 1.0
-            flat, _acc = batched_blackbody_mcmc(packed, priors, guesses, nwalkers,
-                                                burnin_steps, steps, cutoff_freq,
-                                                use_sigma, sigma_type,
-                                                seed=seed if seed is not None else 0,
-                                                mesh=mesh)
-            batched_chains = {i: flat[j] for j, i in enumerate(eligible)}
+            # posterior summaries are computed on device; the full chains only
+            # cross the tunnel when something downstream actually needs them
+            # (per-epoch saves, corner PDFs, or KDE chaining into
+            # single-filter epochs) — the chain readback was measured at ~82%
+            # of this stage's wall time otherwise
+            need_chains = bool(save_chains or save_corners or min_nfilt < 2)
+            flat, _acc, summ = batched_blackbody_mcmc(
+                packed, priors, guesses, nwalkers, burnin_steps, steps,
+                cutoff_freq, use_sigma, sigma_type,
+                seed=seed if seed is not None else 0, mesh=mesh,
+                summaries={"z": z, "pseudo_nu": _pseudo_grid()},
+                return_chains=need_chains)
+            batched_summaries = {i: summ[j] for j, i in enumerate(eligible)}
+            if flat is not None:
+                batched_chains = {i: flat[j] for j, i in enumerate(eligible)}
 
     for i_epoch, epoch1 in enumerate(groups):
         detected = set(epoch1.where(nondet=False)["filter"])
@@ -761,17 +798,19 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
             if not do_mcmc:
                 raise ValueError("do_mcmc=False")
             spectrum_kwargs = {"cutoff_freq": cutoff_freq}
-            if i_epoch in batched_chains:
-                sampler = _FlatchainSampler(batched_chains[i_epoch])
-                os.makedirs(outpath, exist_ok=True)
-                if save_chains:
-                    np.save(os.path.join(outpath, f"{mjdavg:.3f}.npy"), sampler.flatchain)
-                if save_corners:
-                    f4 = spectrum_corner(planck_fast, epoch1, sampler.flatchain, z,
-                                         spectrum_kwargs=spectrum_kwargs,
-                                         use_sigma=use_sigma, labels=labels,
-                                         save_plot_as=os.path.join(outpath, f"{mjdavg:.3f}.pdf"))
-                    plt.close(f4)
+            if i_epoch in batched_summaries:
+                record.update(_summary_record(batched_summaries[i_epoch]))
+                if i_epoch in batched_chains:
+                    sampler = _FlatchainSampler(batched_chains[i_epoch])
+                    os.makedirs(outpath, exist_ok=True)
+                    if save_chains:
+                        np.save(os.path.join(outpath, f"{mjdavg:.3f}.npy"), sampler.flatchain)
+                    if save_corners:
+                        f4 = spectrum_corner(planck_fast, epoch1, sampler.flatchain, z,
+                                             spectrum_kwargs=spectrum_kwargs,
+                                             use_sigma=use_sigma, labels=labels,
+                                             save_plot_as=os.path.join(outpath, f"{mjdavg:.3f}.pdf"))
+                        plt.close(f4)
             else:
                 # derive a per-epoch seed (fold_in-style): every epoch's
                 # sampler gets an independent, reproducible stream instead of
@@ -785,7 +824,7 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
                                         steps=steps, show=show, save_chains=save_chains,
                                         use_sigma=use_sigma, sigma_type=sigma_type,
                                         labels=labels, seed=seed_i, make_corner=save_corners)
-            record.update(_mcmc_record(sampler.flatchain, z, cutoff_freq))
+                record.update(_mcmc_record(sampler.flatchain, z, cutoff_freq))
         except ValueError as e:
             print(e)
             record.update({field: np.nan for field in _MCMC_FIELDS})

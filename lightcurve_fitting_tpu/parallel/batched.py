@@ -129,10 +129,47 @@ def pack_epochs(epochs, bank, z=0.0):
             "yscale": jnp.asarray(yscale)}
 
 
+def _epoch_summary(flat, ambient_dtype, dt, nu_emit, trap_w, cutoff_freq, nwalkers):
+    """(16, 50, 84)th percentiles of T, R, R^2T^4, and the c2/1e12-scaled
+    pseudobolometric integral for one epoch's (S, ndim) production samples —
+    the on-device form of ``bolometric._mcmc_record`` (reference
+    bolometric.py:786-798; percentile convention of :456-480).
+
+    The Planck trapezoid (~570 frequency points per sample) is chunked over
+    the step axis with a ``lax.scan`` so the (S, F) cube never materializes;
+    each chunk reuses :func:`..models.blackbody.planck_lnu`, so the device
+    integrand is bit-identical in structure to the host ``pseudo`` path
+    (sum of trapezoid weights x L_nu; the 1e12 THz measure is applied
+    host-side for float32-exponent-range safety)."""
+    T = flat[:, 0].astype(ambient_dtype)
+    R = flat[:, 1].astype(ambient_dtype)
+    v = R * T * T                      # R T^2 <= ~1e7: u = v^2 <= ~1e14, f32-safe
+    u = v * v
+    dtc = dt if dt is not None else ambient_dtype
+    nu_c = nu_emit.astype(dtc)
+    w_c = trap_w.astype(dtc)
+
+    def s_chunk(carry, TR):
+        T_c, R_c = TR              # (nwalkers,)
+        lnu = planck_lnu(nu_c[None, :], T_c[:, None].astype(dtc),
+                         R_c[:, None].astype(dtc), cutoff_freq)
+        return carry, jnp.sum(w_c * lnu, axis=-1)
+
+    steps_ax = flat.shape[0] // nwalkers
+    _, s_steps = jax.lax.scan(
+        s_chunk, 0.0, (flat[:, 0].reshape(steps_ax, nwalkers),
+                       flat[:, 1].reshape(steps_ax, nwalkers)))
+    s = s_steps.reshape(-1).astype(ambient_dtype)
+    q = jnp.asarray([16.0, 50.0, 84.0], ambient_dtype)
+    samples = jnp.stack([T, R, u, s])
+    return jnp.percentile(samples, q, axis=1).T  # (4, 3)
+
+
 def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_steps,
                            steps, cutoff_freq=np.inf, use_sigma=False,
                            sigma_type="relative", a=2.0, seed=0,
-                           state_dtype="auto", mesh=None, axis_name="epochs"):
+                           state_dtype="auto", mesh=None, axis_name="epochs",
+                           summaries=None, return_chains=True):
     """Run E independent stretch-move ensembles, one per epoch, in a single
     jitted call.
 
@@ -148,6 +185,18 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
     :func:`..population.fit_population`). Epoch counts that don't divide the
     mesh are padded by repeating the last epoch and sliced back after.
 
+    ``summaries``: dict ``{"z": z, "pseudo_nu": observed-frame 1-THz grid}``
+    — additionally compute the posterior summaries ``calculate_bolometric``
+    records (reference bolometric.py:786-798) **on device**: equal-tailed 68%
+    percentiles of T, R, the Stefan-Boltzmann product R^2 T^4, and the
+    c2/1e12-scaled pseudobolometric integral. Percentiles commute with
+    positive constant scaling, so the big unit constants (4 pi sigma_sb, the
+    1e12 trapezoid THz factor) are applied host-side — device intermediates
+    stay inside the emulated-float64 exponent range (see
+    ``core.constants``). With ``return_chains=False`` the (E, S, ndim)
+    chains never cross the tunnel: measured at 256 epochs x 3200 samples,
+    the 6.6 MB chain readback was ~82% of the whole batched-MCMC stage.
+
     Parameters
     ----------
     packed : output of :func:`pack_epochs`
@@ -155,8 +204,11 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
 
     Returns
     -------
-    flatchains : (E, steps*nwalkers, ndim) production samples (float64)
+    flatchains : (E, steps*nwalkers, ndim) production samples (float64), or
+        None when ``return_chains=False``
     acceptance : (E,) mean acceptance fraction
+    summary : (E, 4, 3) float64 — rows (T, R, R^2T^4, pseudo/c2/1e12), columns
+        (16th, 50th, 84th percentile). Only present when ``summaries`` is set.
     """
     ndim = len(priors)
     half = nwalkers // 2
@@ -171,6 +223,16 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
 
     logpost_for = _make_epoch_logpost(priors, cutoff_freq, use_sigma, sigma_type, dt)
 
+    summ_sig = None
+    if summaries is not None:
+        nu_host = (np.asarray(summaries["pseudo_nu"], float)
+                   * (1.0 + float(summaries.get("z", 0.0))))
+        nu_emit = jnp.asarray(nu_host)
+        trap_w = np.ones(nu_host.shape)
+        trap_w[0] = trap_w[-1] = 0.5
+        trap_w = jnp.asarray(trap_w)
+        summ_sig = hash(nu_host.tobytes())
+
     def run_one(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e, guesses, key):
         logpost = logpost_for(y_e, dy_e, mask_e, nodes_e, weights_e, yscale_e)
         step, batched_logp = make_stretch_kernel(logpost, half, ndim, a)
@@ -179,7 +241,12 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
         keys = jr.split(key, burnin_steps + steps)
         (x, logp), (xs, lps, acc) = jax.lax.scan(step, (x, logp), keys)
         prod = xs[burnin_steps:]  # (steps, 2, half, ndim)
-        return prod.reshape(steps * nwalkers, ndim), acc[burnin_steps:].mean()
+        flat = prod.reshape(steps * nwalkers, ndim)
+        acc_mean = acc[burnin_steps:].mean()
+        if summaries is None:
+            return flat, acc_mean
+        return flat, acc_mean, _epoch_summary(flat, y_e.dtype, dt, nu_emit,
+                                              trap_w, cutoff_freq, nwalkers)
 
     keys = jr.split(jr.PRNGKey(seed), E)
     guesses_dev = jnp.asarray(starting_guesses,
@@ -188,20 +255,26 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
             packed["weights"], packed["yscale"], guesses_dev, keys]
     if mesh is not None:
         args, E = _pad_epoch_axis(args, mesh.shape[axis_name])
+    n_out = 2 if summaries is None else 3
     ck = _cache_key("mcmc", packed, priors, cutoff_freq, use_sigma, sigma_type,
                     nwalkers, burnin_steps, steps, a, dt, use_f32_state,
-                    _mesh_sig(mesh, axis_name), args[0].shape[0])
+                    _mesh_sig(mesh, axis_name), args[0].shape[0], summ_sig)
     run_all = _COMPILED_CACHE.get(ck)
     if run_all is None:
         run_all = jax.vmap(run_one)
         if mesh is not None:
             spec = P(axis_name)
             run_all = shard_map(run_all, mesh=mesh, in_specs=(spec,) * 8,
-                                out_specs=(spec, spec), check_vma=False)
+                                out_specs=(spec,) * n_out, check_vma=False)
         run_all = jax.jit(run_all)
         _COMPILED_CACHE[ck] = run_all
-    flat, acc = run_all(*args)
-    return np.asarray(flat[:E], np.float64), np.asarray(acc[:E])
+    out = run_all(*args)
+    if summaries is None:
+        flat, acc = out
+        return np.asarray(flat[:E], np.float64), np.asarray(acc[:E])
+    flat, acc, summ = out
+    chains = np.asarray(flat[:E], np.float64) if return_chains else None
+    return chains, np.asarray(acc[:E]), np.asarray(summ[:E], np.float64)
 
 
 def batched_map_centers(packed, priors, cutoff_freq=np.inf, use_sigma=False,

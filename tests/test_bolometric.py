@@ -391,3 +391,73 @@ def test_calculate_bolometric_mesh_smoke(tmp_path):
     for col in ["temp_mcmc", "radius_mcmc", "L_mcmc"]:
         np.testing.assert_allclose(np.asarray(t_m[col], float),
                                    np.asarray(t_b[col], float), rtol=1e-9)
+
+
+def test_batched_device_summaries_match_host_record():
+    """batched_blackbody_mcmc(summaries=...) computes _mcmc_record's
+    percentiles on device; against the host path on the returned chains the
+    records must agree to float32-integrand precision."""
+    from lightcurve_fitting_tpu.ops.filterbank import FilterBank
+    from lightcurve_fitting_tpu.models import UniformPrior, LogUniformPrior
+    from lightcurve_fitting_tpu.models.blackbody import planck_lnu
+    from lightcurve_fitting_tpu.parallel.batched import (pack_epochs,
+                                                         batched_blackbody_mcmc)
+    from lightcurve_fitting_tpu.bolometric import (_mcmc_record, _pseudo_grid,
+                                                   _summary_record)
+    from lightcurve_fitting_tpu.utils.table import Table
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(11)
+    filters = [filtdict[n] for n in ["U", "B", "g", "V", "r", "i"]]
+    bank = FilterBank(filters)
+    z = 0.01
+    epochs = []
+    for e in range(3):
+        T, R = rng.uniform(5.0, 18.0), rng.uniform(1.0, 20.0)
+        lnu = np.asarray(planck_lnu(jnp.asarray(bank.emitted_nodes(z)), T, R))
+        y = (bank.weights * lnu).sum(-1)
+        dy = 0.05 * np.abs(y)
+        epochs.append(Table([filters, y + rng.normal(scale=dy), dy],
+                            names=["filter", "lum", "dlum"]))
+    packed = pack_epochs(epochs, bank, z)
+    priors = [UniformPrior(1.0, 100.0), LogUniformPrior(0.01, 1000.0)]
+    guesses = np.stack([np.column_stack([rng.uniform(5, 20, 16), rng.uniform(1, 20, 16)])
+                        for _ in range(3)])
+    cutoff = 800.0
+    flat, acc, summ = batched_blackbody_mcmc(
+        packed, priors, guesses, 16, 80, 60, cutoff_freq=cutoff, seed=5,
+        summaries={"z": z, "pseudo_nu": _pseudo_grid()}, return_chains=True)
+    assert summ.shape == (3, 4, 3)
+    for e in range(3):
+        host = _mcmc_record(flat[e], z, cutoff)
+        dev = _summary_record(summ[e])
+        assert set(dev) == set(host)
+        for k, v in host.items():
+            assert dev[k] == pytest.approx(v, rel=1e-5), k
+
+    # return_chains=False elides the chain transfer but keeps the summaries
+    none_flat, acc2, summ2 = batched_blackbody_mcmc(
+        packed, priors, guesses, 16, 80, 60, cutoff_freq=cutoff, seed=5,
+        summaries={"z": z, "pseudo_nu": _pseudo_grid()}, return_chains=False)
+    assert none_flat is None
+    np.testing.assert_allclose(summ2, summ, rtol=1e-12)
+
+
+def test_calculate_bolometric_summaries_only_matches_chain_path(tmp_path):
+    """With save_corners=False/save_chains=False the batch path never reads
+    chains back; its MCMC columns must equal the chain-returning run (same
+    seed) exactly, since both use the device summaries."""
+    lc = load_lc().where(MJD_min=57468.0, MJD_max=57472.0)
+    kwargs = dict(res=1.0, nwalkers=10, burnin_steps=60, steps=40, seed=9,
+                  batch_mode=True, mesh=False)
+    t_fast = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "f"),
+                                      save_corners=False, **kwargs)
+    t_full = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "c"),
+                                      save_corners=False, save_chains=True,
+                                      **kwargs)
+    assert any(f.suffix == ".npy" for f in (tmp_path / "c").iterdir())
+    for col in ["temp_mcmc", "radius_mcmc", "L_bol_mcmc", "L_mcmc",
+                "dL_mcmc0", "dL_mcmc1"]:
+        np.testing.assert_allclose(np.asarray(t_fast[col], float),
+                                   np.asarray(t_full[col], float), rtol=1e-12)
+    plt.close("all")
