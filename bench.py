@@ -121,6 +121,55 @@ def _bench_bolometric(E=256, nwalkers=32, burnin_steps=200, steps=100):
             "elapsed_s": elapsed, "epochs_per_sec": E / elapsed}
 
 
+def _bench_population(S=64, nwalkers=64, nsteps=1000, nsteps_burnin=100):
+    """Population-fitting throughput: S ShockCooling2 transients, each with
+    its own ensemble, in one device call (fit_population(summaries=True,
+    return_chains=False) — per-transient percentiles computed on device; the
+    (S, nsteps*nwalkers, ndim) chains never transfer, which was measured at
+    ~83% of the end-to-end wall time through the tunnel)."""
+    import time
+    from lightcurve_fitting_tpu.lightcurve import LC
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.parallel.population import fit_population
+
+    import os
+    lc = LC.read(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "lightcurve_fitting_tpu", "data", "SN2016bkv.csv"))
+    lc.meta.update(dm=30.79, redshift=0.002, extinction={
+        "U": 0.069, "B": 0.061, "g": 0.055, "V": 0.045, "0": 0.035,
+        "r": 0.038, "R": 0.035, "i": 0.028, "I": 0.020})
+    lc.calcAbsMag()
+    lc.calcLum()
+    early = lc.where(MJD_min=57468.0, MJD_max=57485.0)
+    rng = np.random.default_rng(0)
+    lcs, models = [], []
+    for s in range(S):
+        l = early.copy()
+        l["lum"] = np.asarray(l["lum"], float) * rng.uniform(0.9, 1.1)
+        lcs.append(l)
+        models.append(ShockCooling2(l))
+    priors = [UniformPrior(0.0, 100.0)] * 3 + [UniformPrior(57468.0, 57468.7)]
+    kw = dict(p_lo=[20.0, 2.0, 20.0, 57468.5], p_up=[50.0, 5.0, 50.0, 57468.7],
+              nwalkers=nwalkers, nsteps=nsteps, nsteps_burnin=nsteps_burnin,
+              summaries=True, return_chains=False)
+
+    def go(seed):
+        _, _, summ = fit_population(models, lcs, priors, seed=seed, **kw)
+        return float(np.asarray(summ).mean())  # forced host transfer
+
+    go(0)  # compile
+    times = []
+    for i in range(2):
+        t0 = time.perf_counter()
+        go(1 + i)
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    evals = S * nwalkers * (nsteps + nsteps_burnin)
+    return {"transients": S, "nwalkers": nwalkers,
+            "steps": nsteps + nsteps_burnin, "elapsed_s": elapsed,
+            "transients_per_sec": S / elapsed, "evals_per_sec": evals / elapsed}
+
+
 def main():
     import jax
     jax.config.update("jax_enable_x64", True)
@@ -186,6 +235,7 @@ def main():
     value_1k_single, _, _ = measure(1024, 300)
     binning = _bench_host_binning()
     bolometric = _bench_bolometric()
+    population = _bench_population()
 
     baseline = 1e7  # north-star target (BASELINE.json)
     result = {
@@ -208,6 +258,7 @@ def main():
             "evals_per_sec_at_1024_walkers_single_ensemble": float(value_1k_single),
             "host_binning": binning,
             "bolometric_pipeline": bolometric,
+            "population_pipeline": population,
             # round-3 asymptote experiments (tools/perf_experiments_r3.py,
             # measured on this chip; interleaved round-robin repeats at
             # 131072 walkers x 300 steps, varied inputs + forced transfer):

@@ -109,7 +109,10 @@ def fit_population_local_shard(models, lcs, priors, p_lo, p_up, process_id=None,
     mine = local_shard(len(lcs), process_id, process_count)
     if len(mine) == 0:
         ndim = len(priors)
-        return mine, (np.empty((0, 0, ndim)), np.empty((0,)))
+        empty = (np.empty((0, 0, ndim)), np.empty((0,)))
+        if fit_kwargs.get("summaries"):
+            empty = empty + (np.empty((0, ndim, 3)),)
+        return mine, empty
     shard_models = [models[i] for i in mine]
     shard_lcs = [lcs[i] for i in mine]
     result = fit_population(shard_models, shard_lcs, priors, p_lo, p_up, **fit_kwargs)

@@ -212,7 +212,8 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
                    seed=0, mesh=None, axis_name="transients", a=2.0,
                    init="window", n_map_starts=16, n_map_iter=400,
                    state_dtype="auto", checkpoint_every=None,
-                   checkpoint_file=None, resume_from=None):
+                   checkpoint_file=None, resume_from=None,
+                   return_chains=True, summaries=False):
     """Fit every light curve with its own ensemble, all in one device call.
 
     ``init="map"`` first runs a batched multi-start Adam ascent of every
@@ -236,12 +237,28 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
     global step index from each transient's base key, so the resumed chains
     equal the uninterrupted run's exactly.
 
-    Returns (flatchains (S, nsteps*nwalkers, ndim), acceptance (S,)).
+    ``summaries=True``: additionally return per-transient per-parameter
+    (16, 50, 84)th percentiles, shape (S, ndim, 3), computed **on device**
+    in un-checkpointed runs. With ``return_chains=False`` (requires
+    ``summaries=True``) the chains never reach the host: at 64 transients x
+    64 walkers x 1000 steps the 62 MB float32 chain transfer plus the 33 MB
+    acceptance array were measured at ~83% of the end-to-end wall time
+    through the TPU tunnel. Percentiles commute with the affine state
+    rescaling, so they are computed in the float32 q-representation and
+    mapped to absolute parameters host-side. Checkpointed/resumed runs ship
+    chains to the host anyway (checkpoints contain them); there the
+    summaries are computed host-side, same values.
+
+    Returns (flatchains (S, nsteps*nwalkers, ndim) or None, acceptance (S,))
+    plus the (S, ndim, 3) summary array when ``summaries=True``.
     With ``mesh``, the transient axis is sharded across it; transient counts
     that don't divide the mesh are padded internally by repeating the last
     transient (its duplicate chains are computed and discarded — waste is
     bounded by mesh_size - 1 transients).
     """
+    if not return_chains and not summaries:
+        raise ValueError("return_chains=False requires summaries=True "
+                         "(nothing would be returned)")
     ndim = len(priors)
     half = nwalkers // 2
     S = len(lcs)
@@ -465,6 +482,13 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
                                if blocks["acc"]
                                else np.empty((S, 0, 2, half))))
 
+    # un-checkpointed runs execute production as ONE segment, so chains and
+    # acceptance can stay device-resident: the acceptance mean reduces to
+    # (S,) on device, and summaries (if requested) reduce the chains to
+    # (S, ndim, 3) on device — the dominant cost on remote devices is the
+    # chain/acceptance transfer, not the sampling (measured ~83%)
+    fast = checkpoint_every is None and resume_from is None
+    xs_dev = acc_dev = None
     while steps_done < total:
         in_burn = steps_done < nsteps_burnin
         phase_end = nsteps_burnin if in_burn else total
@@ -476,20 +500,60 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
             x, logp = seg_burn(*data_args, x, logp, tkeys, idx)
         else:
             x, logp, xs, acc = seg_prod(*data_args, x, logp, tkeys, idx)
-            blocks["xs"].append(np.asarray(xs))
-            blocks["acc"].append(np.asarray(acc))
+            if fast:
+                xs_dev, acc_dev = xs, acc
+            else:
+                blocks["xs"].append(np.asarray(xs))
+                blocks["acc"].append(np.asarray(acc))
         steps_done += seg
         if checkpoint_every is not None:
             save_checkpoint()
 
+    def _affine_abs(arr_np):
+        if q_off is None:
+            return np.asarray(arr_np, np.float64)
+        return np.asarray(arr_np, np.float64) * q_sc + q_off
+
+    if fast:
+        if xs_dev is None:
+            # burn-in-only runs (nsteps=0): empty chains, graceful like before
+            flat = np.empty((S_out, 0, ndim)) if return_chains else None
+            out = (flat, np.zeros(S_out))
+            return out + (np.full((S_out, ndim, 3), np.nan),) if summaries else out
+        acc_out = np.asarray(jnp.mean(acc_dev.astype(packed["t"].dtype),
+                                      axis=(1, 2, 3)), np.float64)[:S_out]
+        summ = None
+        if summaries:
+            q = jnp.asarray([16.0, 50.0, 84.0])
+            fl = xs_dev.reshape(S, -1, ndim)
+            # percentiles in the (possibly rescaled-f32) state representation;
+            # the affine map to absolute parameters commutes with linear
+            # percentile interpolation and is applied host-side in float64
+            qs = jnp.moveaxis(jnp.percentile(fl.astype(packed["t"].dtype), q,
+                                             axis=1), 0, -1)   # (S, ndim, 3)
+            summ = np.asarray(qs, np.float64)[:S_out]
+            if q_off is not None:
+                summ = summ * q_sc[None, :, None] + q_off[None, :, None]
+        flat = None
+        if return_chains:
+            prod = np.asarray(xs_dev)                 # the big transfer
+            flat = _affine_abs(prod.reshape(S, nsteps * nwalkers, ndim))[:S_out]
+        return (flat, acc_out, summ) if summaries else (flat, acc_out)
+
     if not blocks["xs"]:
-        # burn-in-only runs (nsteps=0): empty chains, graceful like before
-        return (np.empty((S_out, 0, ndim)), np.zeros(S_out))
+        flat = np.empty((S_out, 0, ndim)) if return_chains else None
+        out = (flat, np.zeros(S_out))
+        return out + (np.full((S_out, ndim, 3), np.nan),) if summaries else out
     prod = np.concatenate(blocks["xs"], axis=1)       # (S, nsteps, 2, half, ndim)
     acc = np.concatenate(blocks["acc"], axis=1)       # (S, nsteps, 2, half)
-    flat = prod.reshape(S, nsteps * nwalkers, ndim)
-    if q_off is not None:
-        # rescaled float32 chains -> absolute float64 parameters
-        flat = np.asarray(flat, np.float64) * q_sc + q_off
+    flat = _affine_abs(prod.reshape(S, nsteps * nwalkers, ndim))
+    acc_out = acc.reshape(S, -1).mean(axis=1)[:S_out]
     # slice away internally-padded transients (non-divisible mesh runs)
-    return flat[:S_out], acc.reshape(S, -1).mean(axis=1)[:S_out]
+    flat = flat[:S_out]
+    if summaries:
+        # checkpointed/resumed runs already paid the host transfer (the
+        # checkpoint holds the chains); same percentiles, computed host-side
+        summ = np.moveaxis(np.percentile(flat, [16.0, 50.0, 84.0], axis=1),
+                           0, -1)
+        return (flat if return_chains else None), acc_out, summ
+    return flat, acc_out

@@ -279,3 +279,51 @@ def test_fit_population_non_divisible_mesh_pads(population):
     assert flat8.shape == flat1.shape == (3, 150 * 16, 3)
     np.testing.assert_array_equal(flat8, flat1)
     np.testing.assert_array_equal(acc8, acc1)
+
+
+def test_fit_population_device_summaries(population):
+    """summaries=True returns (S, ndim, 3) per-parameter percentiles computed
+    on device in un-checkpointed runs; they must match host percentiles of
+    the returned chains, and return_chains=False must reproduce them while
+    eliding the chain transfer (identical acceptance)."""
+    lcs, models, priors = population
+    lcs2 = []
+    for lc, truth in zip(lcs, TRUTHS):
+        lc2 = lc.copy()
+        lc2["MJD"] = np.asarray(lc2["MJD"], float) - truth[3]
+        lcs2.append(LC(lc2))
+    kw = dict(p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
+              nwalkers=16, nsteps=80, nsteps_burnin=60, seed=3)
+    flat, acc, summ = fit_population(models, lcs2, priors, summaries=True, **kw)
+    assert summ.shape == (len(TRUTHS), 3, 3)
+    host = np.moveaxis(np.percentile(flat, [16.0, 50.0, 84.0], axis=1), 0, -1)
+    np.testing.assert_allclose(summ, host, rtol=1e-9, atol=1e-12)
+    # percentile ordering and physicality
+    assert np.all(summ[..., 0] <= summ[..., 1]) and np.all(summ[..., 1] <= summ[..., 2])
+
+    flat2, acc2, summ2 = fit_population(models, lcs2, priors, summaries=True,
+                                        return_chains=False, **kw)
+    assert flat2 is None
+    np.testing.assert_array_equal(summ2, summ)
+    np.testing.assert_allclose(acc2, acc)
+
+    with pytest.raises(ValueError, match="summaries"):
+        fit_population(models, lcs2, priors, return_chains=False, **kw)
+
+
+def test_fit_population_summaries_checkpointed_path(population, tmp_path):
+    """Checkpointed runs compute the same summaries host-side (the chains
+    already crossed to the host for the checkpoint)."""
+    lcs, models, priors = population
+    lcs2 = []
+    for lc, truth in zip(lcs, TRUTHS):
+        lc2 = lc.copy()
+        lc2["MJD"] = np.asarray(lc2["MJD"], float) - truth[3]
+        lcs2.append(LC(lc2))
+    kw = dict(p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
+              nwalkers=16, nsteps=50, nsteps_burnin=40, seed=5)
+    _, _, summ_fast = fit_population(models, lcs2, priors, summaries=True, **kw)
+    ck = str(tmp_path / "pop_summ.ckpt")
+    _, _, summ_ck = fit_population(models, lcs2, priors, summaries=True,
+                                   checkpoint_every=20, checkpoint_file=ck, **kw)
+    np.testing.assert_allclose(summ_ck, summ_fast, rtol=1e-9, atol=1e-12)
