@@ -127,6 +127,8 @@ def _bench_population(S=64, nwalkers=64, nsteps=1000, nsteps_burnin=100):
     return_chains=False) — per-transient percentiles computed on device; the
     (S, nsteps*nwalkers, ndim) chains never transfer, which was measured at
     ~83% of the end-to-end wall time through the tunnel)."""
+    import contextlib
+    import io
     import time
     from lightcurve_fitting_tpu.lightcurve import LC
     from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
@@ -138,8 +140,11 @@ def _bench_population(S=64, nwalkers=64, nsteps=1000, nsteps_burnin=100):
     lc.meta.update(dm=30.79, redshift=0.002, extinction={
         "U": 0.069, "B": 0.061, "g": 0.055, "V": 0.045, "0": 0.035,
         "r": 0.038, "R": 0.035, "i": 0.028, "I": 0.020})
-    lc.calcAbsMag()
-    lc.calcLum()
+    with contextlib.redirect_stdout(io.StringIO()):
+        # calcAbsMag prints reference-parity "host extinction not applied"
+        # notes; bench stdout must stay exactly one JSON line
+        lc.calcAbsMag()
+        lc.calcLum()
     early = lc.where(MJD_min=57468.0, MJD_max=57485.0)
     rng = np.random.default_rng(0)
     lcs, models = [], []

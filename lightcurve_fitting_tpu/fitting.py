@@ -810,7 +810,27 @@ def _tempered_setup(lc, model, priors, p_lo, p_up, nwalkers, use_sigma,
         log_prior_fn = lambda q: base_prior(o + s * q)   # noqa: E731
         log_like_fn = lambda q: base_like(o + s * q)     # noqa: E731
         p0 = (p0 - offset) / scale
-    return log_prior_fn, log_like_fn, p0, state_kw
+
+    # fingerprint of everything the two closures bake in, so the tempered
+    # ladder can cache its compiled kernels across calls (on a remote-compile
+    # TPU the per-call re-jit costs ~an order of magnitude more than the
+    # sampling). Must capture model physics, priors (incl. KDE samples),
+    # the photometry itself, and the affine rescaling.
+    import hashlib
+    from .parallel.population import _model_fingerprint, _prior_fingerprint
+    oq = model.output_quantity
+    data_digest = hashlib.sha1(
+        np.ascontiguousarray(np.asarray(lc["MJD"], float)).tobytes()
+        + np.ascontiguousarray(np.asarray(lc[oq], float)).tobytes()
+        + np.ascontiguousarray(np.asarray(lc["d" + oq], float)).tobytes()
+        + "|".join(str(f) for f in lc["filter"]).encode()).hexdigest()
+    fns_key = (_model_fingerprint(model),
+               tuple(_prior_fingerprint(p) for p in priors),
+               data_digest, use_sigma, sigma_type,
+               None if not state_kw else
+               (tuple(state_kw["param_offset"]), tuple(state_kw["param_scale"]),
+                str(state_kw.get("dtype"))))
+    return log_prior_fn, log_like_fn, p0, state_kw, fns_key
 
 
 def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
@@ -843,7 +863,7 @@ def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
     """
     from .parallel.evidence import stepping_stone_evidence
 
-    log_prior_fn, log_like_fn, p0, state_kw = _tempered_setup(
+    log_prior_fn, log_like_fn, p0, state_kw, fns_key = _tempered_setup(
         lc, model, priors, p_lo, p_up, nwalkers, use_sigma, sigma_type, seed,
         state_dtype=state_dtype)
     log_z, log_z_err, info = stepping_stone_evidence(
@@ -851,7 +871,7 @@ def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
         nsteps_burnin=nsteps_burnin, seed=seed if seed is not None else 0,
         mesh=mesh, checkpoint_every=checkpoint_every,
         checkpoint_file=checkpoint_file, resume_from=resume_from,
-        state_dtype=state_kw.get("dtype"))
+        state_dtype=state_kw.get("dtype"), fns_key=fns_key)
     if not quiet:
         print(f"log evidence: {log_z:.2f} +/- {log_z_err:.2f} "
               f"({n_rungs} rungs x {nwalkers} walkers x {nsteps} steps; "
@@ -913,7 +933,7 @@ def lightcurve_ptmcmc(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
     """
     from .parallel.evidence import stepping_stone_evidence
 
-    log_prior_fn, log_like_fn, p0, state_kw = _tempered_setup(
+    log_prior_fn, log_like_fn, p0, state_kw, fns_key = _tempered_setup(
         lc, model, priors, p_lo, p_up, nwalkers, use_sigma, sigma_type, seed,
         state_dtype=state_dtype)
     log_z, log_z_err, info = stepping_stone_evidence(
@@ -921,7 +941,7 @@ def lightcurve_ptmcmc(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
         nsteps_burnin=nsteps_burnin, seed=seed if seed is not None else 0,
         return_cold_chain=True, mesh=mesh, checkpoint_every=checkpoint_every,
         checkpoint_file=checkpoint_file, resume_from=resume_from,
-        state_dtype=state_kw.get("dtype"))
+        state_dtype=state_kw.get("dtype"), fns_key=fns_key)
     cold = info.pop("cold_chain")
     if state_kw:
         # map the rescaled float32 cold chain back to absolute parameters

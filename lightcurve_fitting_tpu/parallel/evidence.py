@@ -127,7 +127,8 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
                          nsteps_burnin, a=2.0, seed=0, mesh=None,
                          axis_name="walkers", checkpoint_every=None,
                          checkpoint_file=None, resume_from=None,
-                         state_dtype=None):
+                         state_dtype=None, host_arrays=True, need_cold=True,
+                         fns_key=None):
     """Burn in and sample every rung of ``betas_all`` (typically including
     beta = 1) with replica-exchange swaps after each stretch step.
 
@@ -146,7 +147,26 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
     Returns (logl_samples (nsteps, K, nwalkers), acceptance (K,),
     swap_rate (K,), cold_chain (nsteps, nwalkers, ndim)) — the cold chain is
     the LAST rung's states, the parallel-tempering posterior when
-    betas_all[-1] == 1."""
+    betas_all[-1] == 1.
+
+    ``host_arrays=False``: in un-checkpointed single-process runs (production
+    is then one scan segment), ``logl_samples`` is returned as a
+    device-resident jax array and acceptance/swap rates reduce to (K,) on
+    device — the caller's stepping-stone reduction can then run on device
+    and the O(nsteps x K x nwalkers) logl/acceptance arrays never cross the
+    host link (on a remote accelerator that transfer dominates the wall
+    time, like the population/bolometric chains). ``need_cold=False``
+    additionally skips the cold-chain transfer (returns None).
+
+    ``fns_key``: hashable fingerprint of (log_prior_fn, log_like_fn)'s
+    semantics (model physics + priors + photometry digest + rescaling, see
+    ``fitting._tempered_setup``). When given, the compiled ladder kernels
+    are cached across calls — without it every `lightcurve_evidence`/
+    `lightcurve_ptmcmc` call re-jits the whole ladder, and on a
+    remote-compile TPU tunnel that recompilation (~25 s) dwarfs the actual
+    sampling (~2 s). Same pattern (and same under-keying hazard) as the
+    population/batched compiled caches: the key MUST capture everything the
+    closures bake in."""
     p0 = np.asarray(p0, float)
     nwalkers, ndim = p0.shape
     if nwalkers % 2:
@@ -156,48 +176,86 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
     if checkpoint_every is not None and not checkpoint_file:
         raise ValueError("checkpoint_every requires checkpoint_file")
 
-    if mesh is None:
-        step, batched_pri, batched_ll = _make_tempered_step(
-            log_prior_fn, log_like_fn, half, ndim, betas_all, a=a)
-    else:
-        from jax.sharding import NamedSharding, PartitionSpec as P
-        from jax import shard_map
-        n_dev = mesh.shape[axis_name]
-        if half % n_dev:
-            raise ValueError(f"nwalkers/2 = {half} must divide over "
-                             f"{n_dev} devices")
-        local = half // n_dev
-        _, batched_pri, batched_ll = _make_tempered_step(
-            log_prior_fn, log_like_fn, half, ndim, betas_all, a=a)
-
-        def local_step(carry, xs):
-            keys, swap_key, parity = xs
-            keys = jax.vmap(jr.fold_in, in_axes=(0, None))(
-                keys, jax.lax.axis_index(axis_name))
-            swap_key = jr.fold_in(swap_key, jax.lax.axis_index(axis_name))
-            inner, _, _ = _make_tempered_step(
-                log_prior_fn, log_like_fn, local, ndim, betas_all, a=a,
-                gather_other=lambda x: jax.lax.all_gather(
-                    x, axis_name, axis=0, tiled=True))
-            return inner(carry, (keys, swap_key, parity))
-
-        w = axis_name
-        carry_spec = (P(None, None, w, None), P(None, None, w), P(None, None, w))
-        step = shard_map(
-            local_step, mesh=mesh,
-            in_specs=(carry_spec, (P(), P(), P())),
-            out_specs=(carry_spec,
-                       (P(None, None, w), P(None, None, w), P(None, None, w),
-                        P(None, w, None))),
-            check_vma=False,
-        )
-
-    def constrain(x):
-        if mesh is not None:
+    def build_kernels():
+        if mesh is None:
+            step, batched_pri, batched_ll = _make_tempered_step(
+                log_prior_fn, log_like_fn, half, ndim, betas_all, a=a)
+        else:
             from jax.sharding import NamedSharding, PartitionSpec as P
-            return jax.lax.with_sharding_constraint(
-                x, NamedSharding(mesh, P(None, None, axis_name, None)))
-        return x
+            from jax import shard_map
+            n_dev = mesh.shape[axis_name]
+            if half % n_dev:
+                raise ValueError(f"nwalkers/2 = {half} must divide over "
+                                 f"{n_dev} devices")
+            local = half // n_dev
+            _, batched_pri, batched_ll = _make_tempered_step(
+                log_prior_fn, log_like_fn, half, ndim, betas_all, a=a)
+
+            def local_step(carry, xs):
+                keys, swap_key, parity = xs
+                keys = jax.vmap(jr.fold_in, in_axes=(0, None))(
+                    keys, jax.lax.axis_index(axis_name))
+                swap_key = jr.fold_in(swap_key, jax.lax.axis_index(axis_name))
+                inner, _, _ = _make_tempered_step(
+                    log_prior_fn, log_like_fn, local, ndim, betas_all, a=a,
+                    gather_other=lambda x: jax.lax.all_gather(
+                        x, axis_name, axis=0, tiled=True))
+                return inner(carry, (keys, swap_key, parity))
+
+            w = axis_name
+            carry_spec = (P(None, None, w, None), P(None, None, w), P(None, None, w))
+            step = shard_map(
+                local_step, mesh=mesh,
+                in_specs=(carry_spec, (P(), P(), P())),
+                out_specs=(carry_spec,
+                           (P(None, None, w), P(None, None, w), P(None, None, w),
+                            P(None, w, None))),
+                check_vma=False,
+            )
+
+        def constrain(x):
+            if mesh is not None:
+                from jax.sharding import NamedSharding, PartitionSpec as P
+                return jax.lax.with_sharding_constraint(
+                    x, NamedSharding(mesh, P(None, None, axis_name, None)))
+            return x
+
+        @jax.jit
+        def init_carry(x):
+            x = constrain(x)
+            logpri = jax.vmap(batched_pri)(x.reshape(K, nwalkers, ndim)).reshape(K, 2, half)
+            logl = jax.vmap(batched_ll)(x.reshape(K, nwalkers, ndim)).reshape(K, 2, half)
+            logl = jnp.where(jnp.isnan(logl), -jnp.inf, logl)
+            return x, logpri, logl
+
+        @jax.jit
+        def run_burn(carry, xs):
+            carry = (constrain(carry[0]),) + carry[1:]
+            carry, _ = jax.lax.scan(lambda c, k: (step(c, k)[0], None), carry, xs)
+            return carry
+
+        @jax.jit
+        def run_prod(carry, xs):
+            carry = (constrain(carry[0]),) + carry[1:]
+            return jax.lax.scan(step, carry, xs)
+
+        return init_carry, run_burn, run_prod
+
+    # compiled-kernel cache across calls (the population/batched pattern):
+    # without it every driver call re-jits the ladder, and remote compilation
+    # dominates the whole run on a TPU tunnel. Only keyed callers cache.
+    if fns_key is not None:
+        ck_key = (fns_key, K, half, ndim, a,
+                  np.asarray(betas_all, float).tobytes(),
+                  None if mesh is None else (tuple(mesh.shape.items()),
+                                             axis_name))
+        kernels = _LADDER_CACHE.get(ck_key)
+        if kernels is None:
+            kernels = build_kernels()
+            _LADDER_CACHE[ck_key] = kernels
+    else:
+        kernels = build_kernels()
+    init_carry, run_burn, run_prod = kernels
 
     # the mesh may span jax.distributed processes (DCN walker sharding, like
     # ShardedEnsembleSampler): host-side state must be placed via device_put
@@ -222,25 +280,6 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
             from jax.experimental import multihost_utils
             return np.asarray(multihost_utils.process_allgather(a, tiled=True))
         return np.asarray(a)
-
-    @jax.jit
-    def init_carry(x):
-        x = constrain(x)
-        logpri = jax.vmap(batched_pri)(x.reshape(K, nwalkers, ndim)).reshape(K, 2, half)
-        logl = jax.vmap(batched_ll)(x.reshape(K, nwalkers, ndim)).reshape(K, 2, half)
-        logl = jnp.where(jnp.isnan(logl), -jnp.inf, logl)
-        return x, logpri, logl
-
-    @jax.jit
-    def run_burn(carry, xs):
-        carry = (constrain(carry[0]),) + carry[1:]
-        carry, _ = jax.lax.scan(lambda c, k: (step(c, k)[0], None), carry, xs)
-        return carry
-
-    @jax.jit
-    def run_prod(carry, xs):
-        carry = (constrain(carry[0]),) + carry[1:]
-        return jax.lax.scan(step, carry, xs)
 
     base = jr.PRNGKey(seed)
 
@@ -328,6 +367,12 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
                  prod_cold=(np.concatenate(blocks["cold"]) if blocks["cold"]
                             else np.empty((0, 2, half, ndim))))
 
+    # device-resident production outputs: un-checkpointed single-process runs
+    # execute production as one scan segment, so nothing forces the big
+    # logl/acc/swap arrays through the host link
+    fast = (not host_arrays and checkpoint_every is None
+            and resume_from is None and not multiprocess)
+    dev_out = None
     while steps_done < total:
         in_burn = steps_done < nsteps_burnin
         phase_end = nsteps_burnin if in_burn else total
@@ -339,10 +384,13 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
             carry = run_burn(carry, xs)
         else:
             carry, (ls, acc, sw, cold) = run_prod(carry, xs)
-            blocks["logl"].append(to_host(ls))
-            blocks["acc"].append(to_host(acc))
-            blocks["swap"].append(to_host(sw))
-            blocks["cold"].append(to_host(cold))
+            if fast:
+                dev_out = (ls, acc, sw, cold)
+            else:
+                blocks["logl"].append(to_host(ls))
+                blocks["acc"].append(to_host(acc))
+                blocks["swap"].append(to_host(sw))
+                blocks["cold"].append(to_host(cold))
         steps_done += seg
         if checkpoint_every is not None:
             # save after EVERY segment: segment boundaries are clipped to the
@@ -352,11 +400,61 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
             # saving for the rest of the run
             save_checkpoint()
 
+    if fast:
+        ls, acc, sw, cold = dev_out
+        amb = jnp.float64 if jax.config.x64_enabled else jnp.float32
+        logl_samples = ls.reshape(nsteps, K, nwalkers)   # stays on device
+        acceptance = np.asarray(jnp.mean(
+            acc.astype(amb).reshape(nsteps, K, nwalkers), axis=(0, 2)))
+        swap_rate = np.asarray(jnp.mean(
+            sw.astype(amb).reshape(nsteps, K, nwalkers), axis=(0, 2)))
+        cold_chain = (np.asarray(cold).reshape(nsteps, nwalkers, ndim)
+                      if need_cold else None)
+        return logl_samples, acceptance, swap_rate, cold_chain
+
     logl_samples = np.concatenate(blocks["logl"]).reshape(nsteps, K, nwalkers)
     acceptance = np.concatenate(blocks["acc"]).reshape(nsteps, K, nwalkers).mean((0, 2))
     swap_rate = np.concatenate(blocks["swap"]).reshape(nsteps, K, nwalkers).mean((0, 2))
-    cold_chain = np.concatenate(blocks["cold"]).reshape(nsteps, nwalkers, ndim)
+    cold_chain = (np.concatenate(blocks["cold"]).reshape(nsteps, nwalkers, ndim)
+                  if need_cold else None)
     return logl_samples, acceptance, swap_rate, cold_chain
+
+
+_LADDER_CACHE = {}
+_TERMS_CACHE = {}
+
+
+def _rung_block_terms(logl_samples, dbetas, boundaries):
+    """Stepping-stone block terms t[b, k] = log mean exp(dbeta_k * logl_k)
+    over production block b, as one jitted device reduction.
+
+    Every call path goes through this one compiled function — device-resident
+    logl in the un-checkpointed fast path, re-uploaded host logl after a
+    checkpointed/resumed run — so a resumed run reproduces the uninterrupted
+    run's log Z **bitwise** (the arithmetic venue never changes), while the
+    fast path never ships the (nsteps, K, nwalkers) logl array to the host.
+    """
+    ll = jnp.asarray(logl_samples)
+    K = len(dbetas)
+    key = (ll.shape, str(ll.dtype), tuple(boundaries), dbetas.tobytes())
+    fn = _TERMS_CACHE.get(key)
+    if fn is None:
+        db = jnp.asarray(dbetas)
+        amb = jnp.float64 if jax.config.x64_enabled else jnp.float32
+
+        def f(ll_):
+            w = db[None, :, None].astype(amb) * ll_[:, :K, :].astype(amb)
+            outs = []
+            for b0, b1 in boundaries:      # static python loop: <= 4 blocks
+                wb = w[b0:b1]
+                m = jnp.max(wb, axis=(0, 2))
+                outs.append(m + jnp.log(jnp.mean(jnp.exp(wb - m[None, :, None]),
+                                                 axis=(0, 2))))
+            return jnp.stack(outs)
+
+        fn = jax.jit(f)
+        _TERMS_CACHE[key] = fn
+    return np.asarray(fn(ll), np.float64)
 
 
 def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
@@ -364,7 +462,7 @@ def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
                             seed=0, return_cold_chain=False, mesh=None,
                             axis_name="walkers", checkpoint_every=None,
                             checkpoint_file=None, resume_from=None,
-                            state_dtype=None):
+                            state_dtype=None, fns_key=None):
     """log Z and its uncertainty from one compiled tempered-ladder run.
 
     p0: (nwalkers, ndim) starting positions, drawn from (or near) the prior;
@@ -384,26 +482,25 @@ def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
         log_prior_fn, log_like_fn, p0, betas_all, nsteps, nsteps_burnin,
         a=a, seed=seed, mesh=mesh, axis_name=axis_name,
         checkpoint_every=checkpoint_every, checkpoint_file=checkpoint_file,
-        resume_from=resume_from, state_dtype=state_dtype)
+        resume_from=resume_from, state_dtype=state_dtype,
+        host_arrays=False, need_cold=return_cold_chain, fns_key=fns_key)
     nsteps_out = logl_samples.shape[0]
 
-    def rung_terms(ll_block):
-        """Stepping-stone contribution per rung from (nsteps_b, K+1, W) logl:
-        log mean exp(dbeta_k * logl_k) via a stable logsumexp."""
-        out = np.empty(K)
-        for k in range(K):
-            w = dbetas[k] * ll_block[:, k, :].ravel()
-            m = np.max(w)
-            out[k] = m + np.log(np.mean(np.exp(w - m)))
-        return out
-
-    terms = rung_terms(logl_samples)
+    # block terms on device (_rung_block_terms: the big logl array only
+    # crosses the host link in checkpointed/resumed runs, which already paid
+    # it); the full-chain terms combine exactly from the block partials:
+    # log mean_N exp(w) = log( sum_b n_b exp(t_b) / N )
+    n_blocks = min(4, nsteps_out)
+    boundaries = tuple((int(ix[0]), int(ix[-1]) + 1)
+                       for ix in np.array_split(np.arange(nsteps_out), n_blocks))
+    block_terms = _rung_block_terms(logl_samples, dbetas, boundaries)
+    sizes = np.array([b1 - b0 for b0, b1 in boundaries], float)
+    m = np.max(block_terms, axis=0)
+    terms = m + np.log(np.einsum("b,bk->k", sizes, np.exp(block_terms - m))
+                       / sizes.sum())
     log_z = float(terms.sum())
 
-    n_blocks = min(4, nsteps_out)
     if n_blocks >= 2:
-        blocks = np.array_split(np.arange(nsteps_out), n_blocks)
-        block_terms = np.stack([rung_terms(logl_samples[b]) for b in blocks])
         log_z_err = float(np.sqrt(np.sum(block_terms.var(axis=0, ddof=1)
                                          / block_terms.shape[0])))
     else:
@@ -413,5 +510,5 @@ def stepping_stone_evidence(log_prior_fn, log_like_fn, p0, n_rungs=32,
             "swap_rate": swap_rate, "n_rungs": n_rungs, "nsteps": nsteps}
     if return_cold_chain:
         info["cold_chain"] = cold_chain
-        info["cold_logl"] = logl_samples[:, -1, :]
+        info["cold_logl"] = np.asarray(logl_samples[:, -1, :])
     return log_z, log_z_err, info

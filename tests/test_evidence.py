@@ -260,3 +260,51 @@ def test_f32_rescaled_ladder_state_preserves_evidence():
     # absolute values reconstructed in f64: t_0 resolution far below the
     # absolute-f32 quantization (~0.004 d at MJD 5.7e4)
     assert 1e-8 < pt.flatchain[:, 3].std() < 0.2
+
+
+def test_ladder_kernel_cache_keys_on_semantics():
+    """The compiled-ladder cache must key on everything the closures bake in:
+    a repeated identical call reuses the kernel (identical log_z), while a
+    call with different priors or different data must NOT reuse the first
+    call's physics (guards the under-keyed-cache hazard the round-2 advisor
+    flagged on the population caches)."""
+    from lightcurve_fitting_tpu.lightcurve import LC
+    from lightcurve_fitting_tpu.filters import filtdict
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.fitting import lightcurve_evidence
+    from lightcurve_fitting_tpu.parallel import evidence as ev
+
+    rng = np.random.default_rng(8)
+    filters = [filtdict[n] for n in ["g", "r", "i"]]
+    t = np.repeat(np.linspace(1.0, 8.0, 5), 3)
+    f = np.array(filters * 5)
+    m = ShockCooling2()
+    y_true = m(t, f, 12.0, 2.0, 35.0, 0.0)
+    dy = 0.05 * y_true
+    lc = LC([t, f, y_true + rng.normal(scale=dy), dy],
+            names=["MJD", "filter", "lum", "dlum"])
+    priors = [UniformPrior(8.0, 16.0), UniformPrior(1.0, 3.0),
+              UniformPrior(25.0, 45.0), UniformPrior(-0.5, 0.5)]
+    kw = dict(nwalkers=16, n_rungs=6, nsteps=40, nsteps_burnin=40, seed=3,
+              quiet=True)
+
+    n_before = len(ev._LADDER_CACHE)
+    z1, _, _ = lightcurve_evidence(lc, ShockCooling2(lc), priors, **kw)
+    n_after_first = len(ev._LADDER_CACHE)
+    assert n_after_first == n_before + 1          # kernels cached
+    z2, _, _ = lightcurve_evidence(lc, ShockCooling2(lc), priors, **kw)
+    assert len(ev._LADDER_CACHE) == n_after_first  # cache HIT, no new entry
+    assert z2 == z1                                # identical through the cache
+
+    # wider T1 prior: different semantics -> new cache entry, different Z
+    priors_wide = [UniformPrior(4.0, 24.0)] + priors[1:]
+    z3, _, _ = lightcurve_evidence(lc, ShockCooling2(lc), priors_wide, **kw)
+    assert len(ev._LADDER_CACHE) == n_after_first + 1
+    assert z3 != z1
+
+    # different photometry: the data digest must miss the cache too
+    lc2 = LC([t, f, np.asarray(lc["lum"]) * 1.3, dy],
+             names=["MJD", "filter", "lum", "dlum"])
+    z4, _, _ = lightcurve_evidence(lc2, ShockCooling2(lc2), priors, **kw)
+    assert len(ev._LADDER_CACHE) == n_after_first + 2
+    assert z4 != z1
