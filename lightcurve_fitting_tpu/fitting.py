@@ -37,9 +37,9 @@ from .utils import units as u
 from .utils.corner import corner as _corner
 
 __all__ = ["lightcurve_mcmc", "lightcurve_hmc", "lightcurve_map",
-           "lightcurve_evidence", "lightcurve_ptmcmc", "lightcurve_corner",
-           "lightcurve_model_plot", "format_credible_interval",
-           "make_log_posterior"]
+           "lightcurve_evidence", "lightcurve_ptmcmc", "compare_models",
+           "lightcurve_corner", "lightcurve_model_plot",
+           "format_credible_interval", "make_log_posterior"]
 
 PRIOR_WARNING = "The p_max/p_min keywords are deprecated. Use the priors keyword instead."
 MODEL_KWARGS_WARNING = "The model_kwargs keyword is deprecated. These are now included in the model intialization."
@@ -878,6 +878,103 @@ def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
               f"rung acceptance {info['acceptance'].min():.2f}-"
               f"{info['acceptance'].max():.2f})")
     return log_z, log_z_err, info
+
+
+def compare_models(lc, models, priors, p_lo=None, p_up=None, labels=None,
+                   quiet=False, **evidence_kwargs):
+    """Bayes-factor model comparison: run ``lightcurve_evidence`` for each
+    candidate model and rank them by log marginal likelihood.
+
+    Beyond-reference capability (the reference offers no model-selection
+    machinery; its workflow stops at per-model fits, reference
+    fitting.py:16): this is the standard statistical answer to "SW17 or
+    MSW23 scalings?" / "is a companion-shocking component supported?" —
+    the question its model zoo exists to pose.
+
+    Parameters
+    ----------
+    models : sequence of Model instances.
+    priors : one prior list per model, or a single flat prior list shared by
+        all models (only valid when every model has the same parameters).
+    p_lo, p_up : per-model sequences (or one shared window) bounding the
+        walker initialization, as in ``lightcurve_evidence``; None draws
+        from the priors.
+    labels : display names; defaults to each model class name (deduplicated
+        with #k suffixes).
+    evidence_kwargs : forwarded to ``lightcurve_evidence`` (nwalkers,
+        n_rungs, nsteps, seed, mesh, ...).
+
+    Returns a Table ranked best-first with columns ``model``, ``log_z``,
+    ``dlog_z`` (stepping-stone MC uncertainty), ``delta_log_z`` (log Bayes
+    factor relative to the best model) and ``ddelta_log_z`` (its
+    uncertainty, the two MC errors in quadrature); ``table.meta["info"]``
+    keeps each run's full ladder diagnostics. Evidence is prior-sensitive:
+    comparisons are only meaningful for deliberately chosen priors, so the
+    priors are echoed in the printed report.
+    """
+    from .utils.table import Table
+
+    models = list(models)
+    n = len(models)
+    if n < 2:
+        raise ValueError("compare_models needs at least two models")
+
+    def per_model(arg, name):
+        if arg is None:
+            return [None] * n
+        seq = list(arg)
+        if seq and not np.iterable(seq[0]):      # one shared flat window
+            return [seq] * n
+        if len(seq) != n:
+            raise ValueError(f"{name} must be shared or one entry per model "
+                             f"({len(seq)} given for {n} models)")
+        return seq
+
+    if priors and callable(priors[0]):           # shared flat prior list
+        ndims = {len(m.input_names) for m in models}
+        if len(ndims) != 1:
+            raise ValueError("a shared prior list requires all models to "
+                             "have the same number of parameters; give one "
+                             "prior list per model")
+        priors = [list(priors)] * n
+    elif len(priors) != n:
+        raise ValueError(f"priors must be shared or one list per model "
+                         f"({len(priors)} given for {n} models)")
+    p_lo, p_up = per_model(p_lo, "p_lo"), per_model(p_up, "p_up")
+
+    if labels is None:
+        labels, seen = [], {}
+        for m in models:
+            base = type(m).__name__
+            seen[base] = seen.get(base, 0) + 1
+            labels.append(base if seen[base] == 1 else f"{base}#{seen[base]}")
+
+    rows = []
+    for label, model, pri, lo, up in zip(labels, models, priors, p_lo, p_up):
+        log_z, log_z_err, info = lightcurve_evidence(
+            lc, model, pri, p_lo=lo, p_up=up, quiet=True, **evidence_kwargs)
+        rows.append((label, log_z, log_z_err, info, pri))
+
+    rows.sort(key=lambda r: -r[1])
+    best_z, best_err = rows[0][1], rows[0][2]
+    table = Table(
+        [[r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows],
+         [r[1] - best_z for r in rows],
+         [np.hypot(r[2], best_err) if r[0] != rows[0][0] else 0.0
+          for r in rows]],
+        names=["model", "log_z", "dlog_z", "delta_log_z", "ddelta_log_z"])
+    table.meta["info"] = {r[0]: r[3] for r in rows}
+    if not quiet:
+        print("model comparison (log Bayes factors vs best; "
+              "evidence is prior-sensitive):")
+        for label, log_z, err, _, pri in rows:
+            mark = " <- preferred" if label == rows[0][0] else ""
+            print(f"  {label}: log Z = {log_z:.2f} +/- {err:.2f}, "
+                  f"delta = {log_z - best_z:+.2f}{mark}")
+            print("    priors: " + ", ".join(
+                f"{type(p).__name__}({getattr(p, 'p_min', '?')}, "
+                f"{getattr(p, 'p_max', '?')})" for p in pri))
+    return table
 
 
 class _PTFitResult:

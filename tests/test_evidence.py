@@ -308,3 +308,73 @@ def test_ladder_kernel_cache_keys_on_semantics():
     z4, _, _ = lightcurve_evidence(lc2, ShockCooling2(lc2), priors, **kw)
     assert len(ev._LADDER_CACHE) == n_after_first + 2
     assert z4 != z1
+
+
+def _sc2_toy():
+    from lightcurve_fitting_tpu.lightcurve import LC
+    from lightcurve_fitting_tpu.filters import filtdict
+    from lightcurve_fitting_tpu.models import ShockCooling2
+
+    rng = np.random.default_rng(11)
+    filters = [filtdict[n] for n in ["g", "r", "i"]]
+    t = np.repeat(np.linspace(1.0, 8.0, 5), 3)
+    f = np.array(filters * 5)
+    m = ShockCooling2()
+    y_true = m(t, f, 12.0, 2.0, 35.0, 0.0)
+    dy = 0.05 * y_true
+    lc = LC([t, f, y_true + rng.normal(scale=dy), dy],
+            names=["MJD", "filter", "lum", "dlum"])
+    return lc
+
+
+def test_compare_models_ranks_by_occam_factor():
+    """compare_models prefers the truth-containing narrow prior volume over
+    a vastly wider one (classic Occam penalty: same max-likelihood, ~log of
+    the prior-volume ratio difference in log Z), and returns a ranked table
+    with the documented columns."""
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.fitting import compare_models
+
+    lc = _sc2_toy()
+    narrow = [UniformPrior(8.0, 16.0), UniformPrior(1.0, 3.0),
+              UniformPrior(25.0, 45.0), UniformPrior(-0.5, 0.5)]
+    wide = [UniformPrior(1.0, 400.0), UniformPrior(0.1, 100.0),
+            UniformPrior(1.0, 1000.0), UniformPrior(-3.0, 3.0)]
+    table = compare_models(
+        lc, [ShockCooling2(lc), ShockCooling2(lc)], [wide, narrow],
+        p_lo=[8.0, 1.0, 25.0, -0.5], p_up=[16.0, 3.0, 45.0, 0.5],
+        labels=["wide", "narrow"], nwalkers=16, n_rungs=8, nsteps=60,
+        nsteps_burnin=60, seed=5, quiet=True)
+
+    assert list(table["model"]) == ["narrow", "wide"]   # ranked best-first
+    assert table["delta_log_z"][0] == 0.0
+    assert table["ddelta_log_z"][0] == 0.0
+    # prior-volume ratio is e^~12; even with stepping-stone noise the wide
+    # prior must lose by several nats
+    assert table["delta_log_z"][1] < -3.0
+    assert table["ddelta_log_z"][1] > 0.0
+    assert set(table.meta["info"]) == {"narrow", "wide"}
+    assert np.all(np.asarray(table["dlog_z"]) > 0.0)
+
+
+def test_compare_models_labels_and_validation():
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.fitting import compare_models
+
+    lc = _sc2_toy()
+    priors = [UniformPrior(8.0, 16.0), UniformPrior(1.0, 3.0),
+              UniformPrior(25.0, 45.0), UniformPrior(-0.5, 0.5)]
+    kw = dict(p_lo=[8.0, 1.0, 25.0, -0.5], p_up=[16.0, 3.0, 45.0, 0.5],
+              nwalkers=16, n_rungs=4, nsteps=20, nsteps_burnin=20, seed=2,
+              quiet=True)
+
+    # a single shared flat prior list + default labels (deduplicated)
+    table = compare_models(lc, [ShockCooling2(lc), ShockCooling2(lc)],
+                           priors, **kw)
+    assert sorted(table["model"]) == ["ShockCooling2", "ShockCooling2#2"]
+
+    with pytest.raises(ValueError, match="at least two"):
+        compare_models(lc, [ShockCooling2(lc)], priors, **kw)
+    with pytest.raises(ValueError, match="per model"):
+        compare_models(lc, [ShockCooling2(lc), ShockCooling2(lc)],
+                       [priors, priors, priors], **kw)
