@@ -15,7 +15,7 @@ outputs:
                  ["Uniform", 0, 100], ["Uniform", 57468.0, 57468.7]],
       "p_lo": [20, 2, 20, 57468.5],
       "p_up": [50, 5, 50, 57468.7],
-      "driver": "mcmc",     // mcmc | hmc | map | ptmcmc | evidence | population | bolometric
+      "driver": "mcmc",     // mcmc | hmc | map | ptmcmc | evidence | compare | population | bolometric
       "driver_kwargs": {"nwalkers": 100, "nsteps": 1000, "nsteps_burnin": 1000},
       "outputs": {"flatchain": "chain.npy", "corner": "corner.pdf",
                   "summary": "summary.json"}
@@ -166,6 +166,46 @@ def _run_bolometric(cfg, config_dir):
     return 0
 
 
+def _run_compare(cfg, config_dir):
+    """``driver: "compare"`` — ``models`` is a LIST of model names ranked by
+    Bayes factor (`fitting.compare_models`); ``priors`` is per-model (a list
+    of prior lists) or one shared list; ``p_lo``/``p_up`` likewise."""
+    lc = _load_lc(cfg, config_dir)
+    models = []
+    for name in cfg["models"]:
+        cls = getattr(_models, name, None)
+        if cls is None:
+            raise SystemExit(f"unknown model {name!r}")
+        models.append(cls(lc))
+    raw = cfg["priors"]
+    # per-model: a list of prior LISTS ([[["Uniform",0,100],...], [...]]);
+    # shared: one flat list of ["Type", args...] rows
+    per_model = (raw and isinstance(raw[0], list)
+                 and raw[0] and isinstance(raw[0][0], list))
+    priors = [_build_priors(p) for p in raw] if per_model else _build_priors(raw)
+
+    from . import fitting
+    table = fitting.compare_models(lc, models, priors, p_lo=cfg.get("p_lo"),
+                                   p_up=cfg.get("p_up"),
+                                   labels=cfg.get("labels"),
+                                   **cfg.get("driver_kwargs", {}))
+    summary = {"driver": "compare", "models": list(cfg["models"]),
+               "ranking": [dict(model=str(m), log_z=float(z), dlog_z=float(dz),
+                                delta_log_z=float(d))
+                           for m, z, dz, d in zip(table["model"],
+                                                  table["log_z"],
+                                                  table["dlog_z"],
+                                                  table["delta_log_z"])]}
+    out = cfg.get("outputs", {}).get("summary")
+    if out:
+        if not os.path.isabs(out):
+            out = os.path.join(config_dir, out)
+        with open(out, "w") as f:
+            json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="lcfit", description="Fit a light-curve model from a JSON config "
@@ -176,8 +216,9 @@ def main(argv=None):
     with open(args.config) as f:
         cfg = json.load(f)
     config_dir = os.path.dirname(os.path.abspath(args.config))
-    required = ("data",) if cfg.get("driver") == "bolometric" \
-        else ("data", "model", "priors")
+    required = {"bolometric": ("data",),
+                "compare": ("data", "models", "priors")}.get(
+        cfg.get("driver"), ("data", "model", "priors"))
     for key in required:
         if key not in cfg:
             raise SystemExit(f"config is missing the required {key!r} key")
@@ -186,6 +227,8 @@ def main(argv=None):
         return _run_population(cfg, config_dir)
     if cfg.get("driver") == "bolometric":
         return _run_bolometric(cfg, config_dir)
+    if cfg.get("driver") == "compare":
+        return _run_compare(cfg, config_dir)
 
     lc = _load_lc(cfg, config_dir)
     model_cls = getattr(_models, cfg["model"], None)
@@ -252,7 +295,8 @@ def main(argv=None):
         summary["rung_acceptance"] = [float(a) for a in info["acceptance"]]
     else:
         raise SystemExit(f"unknown driver {driver!r}; choose from "
-                         "mcmc | hmc | map | ptmcmc | evidence | population")
+                         "mcmc | hmc | map | ptmcmc | evidence | compare | "
+                         "population | bolometric")
 
     if flatchain is not None:
         summary["posterior"] = _summarize_chain(flatchain, model)

@@ -971,9 +971,7 @@ def compare_models(lc, models, priors, p_lo=None, p_up=None, labels=None,
             mark = " <- preferred" if label == rows[0][0] else ""
             print(f"  {label}: log Z = {log_z:.2f} +/- {err:.2f}, "
                   f"delta = {log_z - best_z:+.2f}{mark}")
-            print("    priors: " + ", ".join(
-                f"{type(p).__name__}({getattr(p, 'p_min', '?')}, "
-                f"{getattr(p, 'p_max', '?')})" for p in pri))
+            print("    priors: " + ", ".join(repr(p) for p in pri))
     return table
 
 

@@ -72,6 +72,10 @@ class GaussianPrior(Prior):
     def _safe_point(self):
         return self.mean
 
+    def __repr__(self):
+        return (f"<GaussianPrior: {self.mean} +/- {self.stddev} on "
+                f"({self.p_min}, {self.p_max})>")
+
 
 class KDEPrior(Prior):
     """Gaussian kernel density estimate of a posterior sample, used to chain the

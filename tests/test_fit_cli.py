@@ -178,3 +178,32 @@ def test_cli_checkpoint_resume(tmp_path, synth_csv):
     _run(tmp_path, dict(base, driver_kwargs=dict(kw, resume_from="fit_ck.npz")))
     resumed = np.load(str(tmp_path / "chain.npy"))
     np.testing.assert_array_equal(resumed, ref)
+
+
+def test_cli_compare(tmp_path, synth_csv):
+    """driver "compare": Occam ranking between a narrow truth-containing
+    prior volume and a vastly wider one on the same model (per-model priors
+    given as a list of prior lists; shared init window)."""
+    narrow = [["Uniform", 8, 16], ["Uniform", 1, 3],
+              ["Uniform", 25, 45], ["Uniform", -0.5, 0.5]]
+    wide = [["Uniform", 1, 400], ["Uniform", 0.1, 100],
+            ["Uniform", 1, 1000], ["Uniform", -3, 3]]
+    cfg = {"data": synth_csv, "models": ["ShockCooling2", "ShockCooling2"],
+           "labels": ["wide", "narrow"],
+           "priors": [wide, narrow],
+           "p_lo": [8, 1, 25, -0.5], "p_up": [16, 3, 45, 0.5],
+           "driver": "compare",
+           "driver_kwargs": {"nwalkers": 16, "n_rungs": 6, "nsteps": 60,
+                             "nsteps_burnin": 60, "seed": 3, "quiet": True},
+           "outputs": {"summary": "summary.json"}}
+    summary = _run(tmp_path, cfg)
+    ranking = summary["ranking"]
+    assert [r["model"] for r in ranking] == ["narrow", "wide"]
+    assert ranking[0]["delta_log_z"] == 0.0
+    assert ranking[1]["delta_log_z"] < -3.0
+
+    # missing "models" key is a clean config error
+    bad = dict(cfg)
+    del bad["models"]
+    with pytest.raises(SystemExit, match="models"):
+        _run(tmp_path, bad)
