@@ -121,20 +121,13 @@ def _bench_bolometric(E=256, nwalkers=32, burnin_steps=200, steps=100):
             "elapsed_s": elapsed, "epochs_per_sec": E / elapsed}
 
 
-def _bench_population(S=64, nwalkers=64, nsteps=1000, nsteps_burnin=100):
-    """Population-fitting throughput: S ShockCooling2 transients, each with
-    its own ensemble, in one device call (fit_population(summaries=True,
-    return_chains=False) — per-transient percentiles computed on device; the
-    (S, nsteps*nwalkers, ndim) chains never transfer, which was measured at
-    ~83% of the end-to-end wall time through the tunnel)."""
+def _flagship_early_lc():
+    """SN 2016bkv early light curve with luminosities, quietly."""
     import contextlib
     import io
-    import time
-    from lightcurve_fitting_tpu.lightcurve import LC
-    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
-    from lightcurve_fitting_tpu.parallel.population import fit_population
-
     import os
+    from lightcurve_fitting_tpu.lightcurve import LC
+
     lc = LC.read(os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "lightcurve_fitting_tpu", "data", "SN2016bkv.csv"))
     lc.meta.update(dm=30.79, redshift=0.002, extinction={
@@ -145,7 +138,62 @@ def _bench_population(S=64, nwalkers=64, nsteps=1000, nsteps_burnin=100):
         # notes; bench stdout must stay exactly one JSON line
         lc.calcAbsMag()
         lc.calcLum()
-    early = lc.where(MJD_min=57468.0, MJD_max=57485.0)
+    return lc.where(MJD_min=57468.0, MJD_max=57485.0)
+
+
+def _bench_evidence(nwalkers=4096, n_rungs=16, nsteps=150, nsteps_burnin=150):
+    """Tempered-ladder throughput: stepping-stone evidence on the flagship
+    fit, whole K-rung ladder in one compiled kernel (lightcurve_evidence;
+    un-checkpointed fast path — the stepping-stone reduction runs on device
+    and the (nsteps, K, nwalkers) logl array never crosses the tunnel).
+    Metric: ladder log-likelihood evals/s = K*nwalkers*steps/elapsed; repeat
+    calls hit the compiled-kernel cache."""
+    import time
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.fitting import lightcurve_evidence
+
+    early = _flagship_early_lc()
+    model = ShockCooling2(early)
+    priors = [UniformPrior(0.0, 100.0)] * 3 + [UniformPrior(57468.0, 57468.7)]
+    kw = dict(p_lo=[20.0, 2.0, 20.0, 57468.5], p_up=[50.0, 5.0, 50.0, 57468.7],
+              nwalkers=nwalkers, n_rungs=n_rungs, nsteps=nsteps,
+              nsteps_burnin=nsteps_burnin, quiet=True)
+
+    def go(seed):
+        import contextlib
+        import io
+        with contextlib.redirect_stdout(io.StringIO()):
+            # each driver call re-derives the lum column (reference-parity,
+            # fitting.py:68-72) and prints the extinction notes
+            log_z, err, _ = lightcurve_evidence(early, model, priors,
+                                                seed=seed, **kw)
+        return log_z, err  # floats: the host transfer already happened
+
+    go(0)  # compile (cached for the repeats via the ladder-kernel cache)
+    times, zs = [], []
+    for i in range(2):
+        t0 = time.perf_counter()
+        zs.append(go(1 + i))  # varied seed: avoid tunnel result dedup
+        times.append(time.perf_counter() - t0)
+    elapsed = min(times)
+    evals = n_rungs * nwalkers * (nsteps + nsteps_burnin)
+    return {"n_rungs": n_rungs, "nwalkers": nwalkers,
+            "steps": nsteps + nsteps_burnin, "elapsed_s": elapsed,
+            "evals_per_sec": evals / elapsed, "log_z": zs[-1][0],
+            "log_z_err": zs[-1][1]}
+
+
+def _bench_population(S=64, nwalkers=64, nsteps=1000, nsteps_burnin=100):
+    """Population-fitting throughput: S ShockCooling2 transients, each with
+    its own ensemble, in one device call (fit_population(summaries=True,
+    return_chains=False) — per-transient percentiles computed on device; the
+    (S, nsteps*nwalkers, ndim) chains never transfer, which was measured at
+    ~83% of the end-to-end wall time through the tunnel)."""
+    import time
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.parallel.population import fit_population
+
+    early = _flagship_early_lc()
     rng = np.random.default_rng(0)
     lcs, models = [], []
     for s in range(S):
@@ -186,8 +234,13 @@ def main():
     from __graft_entry__ import _build_logposterior
     from lightcurve_fitting_tpu.parallel.sampler import EnsembleSampler
 
+    import contextlib
+    import io
     import jax.random as jr
-    logpost, _ = _build_logposterior()
+    with contextlib.redirect_stdout(io.StringIO()):
+        # calcAbsMag inside the graft entry prints reference-parity
+        # extinction notes; bench stdout must stay exactly one JSON line
+        logpost, _ = _build_logposterior()
 
     lo = np.array([20.0, 2.0, 20.0, 57468.5])
     up = np.array([50.0, 5.0, 50.0, 57468.7])
@@ -241,6 +294,7 @@ def main():
     binning = _bench_host_binning()
     bolometric = _bench_bolometric()
     population = _bench_population()
+    evidence = _bench_evidence()
 
     baseline = 1e7  # north-star target (BASELINE.json)
     result = {
@@ -264,6 +318,7 @@ def main():
             "host_binning": binning,
             "bolometric_pipeline": bolometric,
             "population_pipeline": population,
+            "evidence_ladder": evidence,
             # round-3 asymptote experiments (tools/perf_experiments_r3.py,
             # measured on this chip; interleaved round-robin repeats at
             # 131072 walkers x 300 steps, varied inputs + forced transfer):
