@@ -146,8 +146,10 @@ def _bench_evidence(nwalkers=4096, n_rungs=16, nsteps=150, nsteps_burnin=150):
     fit, whole K-rung ladder in one compiled kernel (lightcurve_evidence;
     un-checkpointed fast path — the stepping-stone reduction runs on device
     and the (nsteps, K, nwalkers) logl array never crosses the tunnel).
-    Metric: ladder log-likelihood evals/s = K*nwalkers*steps/elapsed; repeat
-    calls hit the compiled-kernel cache."""
+    Metric: ladder log-likelihood evals/s = K*nwalkers*steps/elapsed with
+    K = n_rungs+1 (make_beta_ladder includes both the beta=0 prior rung and
+    beta=1, and every rung evaluates the likelihood each step); repeat calls
+    hit the compiled-kernel cache."""
     import time
     from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
     from lightcurve_fitting_tpu.fitting import lightcurve_evidence
@@ -176,7 +178,7 @@ def _bench_evidence(nwalkers=4096, n_rungs=16, nsteps=150, nsteps_burnin=150):
         zs.append(go(1 + i))  # varied seed: avoid tunnel result dedup
         times.append(time.perf_counter() - t0)
     elapsed = min(times)
-    evals = n_rungs * nwalkers * (nsteps + nsteps_burnin)
+    evals = (n_rungs + 1) * nwalkers * (nsteps + nsteps_burnin)
     return {"n_rungs": n_rungs, "nwalkers": nwalkers,
             "steps": nsteps + nsteps_burnin, "elapsed_s": elapsed,
             "evals_per_sec": evals / elapsed, "log_z": zs[-1][0],

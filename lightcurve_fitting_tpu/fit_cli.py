@@ -185,10 +185,16 @@ def _run_compare(cfg, config_dir):
     priors = [_build_priors(p) for p in raw] if per_model else _build_priors(raw)
 
     from . import fitting
-    table = fitting.compare_models(lc, models, priors, p_lo=cfg.get("p_lo"),
-                                   p_up=cfg.get("p_up"),
-                                   labels=cfg.get("labels"),
-                                   **cfg.get("driver_kwargs", {}))
+    try:
+        table = fitting.compare_models(lc, models, priors,
+                                       p_lo=cfg.get("p_lo"),
+                                       p_up=cfg.get("p_up"),
+                                       labels=cfg.get("labels"),
+                                       **cfg.get("driver_kwargs", {}))
+    except ValueError as exc:
+        # config-shape errors (too few models, prior/label length mismatch)
+        # surface as clean CLI errors like the other invalid-config paths
+        raise SystemExit(str(exc))
     summary = {"driver": "compare", "models": list(cfg["models"]),
                "ranking": [dict(model=str(m), log_z=float(z), dlog_z=float(dz),
                                 delta_log_z=float(d))

@@ -900,9 +900,14 @@ def compare_models(lc, models, priors, p_lo=None, p_up=None, labels=None,
         walker initialization, as in ``lightcurve_evidence``; None draws
         from the priors.
     labels : display names; defaults to each model class name (deduplicated
-        with #k suffixes).
+        with #k suffixes). User-supplied labels must be one per model and
+        unique.
     evidence_kwargs : forwarded to ``lightcurve_evidence`` (nwalkers,
-        n_rungs, nsteps, seed, mesh, ...).
+        n_rungs, nsteps, seed, mesh, ...). ``checkpoint_file`` /
+        ``resume_from`` are per-model-ized: the label is inserted before the
+        extension (``ck.npz`` -> ``ck.SW17.npz``) so compared models never
+        share a checkpoint, and a resume only applies to models whose file
+        exists (the others start fresh).
 
     Returns a Table ranked best-first with columns ``model``, ``log_z``,
     ``dlog_z`` (stepping-stone MC uncertainty), ``delta_log_z`` (log Bayes
@@ -948,11 +953,35 @@ def compare_models(lc, models, priors, p_lo=None, p_up=None, labels=None,
             base = type(m).__name__
             seen[base] = seen.get(base, 0) + 1
             labels.append(base if seen[base] == 1 else f"{base}#{seen[base]}")
+    else:
+        labels = [str(lb) for lb in labels]
+        if len(labels) != n:
+            raise ValueError(f"labels must be one per model "
+                             f"({len(labels)} given for {n} models)")
+        if len(set(labels)) != n:
+            raise ValueError("labels must be unique")
+
+    def per_model_path(path, label):
+        # compared models must never share a checkpoint file: the resume
+        # validation (shape/seed/ladder) cannot tell same-shaped models apart
+        if path is None:
+            return None
+        root, ext = os.path.splitext(path)
+        safe = re.sub(r"[^\w.-]", "_", label)
+        return f"{root}.{safe}{ext or '.npz'}"
+
+    ck_base = evidence_kwargs.pop("checkpoint_file", None)
+    resume_base = evidence_kwargs.pop("resume_from", None)
 
     rows = []
     for label, model, pri, lo, up in zip(labels, models, priors, p_lo, p_up):
+        resume = per_model_path(resume_base, label)
+        if resume is not None and not os.path.exists(resume):
+            resume = None                       # this model starts fresh
         log_z, log_z_err, info = lightcurve_evidence(
-            lc, model, pri, p_lo=lo, p_up=up, quiet=True, **evidence_kwargs)
+            lc, model, pri, p_lo=lo, p_up=up, quiet=True,
+            checkpoint_file=per_model_path(ck_base, label),
+            resume_from=resume, **evidence_kwargs)
         rows.append((label, log_z, log_z_err, info, pri))
 
     rows.sort(key=lambda r: -r[1])
@@ -960,15 +989,15 @@ def compare_models(lc, models, priors, p_lo=None, p_up=None, labels=None,
     table = Table(
         [[r[0] for r in rows], [r[1] for r in rows], [r[2] for r in rows],
          [r[1] - best_z for r in rows],
-         [np.hypot(r[2], best_err) if r[0] != rows[0][0] else 0.0
-          for r in rows]],
+         [0.0 if i == 0 else np.hypot(r[2], best_err)
+          for i, r in enumerate(rows)]],
         names=["model", "log_z", "dlog_z", "delta_log_z", "ddelta_log_z"])
     table.meta["info"] = {r[0]: r[3] for r in rows}
     if not quiet:
         print("model comparison (log Bayes factors vs best; "
               "evidence is prior-sensitive):")
-        for label, log_z, err, _, pri in rows:
-            mark = " <- preferred" if label == rows[0][0] else ""
+        for i, (label, log_z, err, _, pri) in enumerate(rows):
+            mark = " <- preferred" if i == 0 else ""
             print(f"  {label}: log Z = {log_z:.2f} +/- {err:.2f}, "
                   f"delta = {log_z - best_z:+.2f}{mark}")
             print("    priors: " + ", ".join(repr(p) for p in pri))

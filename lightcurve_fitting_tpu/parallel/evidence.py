@@ -18,6 +18,8 @@ The ladder uses the standard quantiles of Beta(0.3, 1) (beta_k = (k/K)^(1/0.3)),
 which concentrates rungs near beta = 0 where the integrand varies fastest.
 """
 
+import hashlib
+
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -301,8 +303,19 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
     # production outputs accumulate in blocks
     total = nsteps_burnin + nsteps
     blocks = {"logl": [], "acc": [], "swap": [], "cold": []}
+    # semantic fingerprint of the target (model physics + priors + data +
+    # rescaling): same-shaped ladders for DIFFERENT models would otherwise
+    # pass every structural resume check below
+    fns_digest = (hashlib.sha1(repr(fns_key).encode()).hexdigest()
+                  if fns_key is not None else "")
     if resume_from is not None:
         ck = np.load(resume_from)
+        saved_digest = str(ck["fns_digest"][()]) if "fns_digest" in ck else ""
+        if fns_digest and saved_digest and saved_digest != fns_digest:
+            raise ValueError("checkpoint was written by a run with a different "
+                             "model/priors/photometry (fns fingerprint "
+                             "mismatch); resume each model from its own "
+                             "checkpoint file")
         if ck["x"].shape != (K, 2, half, ndim):
             raise ValueError(f"checkpoint ladder shape {ck['x'].shape} does not "
                              f"match this run {(K, 2, half, ndim)}")
@@ -355,7 +368,7 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
         atomic_savez(checkpoint_file,
                  x=to_host(carry[0]), logpri=to_host(carry[1]),
                  logl=to_host(carry[2]), steps_done=steps_done, seed=seed,
-                 betas=np.asarray(betas_all),
+                 betas=np.asarray(betas_all), fns_digest=fns_digest,
                  state_dtype=str(np.dtype(state_dtype)
                                  if state_dtype is not None else np.float64),
                  nsteps=nsteps, nsteps_burnin=nsteps_burnin,
@@ -420,8 +433,33 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
     return logl_samples, acceptance, swap_rate, cold_chain
 
 
-_LADDER_CACHE = {}
-_TERMS_CACHE = {}
+class _LRUCache(dict):
+    """Bounded compiled-kernel cache: a sweep over many distinct transients
+    gets a new photometry digest per call, and each entry pins compiled
+    executables plus the likelihood closure's device arrays — unbounded
+    growth would leak host and HBM memory. LRU beyond ``maxsize``."""
+
+    def __init__(self, maxsize):
+        super().__init__()
+        self.maxsize = maxsize
+
+    def get(self, key, default=None):
+        if key in self:
+            val = super().pop(key)
+            super().__setitem__(key, val)      # mark most-recently-used
+            return val
+        return default
+
+    def __setitem__(self, key, val):
+        if key in self:
+            super().pop(key)
+        elif len(self) >= self.maxsize:
+            super().pop(next(iter(self)))      # evict least-recently-used
+        super().__setitem__(key, val)
+
+
+_LADDER_CACHE = _LRUCache(8)
+_TERMS_CACHE = _LRUCache(16)
 
 
 def _rung_block_terms(logl_samples, dbetas, boundaries):

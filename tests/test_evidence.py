@@ -288,6 +288,7 @@ def test_ladder_kernel_cache_keys_on_semantics():
     kw = dict(nwalkers=16, n_rungs=6, nsteps=40, nsteps_burnin=40, seed=3,
               quiet=True)
 
+    ev._LADDER_CACHE.clear()     # the cache is LRU-bounded; count from empty
     n_before = len(ev._LADDER_CACHE)
     z1, _, _ = lightcurve_evidence(lc, ShockCooling2(lc), priors, **kw)
     n_after_first = len(ev._LADDER_CACHE)
@@ -378,3 +379,80 @@ def test_compare_models_labels_and_validation():
     with pytest.raises(ValueError, match="per model"):
         compare_models(lc, [ShockCooling2(lc), ShockCooling2(lc)],
                        [priors, priors, priors], **kw)
+
+
+def test_ladder_checkpoint_rejects_wrong_model_resume(tmp_path):
+    """Same-shaped ladders for DIFFERENT targets must not cross-resume: the
+    fns fingerprint in the checkpoint catches what the structural checks
+    (shape/seed/ladder) cannot."""
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.fitting import lightcurve_evidence
+
+    lc = _sc2_toy()
+    priors = [UniformPrior(8.0, 16.0), UniformPrior(1.0, 3.0),
+              UniformPrior(25.0, 45.0), UniformPrior(-0.5, 0.5)]
+    wide = [UniformPrior(1.0, 400.0)] + priors[1:]
+    ck = str(tmp_path / "ladder.npz")
+    kw = dict(nwalkers=16, n_rungs=4, nsteps=20, nsteps_burnin=20, seed=9,
+              quiet=True)
+    lightcurve_evidence(lc, ShockCooling2(lc), priors,
+                        checkpoint_every=10, checkpoint_file=ck, **kw)
+    # different priors, identical ladder shape/seed: must refuse to resume
+    with pytest.raises(ValueError, match="fingerprint"):
+        lightcurve_evidence(lc, ShockCooling2(lc), wide,
+                            resume_from=ck, **kw)
+    # the rightful owner resumes fine (completed run replays instantly)
+    z, _, _ = lightcurve_evidence(lc, ShockCooling2(lc), priors,
+                                  resume_from=ck, **kw)
+    assert np.isfinite(z)
+
+
+def test_compare_models_isolates_checkpoints(tmp_path):
+    """compare_models gives every model its own checkpoint file (the label
+    goes before the extension), so compared models never clobber or
+    cross-resume each other's ladder state."""
+    import os
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.fitting import compare_models
+
+    lc = _sc2_toy()
+    narrow = [UniformPrior(8.0, 16.0), UniformPrior(1.0, 3.0),
+              UniformPrior(25.0, 45.0), UniformPrior(-0.5, 0.5)]
+    wide = [UniformPrior(1.0, 400.0)] + narrow[1:]
+    ck = str(tmp_path / "cmp.npz")
+    kw = dict(p_lo=[8.0, 1.0, 25.0, -0.5], p_up=[16.0, 3.0, 45.0, 0.5],
+              nwalkers=16, n_rungs=4, nsteps=20, nsteps_burnin=20, seed=2,
+              quiet=True, labels=["wide", "narrow"])
+    t1 = compare_models(lc, [ShockCooling2(lc), ShockCooling2(lc)],
+                        [wide, narrow], checkpoint_every=10,
+                        checkpoint_file=ck, **kw)
+    assert os.path.exists(str(tmp_path / "cmp.wide.npz"))
+    assert os.path.exists(str(tmp_path / "cmp.narrow.npz"))
+    assert not os.path.exists(ck)
+    # resume from the per-model files reproduces the comparison exactly
+    t2 = compare_models(lc, [ShockCooling2(lc), ShockCooling2(lc)],
+                        [wide, narrow], resume_from=ck, **kw)
+    assert list(t2["log_z"]) == list(t1["log_z"])
+
+    with pytest.raises(ValueError, match="one per model"):
+        compare_models(lc, [ShockCooling2(lc), ShockCooling2(lc)],
+                       [wide, narrow], labels=["only-one"],
+                       p_lo=kw["p_lo"], p_up=kw["p_up"], nwalkers=16,
+                       n_rungs=4, nsteps=20, nsteps_burnin=20, quiet=True)
+    with pytest.raises(ValueError, match="unique"):
+        compare_models(lc, [ShockCooling2(lc), ShockCooling2(lc)],
+                       [wide, narrow], labels=["same", "same"],
+                       p_lo=kw["p_lo"], p_up=kw["p_up"], nwalkers=16,
+                       n_rungs=4, nsteps=20, nsteps_burnin=20, quiet=True)
+
+
+def test_ladder_cache_is_bounded():
+    from lightcurve_fitting_tpu.parallel.evidence import (_LADDER_CACHE,
+                                                          _LRUCache)
+    c = _LRUCache(3)
+    for k in "abc":
+        c[k] = k
+    c.get("a")          # refresh 'a'
+    c["d"] = "d"        # evicts 'b' (least recently used)
+    assert sorted(c) == ["a", "c", "d"]
+    assert _LADDER_CACHE.maxsize == 8
