@@ -38,7 +38,7 @@ from .utils.corner import corner as _corner
 
 __all__ = ["lightcurve_mcmc", "lightcurve_hmc", "lightcurve_map",
            "lightcurve_evidence", "lightcurve_ptmcmc", "compare_models",
-           "lightcurve_corner", "lightcurve_model_plot",
+           "goodness_of_fit", "lightcurve_corner", "lightcurve_model_plot",
            "format_credible_interval", "make_log_posterior"]
 
 PRIOR_WARNING = "The p_max/p_min keywords are deprecated. Use the priors keyword instead."
@@ -878,6 +878,85 @@ def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
               f"rung acceptance {info['acceptance'].min():.2f}-"
               f"{info['acceptance'].max():.2f})")
     return log_z, log_z_err, info
+
+
+def goodness_of_fit(lc, model, flatchain, use_sigma=False,
+                    sigma_type="relative", n_draws=512, seed=0, quiet=False):
+    """Posterior-predictive goodness-of-fit of a completed fit.
+
+    Beyond-reference diagnostic (the reference reports no fit-quality
+    statistic at all; its workflow ends at the corner plot): for ``n_draws``
+    posterior samples theta_j this computes the observed discrepancy
+    chi2_j = sum_i ((y_i - m_i(theta_j)) / sigma_ij)^2 in one vmapped device
+    call (sigma_ij includes the intrinsic-scatter parameter when
+    ``use_sigma``, same variance model as the likelihood, reference
+    models.py:93-136), and the posterior-predictive p-value
+
+        p = E_theta[ Pr(chi2_rep >= chi2_obs | theta) ]
+          = mean_j SF_chi2(chi2_j; N)
+
+    (Gelman et al. 1996 with the chi-square discrepancy; given theta the
+    replicated discrepancy is exactly chi-square with N degrees of freedom,
+    so the inner probability is analytic — no replicate sampling noise).
+    p near 0 means the model cannot reproduce its own residuals
+    (misspecified or error bars too small); p near 1 means overfitting or
+    inflated error bars; the classical reduced chi-square at the posterior
+    median is reported alongside.
+
+    Returns a dict with ``chi2`` (at the posterior median), ``dof``
+    (N - ndim), ``chi2_nu``, ``p_value``, and ``n_points``.
+    """
+    from scipy.stats import chi2 as _chi2_dist
+
+    _derive_fit_columns(lc, model)
+    oq = model.output_quantity
+    f = np.asarray(lc["filter"])
+    t = np.asarray(lc["MJD"], float)
+    y = np.asarray(lc[oq], float)
+    dy = np.asarray(lc["d" + oq], float)
+    flatchain = np.asarray(flatchain, float)
+    ndim = flatchain.shape[1]
+    n_model = ndim - (1 if use_sigma else 0)
+    npts = len(y)
+
+    # the same O(1) data normalization as make_log_likelihood_arrays (TPU
+    # emulated-float64 range safety); chi-square is scale-invariant
+    yscale = float(np.median(np.abs(y[y != 0]))) if np.any(y != 0) else 1.0
+    quad = model.prepare_quad(f)
+    t_dev = jnp.asarray(t)
+    y_n = jnp.asarray(y / yscale)
+    dy_n = jnp.asarray(dy / yscale)
+    if sigma_type == "relative":
+        sigma_units = jnp.asarray(dy / yscale)
+    elif sigma_type == "absolute":
+        sigma_units = jnp.asarray(float(np.median(dy)) / yscale)
+    else:
+        raise Exception('sigma_type must either be "relative" or "absolute"')
+
+    def chi2_of(p):
+        y_fit = model._eval_points(t_dev, quad, *[p[i] for i in range(n_model)])
+        y_fit = y_fit * (1.0 / yscale)
+        sigma2 = dy_n ** 2.0
+        if use_sigma:
+            sigma2 = sigma2 + (p[-1] * sigma_units) ** 2.0
+        return jnp.sum((y_n - y_fit) ** 2.0 / sigma2)
+
+    rng = np.random.default_rng(seed)
+    n_draws = min(int(n_draws), len(flatchain))
+    draws = flatchain[rng.choice(len(flatchain), n_draws, replace=False)]
+    chi2_draws = np.asarray(jax.jit(jax.vmap(chi2_of))(jnp.asarray(draws)))
+    p_value = float(np.mean(_chi2_dist.sf(chi2_draws, npts)))
+
+    chi2_med = float(jax.jit(chi2_of)(jnp.asarray(np.median(flatchain, axis=0))))
+    dof = npts - ndim
+    out = {"chi2": chi2_med, "dof": dof,
+           "chi2_nu": chi2_med / dof if dof > 0 else np.nan,
+           "p_value": p_value, "n_points": npts}
+    if not quiet:
+        print(f"goodness of fit: chi^2/dof = {chi2_med:.1f}/{dof} "
+              f"= {out['chi2_nu']:.2f} at the posterior median; "
+              f"posterior-predictive p = {p_value:.3f}")
+    return out
 
 
 def compare_models(lc, models, priors, p_lo=None, p_up=None, labels=None,

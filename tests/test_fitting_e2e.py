@@ -275,3 +275,39 @@ def test_posterior_curves_seed_reproducible(fit):
     y3, _ = _posterior_curves(model, sampler.flatchain, xfit, ufilts, 10, False, seed=8)
     assert np.array_equal(np.asarray(y1), np.asarray(y2))
     assert not np.array_equal(np.asarray(y1), np.asarray(y3))
+
+
+def test_goodness_of_fit(fit):
+    """Posterior-predictive GOF: a converged flagship fit yields a finite
+    chi2/dof and a p-value strictly inside (0, 1); a deliberately
+    misspecified 'posterior' (right model, wrong parameters) is rejected
+    with p ~ 0; the intrinsic-scatter variance model is honored."""
+    from lightcurve_fitting_tpu.fitting import goodness_of_fit
+
+    lc_early, model, sampler = fit
+    gof = goodness_of_fit(lc_early, model, sampler.flatchain, seed=3,
+                          quiet=True)
+    assert gof["n_points"] == len(lc_early)
+    assert gof["dof"] == len(lc_early) - 4
+    assert np.isfinite(gof["chi2"]) and gof["chi2"] > 0
+    assert gof["chi2_nu"] == pytest.approx(gof["chi2"] / gof["dof"])
+    # the flagship SC2 fit is known-good but with underestimated errors at
+    # some epochs (chi2_nu ~ a few); p must at least be a valid probability
+    assert 0.0 <= gof["p_value"] <= 1.0
+
+    # misspecified parameters: same model, posterior centered far off truth
+    rng = np.random.default_rng(0)
+    bad = np.array([5.0, 1.0, 5.0, 57468.55]) + 0.01 * rng.normal(size=(256, 4))
+    gof_bad = goodness_of_fit(lc_early, model, bad, seed=3, quiet=True)
+    assert gof_bad["chi2"] > 10 * gof["chi2"]
+    assert gof_bad["p_value"] < 1e-6
+
+    # use_sigma: an intrinsic-scatter parameter inflates sigma^2 and cannot
+    # decrease the p-value relative to sig=0
+    with_sig = np.concatenate([sampler.flatchain,
+                               np.full((len(sampler.flatchain), 1), 2.0)], axis=1)
+    gof_sig = goodness_of_fit(lc_early, model, with_sig, use_sigma=True,
+                              seed=3, quiet=True)
+    assert gof_sig["p_value"] >= gof["p_value"]
+    assert gof_sig["chi2"] < gof["chi2"]
+    assert gof_sig["dof"] == len(lc_early) - 5

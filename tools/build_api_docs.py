@@ -40,7 +40,7 @@ SECTIONS = [
     ("Fit drivers (L4)", "lightcurve_fitting_tpu.fitting",
      ["lightcurve_mcmc", "lightcurve_hmc", "lightcurve_map",
       "lightcurve_evidence", "lightcurve_ptmcmc", "compare_models",
-      "lightcurve_corner", "lightcurve_model_plot",
+      "goodness_of_fit", "lightcurve_corner", "lightcurve_model_plot",
       "format_credible_interval", "make_log_posterior"]),
     ("Bolometric pipeline", "lightcurve_fitting_tpu.bolometric",
      ["calculate_bolometric", "spectrum_mcmc", "spectrum_corner",
