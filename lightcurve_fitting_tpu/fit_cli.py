@@ -25,7 +25,9 @@ Run:  python -m lightcurve_fitting_tpu.fit_cli fit.json
       (or the installed ``lcfit`` console script)
 
 The summary JSON records the posterior medians and 16/84 percentiles per
-parameter (or the MAP/stderr, or log-evidence), plus the driver diagnostics.
+parameter (or the MAP/stderr, or log-evidence), plus the driver diagnostics
+and, for chain-producing drivers, the posterior-predictive goodness of fit
+(`fitting.goodness_of_fit`).
 """
 
 import argparse
@@ -306,6 +308,13 @@ def main(argv=None):
 
     if flatchain is not None:
         summary["posterior"] = _summarize_chain(flatchain, model)
+        gof = fitting.goodness_of_fit(lc, model, flatchain,
+                                      use_sigma=kw.get("use_sigma", False),
+                                      sigma_type=kw.get("sigma_type",
+                                                        "relative"),
+                                      quiet=True)
+        summary["goodness_of_fit"] = {k: (float(v) if np.isfinite(v) else None)
+                                      for k, v in gof.items()}
         if outpath("flatchain"):
             np.save(outpath("flatchain"), flatchain)
         if outpath("corner"):

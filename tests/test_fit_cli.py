@@ -55,6 +55,9 @@ def test_cli_mcmc(tmp_path, synth_csv):
     chain = np.load(str(tmp_path / "chain.npy"))
     assert chain.shape == (150 * 16, 4)
     assert 0.1 < summary["acceptance"] < 0.9
+    gof = summary["goodness_of_fit"]
+    assert gof["n_points"] == 15 and gof["dof"] == 11
+    assert 0.0 <= gof["p_value"] <= 1.0 and gof["chi2"] > 0
 
 
 def test_cli_evidence(tmp_path, synth_csv):
