@@ -33,6 +33,7 @@ from .models import UniformPrior, GaussianPrior, CompanionShocking, BaseCompanio
 from .lightcurve import filter_legend, flux2mag
 from .filters import filtdict
 from .parallel.sampler import EnsembleSampler
+from .parallel.evidence import _LRUCache
 from .utils import units as u
 from .utils.corner import corner as _corner
 
@@ -45,6 +46,10 @@ PRIOR_WARNING = "The p_max/p_min keywords are deprecated. Use the priors keyword
 MODEL_KWARGS_WARNING = "The model_kwargs keyword is deprecated. These are now included in the model intialization."
 
 _STYLE = os.path.join(os.path.dirname(__file__), "serif.mplstyle")
+
+# goodness_of_fit compiled kernels, keyed on model/data/variance semantics
+# (the population/ladder pattern); LRU-bounded like the ladder cache
+_GOF_CACHE = _LRUCache(8)
 
 
 def make_log_posterior(model, lc, priors, use_sigma=False, sigma_type="relative"):
@@ -362,6 +367,11 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
         print("saving sampler.flatchain as " + save_sampler_as)
     if not quiet:
         _report_convergence(sampler, model)
+        try:
+            goodness_of_fit(lc, model, sampler.flatchain,
+                            use_sigma=use_sigma, sigma_type=sigma_type)
+        except Exception as exc:  # diagnostics must never kill a finished fit
+            print(f"(goodness-of-fit unavailable: {exc})")
 
     if fig is not None:
         _plot_chain_histories(ax[:, 1], sampler, model, "After Burn In")
@@ -941,13 +951,31 @@ def goodness_of_fit(lc, model, flatchain, use_sigma=False,
             sigma2 = sigma2 + (p[-1] * sigma_units) ** 2.0
         return jnp.sum((y_n - y_fit) ** 2.0 / sigma2)
 
+    # compiled-kernel cache (the population/ladder pattern): the driver calls
+    # this after every fit, and a fresh jit per call would add a remote
+    # compile that dwarfs the diagnostic itself on a TPU tunnel
+    from .parallel.population import _model_fingerprint
+    import hashlib
+    data_digest = hashlib.sha1(
+        np.ascontiguousarray(t).tobytes() + np.ascontiguousarray(y).tobytes()
+        + np.ascontiguousarray(dy).tobytes()
+        + "|".join(str(x) for x in f).encode()).hexdigest()
+    key = (_model_fingerprint(model), data_digest, use_sigma, sigma_type, ndim)
+    fn = _GOF_CACHE.get(key)
+    if fn is None:
+        fn = jax.jit(jax.vmap(chi2_of))
+        _GOF_CACHE[key] = fn
+
     rng = np.random.default_rng(seed)
     n_draws = min(int(n_draws), len(flatchain))
     draws = flatchain[rng.choice(len(flatchain), n_draws, replace=False)]
-    chi2_draws = np.asarray(jax.jit(jax.vmap(chi2_of))(jnp.asarray(draws)))
+    # row 0 carries the posterior median through the same compiled kernel
+    stacked = np.concatenate([np.median(flatchain, axis=0)[None], draws])
+    chi2_all = np.asarray(fn(jnp.asarray(stacked)))
+    chi2_draws = chi2_all[1:]
     p_value = float(np.mean(_chi2_dist.sf(chi2_draws, npts)))
 
-    chi2_med = float(jax.jit(chi2_of)(jnp.asarray(np.median(flatchain, axis=0))))
+    chi2_med = float(chi2_all[0])
     dof = npts - ndim
     out = {"chi2": chi2_med, "dof": dof,
            "chi2_nu": chi2_med / dof if dof > 0 else np.nan,
