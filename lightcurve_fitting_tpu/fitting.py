@@ -581,6 +581,11 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
         rhat = split_rhat(x_chain)
         for name, r in zip(model.input_names, np.atleast_1d(rhat)):
             print(f"  {name}: R-hat = {r:.3f}  (independent chains)")
+        try:
+            goodness_of_fit(lc, model, result.flatchain,
+                            use_sigma=use_sigma, sigma_type=sigma_type)
+        except Exception as exc:  # diagnostics must never kill a finished fit
+            print(f"(goodness-of-fit unavailable: {exc})")
     return result
 
 
