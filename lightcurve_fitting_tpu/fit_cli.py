@@ -308,13 +308,19 @@ def main(argv=None):
 
     if flatchain is not None:
         summary["posterior"] = _summarize_chain(flatchain, model)
-        gof = fitting.goodness_of_fit(lc, model, flatchain,
-                                      use_sigma=kw.get("use_sigma", False),
-                                      sigma_type=kw.get("sigma_type",
-                                                        "relative"),
-                                      quiet=True)
-        summary["goodness_of_fit"] = {k: (float(v) if np.isfinite(v) else None)
-                                      for k, v in gof.items()}
+        try:
+            # diagnostics must never discard a finished fit: the chain and
+            # summary still get written if the GOF evaluation fails
+            gof = fitting.goodness_of_fit(lc, model, flatchain,
+                                          use_sigma=kw.get("use_sigma", False),
+                                          sigma_type=kw.get("sigma_type",
+                                                            "relative"),
+                                          quiet=True)
+            summary["goodness_of_fit"] = {
+                k: (float(v) if np.isfinite(v) else None)
+                for k, v in gof.items()}
+        except Exception as exc:
+            summary["goodness_of_fit"] = {"error": str(exc)}
         if outpath("flatchain"):
             np.save(outpath("flatchain"), flatchain)
         if outpath("corner"):

@@ -213,13 +213,12 @@ def _plot_chain_histories(ax_column, sampler, model, title):
     ax_column[-1].set_xlabel("Step Number")
 
 
-def _report_convergence(sampler, model):
+def _report_convergence(sampler, model, nsamples):
     """Post-run convergence summary: mean acceptance and per-parameter
     integrated autocorrelation time / effective sample size. The reference
     computes neither (SURVEY.md §5); R-hat is deliberately not quoted for
     coupled ensemble walkers (see parallel/diagnostics.py)."""
     accept = float(np.mean(sampler.acceptance_fraction))
-    nsamples = sampler.flatchain.shape[0]
     lines = [f"mean acceptance fraction: {accept:.3f}"]
     try:
         tau = sampler.get_autocorr_time()
@@ -366,9 +365,12 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
         np.save(save_sampler_as, sampler.flatchain)
         print("saving sampler.flatchain as " + save_sampler_as)
     if not quiet:
-        _report_convergence(sampler, model)
+        # flatchain is a property that re-materializes the absolute-space
+        # f64 chain on every access — take it once for both diagnostics
+        flat = sampler.flatchain
+        _report_convergence(sampler, model, flat.shape[0])
         try:
-            goodness_of_fit(lc, model, sampler.flatchain,
+            goodness_of_fit(lc, model, flat,
                             use_sigma=use_sigma, sigma_type=sigma_type)
         except Exception as exc:  # diagnostics must never kill a finished fit
             print(f"(goodness-of-fit unavailable: {exc})")
@@ -721,6 +723,13 @@ def lightcurve_map(lc, model, priors, p_lo=None, p_up=None, n_starts=64,
                                           result.stderr, at_bound):
             note = "  (at prior bound)" if pinned else ""
             print(f"  {name} = {val:.6g} +/- {err:.2g}{note}")
+        try:
+            # the Laplace cloud scatters off the curved ridge; always score
+            # the MAP point itself so chi2 reflects the actual best fit
+            goodness_of_fit(lc, model, result.flatchain, best=x_map,
+                            use_sigma=use_sigma, sigma_type=sigma_type)
+        except Exception as exc:  # diagnostics must never kill a finished fit
+            print(f"(goodness-of-fit unavailable: {exc})")
     return result
 
 
@@ -896,7 +905,8 @@ def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
 
 
 def goodness_of_fit(lc, model, flatchain, use_sigma=False,
-                    sigma_type="relative", n_draws=512, seed=0, quiet=False):
+                    sigma_type="relative", n_draws=512, seed=0, quiet=False,
+                    best=None):
     """Posterior-predictive goodness-of-fit of a completed fit.
 
     Beyond-reference diagnostic (the reference reports no fit-quality
@@ -915,13 +925,25 @@ def goodness_of_fit(lc, model, flatchain, use_sigma=False,
     so the inner probability is analytic — no replicate sampling noise).
     p near 0 means the model cannot reproduce its own residuals
     (misspecified or error bars too small); p near 1 means overfitting or
-    inflated error bars; the classical reduced chi-square at the posterior
-    median is reported alongside.
+    inflated error bars. The classical reduced chi-square is reported at the
+    best evaluated draw (the minimum over the posterior sample — the vector
+    of componentwise medians is NOT used as the expansion point, because on
+    curved ridge posteriors like the flagship's it lies off the ridge).
 
-    Returns a dict with ``chi2`` (at the posterior median), ``dof``
-    (N - ndim), ``chi2_nu``, ``p_value``, and ``n_points``.
+    ``best``: an optional parameter vector that is always evaluated and
+    participates in the best-fit chi-square (but not the p-value, which
+    averages over posterior draws only). :func:`lightcurve_map` passes its
+    MAP point here — the Laplace cloud scatters off curved ridges, so the
+    subsampled draws alone can badly overstate the best achievable chi2.
+
+    Returns a dict with ``chi2`` (best-fit: minimum over the evaluated
+    draws and ``best`` if given), ``dof`` (N - ndim), ``chi2_nu``,
+    ``p_value``, ``n_points``, and ``n_invalid_draws`` (draws that evaluated
+    outside the model's validity window — e.g. a Laplace sample overshooting
+    ``t_0`` past the first epoch — and were excluded from the score).
     """
     from scipy.stats import chi2 as _chi2_dist
+    from .parallel.population import _model_fingerprint
 
     _derive_fit_columns(lc, model)
     oq = model.output_quantity
@@ -934,61 +956,77 @@ def goodness_of_fit(lc, model, flatchain, use_sigma=False,
     n_model = ndim - (1 if use_sigma else 0)
     npts = len(y)
 
-    # the same O(1) data normalization as make_log_likelihood_arrays (TPU
-    # emulated-float64 range safety); chi-square is scale-invariant
-    yscale = float(np.median(np.abs(y[y != 0]))) if np.any(y != 0) else 1.0
-    quad = model.prepare_quad(f)
-    t_dev = jnp.asarray(t)
-    y_n = jnp.asarray(y / yscale)
-    dy_n = jnp.asarray(dy / yscale)
-    if sigma_type == "relative":
-        sigma_units = jnp.asarray(dy / yscale)
-    elif sigma_type == "absolute":
-        sigma_units = jnp.asarray(float(np.median(dy)) / yscale)
-    else:
-        raise Exception('sigma_type must either be "relative" or "absolute"')
-
-    def chi2_of(p):
-        y_fit = model._eval_points(t_dev, quad, *[p[i] for i in range(n_model)])
-        y_fit = y_fit * (1.0 / yscale)
-        sigma2 = dy_n ** 2.0
-        if use_sigma:
-            sigma2 = sigma2 + (p[-1] * sigma_units) ** 2.0
-        return jnp.sum((y_n - y_fit) ** 2.0 / sigma2)
-
     # compiled-kernel cache (the population/ladder pattern): the driver calls
     # this after every fit, and a fresh jit per call would add a remote
-    # compile that dwarfs the diagnostic itself on a TPU tunnel
-    from .parallel.population import _model_fingerprint
-    import hashlib
-    data_digest = hashlib.sha1(
-        np.ascontiguousarray(t).tobytes() + np.ascontiguousarray(y).tobytes()
-        + np.ascontiguousarray(dy).tobytes()
-        + "|".join(str(x) for x in f).encode()).hexdigest()
-    key = (_model_fingerprint(model), data_digest, use_sigma, sigma_type, ndim)
+    # compile that dwarfs the diagnostic itself on a TPU tunnel. The data
+    # (t, quad, y, dy, sigma units, scale) are runtime ARGUMENTS, so one
+    # compiled kernel per (model physics, variance model, shapes) serves
+    # every light curve — a transient sweep compiles once, not per object.
+    key = (_model_fingerprint(model), use_sigma, sigma_type, n_model)
     fn = _GOF_CACHE.get(key)
     if fn is None:
-        fn = jax.jit(jax.vmap(chi2_of))
+        def chi2_batch(stacked, t_a, quad_a, y_a, dy_a, su_a, inv_yscale_a):
+            def one(p):
+                y_fit = model._eval_points(t_a, quad_a,
+                                           *[p[i] for i in range(n_model)])
+                y_fit = y_fit * inv_yscale_a
+                sigma2 = dy_a ** 2.0
+                if use_sigma:
+                    sigma2 = sigma2 + (p[-1] * su_a) ** 2.0
+                return jnp.sum((y_a - y_fit) ** 2.0 / sigma2)
+            return jax.vmap(one)(stacked)
+
+        fn = jax.jit(chi2_batch)
         _GOF_CACHE[key] = fn
+
+    # the same O(1) data normalization as the likelihood (TPU emulated-f64
+    # range safety; chi-square is scale-invariant under it)
+    yscale, y_n, dy_n, sigma_units = model._normalized_data(y, dy, sigma_type)
+    quad = model.prepare_quad(f)
 
     rng = np.random.default_rng(seed)
     n_draws = min(int(n_draws), len(flatchain))
     draws = flatchain[rng.choice(len(flatchain), n_draws, replace=False)]
-    # row 0 carries the posterior median through the same compiled kernel
-    stacked = np.concatenate([np.median(flatchain, axis=0)[None], draws])
-    chi2_all = np.asarray(fn(jnp.asarray(stacked)))
-    chi2_draws = chi2_all[1:]
-    p_value = float(np.mean(_chi2_dist.sf(chi2_draws, npts)))
+    # row 0 optionally carries the caller's best point (MAP) through the same
+    # compiled kernel; it scores the chi2 minimum, not the p-value average
+    n_extra = 0
+    if best is not None:
+        draws = np.concatenate([np.asarray(best, float)[None], draws])
+        n_extra = 1
+    chi2_all = np.asarray(fn(jnp.asarray(draws), jnp.asarray(t), quad,
+                             jnp.asarray(y_n), jnp.asarray(dy_n),
+                             jnp.asarray(sigma_units),
+                             jnp.asarray(1.0 / yscale)))
+    chi2_draws = chi2_all[n_extra:]
+    # draws outside the model's validity window (e.g. t < t_0, or past t_max
+    # for a Laplace sample that overshoots the bounds) evaluate to nan/inf;
+    # score the diagnostic over the valid draws only
+    finite = np.isfinite(chi2_draws)
+    n_bad = int(np.sum(~finite))
+    chi2_draws = chi2_draws[finite]
+    chi2_pool = np.concatenate([chi2_all[:n_extra][np.isfinite(chi2_all[:n_extra])],
+                                chi2_draws])
+    if len(chi2_pool) == 0:
+        out = {"chi2": np.nan, "dof": npts - ndim, "chi2_nu": np.nan,
+               "p_value": np.nan, "n_points": npts, "n_invalid_draws": n_bad}
+        if not quiet:
+            print("goodness of fit: unavailable — every posterior draw "
+                  "evaluated outside the model's validity window")
+        return out
+    p_value = float(np.mean(_chi2_dist.sf(chi2_draws, npts))) \
+        if len(chi2_draws) else np.nan
 
-    chi2_med = float(chi2_all[0])
+    chi2_best = float(np.min(chi2_pool))
     dof = npts - ndim
-    out = {"chi2": chi2_med, "dof": dof,
-           "chi2_nu": chi2_med / dof if dof > 0 else np.nan,
-           "p_value": p_value, "n_points": npts}
+    out = {"chi2": chi2_best, "dof": dof,
+           "chi2_nu": chi2_best / dof if dof > 0 else np.nan,
+           "p_value": p_value, "n_points": npts, "n_invalid_draws": n_bad}
     if not quiet:
-        print(f"goodness of fit: chi^2/dof = {chi2_med:.1f}/{dof} "
-              f"= {out['chi2_nu']:.2f} at the posterior median; "
-              f"posterior-predictive p = {p_value:.3f}")
+        note = (f" ({n_bad}/{n_bad + len(chi2_draws)} draws outside the "
+                f"model's validity window were excluded)" if n_bad else "")
+        print(f"goodness of fit: chi^2/dof = {chi2_best:.1f}/{dof} "
+              f"= {out['chi2_nu']:.2f} at the best posterior draw; "
+              f"posterior-predictive p = {p_value:.3f}{note}")
     return out
 
 
@@ -1193,6 +1231,11 @@ def lightcurve_ptmcmc(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
               f"cold acceptance {info['acceptance'][-1]:.2f}, swap rates "
               f"{info['swap_rate'].min():.2f}-{info['swap_rate'].max():.2f}; "
               f"log evidence {log_z:.2f} +/- {log_z_err:.2f}")
+        try:
+            goodness_of_fit(lc, model, result.flatchain,
+                            use_sigma=use_sigma, sigma_type=sigma_type)
+        except Exception as exc:  # diagnostics must never kill a finished fit
+            print(f"(goodness-of-fit unavailable: {exc})")
     return result
 
 

@@ -186,42 +186,55 @@ class Model:
         ll_fn = self.make_log_likelihood_arrays(t, f, y, dy, use_sigma, sigma_type)
         return float(ll_fn(jnp.asarray(np.asarray(p, float))))
 
+    def _normalized_data(self, y, dy, sigma_type="relative"):
+        """O(1) data normalization shared by the likelihood and the
+        goodness-of-fit diagnostic: the TPU backend emulates float64 with
+        float32 exponent range, so raw flux units (~1e-30 W/m^2/Hz) or
+        luminosities (~1e13 W/Hz) must not appear squared or logged.
+
+        Returns host-numpy ``(yscale, y/yscale, dy/yscale, sigma_units)``
+        where ``sigma_units`` is the per-point (or scalar, for
+        sigma_type='absolute') unit of the intrinsic-scatter parameter
+        (reference models.py:116-129)."""
+        y = np.asarray(y, float)
+        dy = np.asarray(dy, float)
+        yscale = float(np.median(np.abs(y[y != 0]))) if np.any(y != 0) else 1.0
+        if sigma_type == "relative":
+            sigma_units = dy / yscale
+        elif sigma_type == "absolute":
+            sigma_units = float(np.median(dy)) / yscale
+        else:
+            raise Exception('sigma_type must either be "relative" or "absolute"')
+        return yscale, y / yscale, dy / yscale, sigma_units
+
     def make_log_likelihood_arrays(self, t, f, y, dy, use_sigma=False, sigma_type="relative"):
         """Build a pure jax ``fn(p_vector) -> scalar`` log-likelihood over the
         given photometry arrays. This is the function the sampler vmaps over
         walkers (the reference evaluates it serially 2e5 times, fitting.py:133)."""
-        # normalize the data scale so all in-graph values are O(1): the TPU
-        # backend emulates float64 with float32 range, so raw flux units
-        # (~1e-30 W/m^2/Hz) or luminosities (~1e13 W/Hz) must not appear
-        # squared or logged. The log-likelihood changes by the constant
-        # -N log(yscale), which is added back.
+        # the log-likelihood changes by the constant -N log(yscale) under the
+        # data normalization, which is added back
         y = np.asarray(y, float)
         dy = np.asarray(dy, float)
-        yscale = float(np.median(np.abs(y[y != 0]))) if np.any(y != 0) else 1.0
+        yscale, y_n, dy_n, sigma_units_np = self._normalized_data(y, dy, sigma_type)
         offset = -len(y) * np.log(yscale)
         inv_yscale = 1.0 / yscale
 
         from ..core import config
         dt = config.get_compute_dtype()
 
-        if sigma_type == "relative":
-            sigma_units = jnp.asarray(dy / yscale, dtype=dt)
-        elif sigma_type == "absolute":
-            sigma_units = jnp.asarray(float(np.median(dy)) / yscale, dtype=dt)
-        else:
-            raise Exception('sigma_type must either be "relative" or "absolute"')
+        sigma_units = jnp.asarray(sigma_units_np, dtype=dt)
 
         quad = self.prepare_quad(f)
         t_dev = jnp.asarray(np.asarray(t, float))
         # residual arithmetic runs in the hot-path dtype: everything is O(1)
         # after the yscale normalization, and f32 residual noise (~1e-7) is far
         # below MC noise in the acceptance ratio
-        y_dev = jnp.asarray(y / yscale, dtype=dt)
-        inv_dy = jnp.asarray(yscale / dy, dtype=dt)
-        dy_dev = jnp.asarray(dy / yscale, dtype=dt)
+        y_dev = jnp.asarray(y_n, dtype=dt)
+        inv_dy = jnp.asarray(1.0 / dy_n, dtype=dt)
+        dy_dev = jnp.asarray(dy_n, dtype=dt)
         # the Gaussian normalization term is a constant when sigma is fixed:
         # hoist it to the host (float64, exact)
-        log_norm_const = float(-0.5 * np.sum(np.log(2 * np.pi * (dy / yscale) ** 2)) + offset)
+        log_norm_const = float(-0.5 * np.sum(np.log(2 * np.pi * dy_n ** 2)) + offset)
 
         def ll(p):
             n_model = p.shape[0] - (1 if use_sigma else 0)  # static under jit

@@ -311,3 +311,41 @@ def test_goodness_of_fit(fit):
     assert gof_sig["p_value"] >= gof["p_value"]
     assert gof_sig["chi2"] < gof["chi2"]
     assert gof_sig["dof"] == len(lc_early) - 5
+
+
+def test_goodness_of_fit_kernel_cache_is_data_independent(fit):
+    """The compiled GOF kernel is cached per (model physics, variance model,
+    shapes) with the photometry passed as runtime arguments — a second call
+    on a DIFFERENT light curve must evaluate that light curve's data, not
+    silently reuse the first call's (the population-cache bug class,
+    ADVICE.md r2 #1)."""
+    from lightcurve_fitting_tpu.fitting import goodness_of_fit
+
+    lc_early, model, sampler = fit
+    draws = sampler.flatchain[:64]
+    gof_full = goodness_of_fit(lc_early, model, draws, n_draws=64, seed=0,
+                               quiet=True)
+
+    # same model physics, same point count (same cache key when shapes
+    # match), but the epochs are perturbed: chi2 must change
+    lc_jit = lc_early.copy()
+    rng = np.random.default_rng(5)
+    lc_jit["MJD"] = np.asarray(lc_jit["MJD"], float) + 0.05 * rng.normal(
+        size=len(lc_jit))
+    model_jit = ShockCooling2(lc_jit)
+    gof_jit = goodness_of_fit(lc_jit, model_jit, draws, n_draws=64, seed=0,
+                              quiet=True)
+    assert gof_jit["n_points"] == gof_full["n_points"]
+    assert gof_jit["chi2"] != pytest.approx(gof_full["chi2"], rel=1e-6)
+
+    # independent recomputation of the best-draw chi2 on the second dataset
+    t = np.asarray(lc_jit["MJD"])
+    f = list(lc_jit["filter"])
+    y = np.asarray(lc_jit["lum"])
+    dy = np.asarray(lc_jit["dlum"])
+    chi2s = []
+    for p in draws:
+        y_fit = np.asarray(model_jit.evaluate(
+            np.asarray(t), f, *[float(v) for v in p]))
+        chi2s.append(float(np.sum((y - y_fit) ** 2 / dy ** 2)))
+    assert gof_jit["chi2"] == pytest.approx(min(chi2s), rel=1e-3)
