@@ -321,6 +321,17 @@ def main(argv=None):
                 for k, v in gof.items()}
         except Exception as exc:
             summary["goodness_of_fit"] = {"error": str(exc)}
+        try:
+            ic = fitting.information_criteria(
+                lc, model, flatchain, use_sigma=kw.get("use_sigma", False),
+                sigma_type=kw.get("sigma_type", "relative"), quiet=True)
+            summary["information_criteria"] = {
+                k: (float(v) if np.isfinite(v) else None)
+                for k, v in ic.items() if np.ndim(v) == 0}
+            summary["information_criteria"]["n_pareto_k_above_0.7"] = int(
+                np.sum(ic["pareto_k"] > 0.7))
+        except Exception as exc:
+            summary["information_criteria"] = {"error": str(exc)}
         if outpath("flatchain"):
             np.save(outpath("flatchain"), flatchain)
         if outpath("corner"):

@@ -50,6 +50,7 @@ _STYLE = os.path.join(os.path.dirname(__file__), "serif.mplstyle")
 # goodness_of_fit compiled kernels, keyed on model/data/variance semantics
 # (the population/ladder pattern); LRU-bounded like the ladder cache
 _GOF_CACHE = _LRUCache(8)
+_IC_CACHE = _LRUCache(8)
 
 
 def make_log_posterior(model, lc, priors, use_sigma=False, sigma_type="relative"):
@@ -1028,6 +1029,143 @@ def goodness_of_fit(lc, model, flatchain, use_sigma=False,
               f"= {out['chi2_nu']:.2f} at the best posterior draw; "
               f"posterior-predictive p = {p_value:.3f}{note}")
     return out
+
+
+def information_criteria(lc, model, flatchain, use_sigma=False,
+                         sigma_type="relative", n_draws=1024, seed=0,
+                         quiet=False):
+    """WAIC and PSIS-LOO predictive scores of a completed fit.
+
+    Beyond-reference capability (the reference has no model-selection
+    machinery; its workflow ends at per-model fits, reference
+    fitting.py:16-168): estimates the expected log pointwise predictive
+    density directly from the posterior chain — the chain-based companion
+    to :func:`compare_models` (which integrates the evidence on a tempered
+    ladder). Unlike the evidence, elpd is insensitive to prior volume and
+    needs no extra sampling: scoring a finished fit costs one vmapped
+    device call for the (draws x points) pointwise log-likelihood matrix
+    plus O(S N) host statistics (``parallel/ic.py``; Vehtari, Gelman &
+    Gabry 2017).
+
+    Returns a dict merging :func:`parallel.ic.waic` and
+    :func:`parallel.ic.psis_loo` outputs (``elpd_loo``, ``se_elpd_loo``,
+    ``p_loo``, ``looic``, ``pareto_k``, ``elpd_waic``, ``p_waic``,
+    ``waic``, ``se_elpd_waic``) plus ``pointwise`` (per-point LOO elpd, for
+    paired comparison via :func:`compare_information_criteria`),
+    ``pointwise_waic``, and ``n_points``. Per-point reliability: any
+    ``pareto_k`` > 0.7 means that point's LOO term is untrustworthy (the
+    printed summary counts them).
+    """
+    from .parallel.population import _model_fingerprint
+    from .parallel.ic import waic as _waic, psis_loo as _psis_loo
+
+    _derive_fit_columns(lc, model)
+    oq = model.output_quantity
+    f = np.asarray(lc["filter"])
+    t = np.asarray(lc["MJD"], float)
+    y = np.asarray(lc[oq], float)
+    dy = np.asarray(lc["d" + oq], float)
+    flatchain = np.asarray(flatchain, float)
+    ndim = flatchain.shape[1]
+    n_model = ndim - (1 if use_sigma else 0)
+
+    # compiled pointwise-ll kernel, cached per (model physics, variance
+    # model, shapes) with the photometry as runtime arguments — same
+    # pattern (and rationale) as the goodness-of-fit kernel above
+    key = (_model_fingerprint(model), use_sigma, sigma_type, n_model)
+    fn = _IC_CACHE.get(key)
+    if fn is None:
+        def ll_pointwise_batch(stacked, t_a, quad_a, y_a, dy_a, su_a,
+                               inv_yscale_a):
+            def one(p):
+                y_fit = model._eval_points(t_a, quad_a,
+                                           *[p[i] for i in range(n_model)])
+                y_fit = y_fit * inv_yscale_a
+                sigma2 = dy_a ** 2.0
+                if use_sigma:
+                    sigma2 = sigma2 + (p[-1] * su_a) ** 2.0
+                return -0.5 * (jnp.log(2.0 * jnp.pi * sigma2)
+                               + (y_a - y_fit) ** 2.0 / sigma2)
+            return jax.vmap(one)(stacked)
+
+        fn = jax.jit(ll_pointwise_batch)
+        _IC_CACHE[key] = fn
+
+    yscale, y_n, dy_n, sigma_units = model._normalized_data(y, dy, sigma_type)
+    quad = model.prepare_quad(f)
+
+    rng = np.random.default_rng(seed)
+    n_draws = min(int(n_draws), len(flatchain))
+    draws = flatchain[rng.choice(len(flatchain), n_draws, replace=False)]
+    ll = np.asarray(fn(jnp.asarray(draws), jnp.asarray(t), quad,
+                       jnp.asarray(y_n), jnp.asarray(dy_n),
+                       jnp.asarray(sigma_units), jnp.asarray(1.0 / yscale)))
+    # normalized-data densities differ from the physical ones by the
+    # Jacobian -log(yscale) per point: add it back so elpd is absolute
+    ll = ll - np.log(yscale)
+    # drop draws outside the model's validity window (nan/inf rows), as in
+    # goodness_of_fit
+    good = np.all(np.isfinite(ll), axis=1)
+    n_bad = int(np.sum(~good))
+    ll = ll[good]
+    if len(ll) < 8:
+        raise RuntimeError("fewer than 8 finite posterior draws — the chain "
+                           "does not sample the model's validity window")
+
+    loo = _psis_loo(ll)
+    wa = _waic(ll)
+    out = {"elpd_loo": loo["elpd_loo"], "se_elpd_loo": loo["se_elpd_loo"],
+           "p_loo": loo["p_loo"], "looic": loo["looic"],
+           "pareto_k": loo["pareto_k"],
+           "elpd_waic": wa["elpd_waic"], "se_elpd_waic": wa["se_elpd_waic"],
+           "p_waic": wa["p_waic"], "waic": wa["waic"],
+           "pointwise": loo["pointwise"], "pointwise_waic": wa["pointwise"],
+           "n_points": ll.shape[1], "n_invalid_draws": n_bad}
+    if not quiet:
+        n_hi = int(np.sum(loo["pareto_k"] > 0.7))
+        k_note = (f"; {n_hi}/{ll.shape[1]} points have pareto_k > 0.7 "
+                  "(unreliable LOO terms)" if n_hi else "")
+        print(f"elpd_loo = {loo['elpd_loo']:.1f} +/- {loo['se_elpd_loo']:.1f} "
+              f"(p_loo = {loo['p_loo']:.1f}); "
+              f"elpd_waic = {wa['elpd_waic']:.1f} +/- {wa['se_elpd_waic']:.1f}"
+              f"{k_note}")
+    return out
+
+
+def compare_information_criteria(ics, labels=None, quiet=False):
+    """Rank fitted models by PSIS-LOO elpd with paired standard errors.
+
+    ``ics``: sequence of :func:`information_criteria` results for models
+    scored on the SAME light curve. Returns a Table ranked best-first with
+    columns ``model``, ``elpd_loo``, ``d_elpd`` (difference to the best
+    model, <= 0) and ``se_d_elpd`` (the PAIRED pointwise SE of that
+    difference, Vehtari+17 eq. 24 — per-point difficulty is shared, so this
+    is much tighter than differencing marginal SEs). The usual reading: a
+    model is distinguishable when |d_elpd| exceeds a few times se_d_elpd.
+    """
+    from .parallel.ic import compare_elpd
+    from .utils.table import Table
+
+    ics = list(ics)
+    if labels is None:
+        labels = [f"model#{i}" for i in range(len(ics))]
+    if len(labels) != len(ics) or len(set(labels)) != len(labels):
+        raise ValueError("labels must be one per model and unique")
+    ranked = compare_elpd([ic["pointwise"] for ic in ics], list(labels))
+    tab = Table([[r["label"] for r in ranked],
+                 [r["elpd"] for r in ranked],
+                 [r["d_elpd"] for r in ranked],
+                 [r["se_d_elpd"] for r in ranked]],
+                names=["model", "elpd_loo", "d_elpd", "se_d_elpd"])
+    if not quiet:
+        print("model ranking by PSIS-LOO elpd (best first):")
+        for r in ranked:
+            if r["d_elpd"] == 0.0:
+                print(f"  {r['label']}: elpd_loo = {r['elpd']:.1f} (best)")
+            else:
+                print(f"  {r['label']}: elpd_loo = {r['elpd']:.1f} "
+                      f"(d_elpd = {r['d_elpd']:.1f} +/- {r['se_d_elpd']:.1f})")
+    return tab
 
 
 def compare_models(lc, models, priors, p_lo=None, p_up=None, labels=None,

@@ -1,0 +1,162 @@
+"""WAIC / PSIS-LOO information criteria (``parallel/ic.py`` +
+``fitting.information_criteria``): numpy-core parity against analytic
+results, and the device pointwise-likelihood path on a well-specified
+synthetic fit. Beyond-reference capability (the reference has no model
+selection at all, reference fitting.py:16-168)."""
+
+import numpy as np
+import pytest
+
+from lightcurve_fitting_tpu.parallel.ic import (waic, psis_loo, gpd_fit,
+                                                _gpd_quantiles, psis_smooth,
+                                                compare_elpd)
+
+
+def test_gpd_fit_recovers_known_shapes():
+    rng = np.random.default_rng(0)
+    for k_true, sig_true in [(0.3, 1.0), (-0.2, 2.0)]:
+        ks = []
+        for _ in range(20):
+            x = _gpd_quantiles(rng.uniform(size=500), k_true, sig_true)
+            k, sig = gpd_fit(x)
+            ks.append(k)
+        assert np.mean(ks) == pytest.approx(k_true, abs=0.08)
+
+    # scale equivariance down to denormal exceedance scales (the overflow
+    # path: raw importance weights can be ~1e-300)
+    x = _gpd_quantiles(rng.uniform(size=500), 0.3, 1e-250)
+    k, sig = gpd_fit(x)
+    assert k == pytest.approx(0.3, abs=0.15)
+    assert sig == pytest.approx(1e-250, rel=0.5)
+
+    # degenerate inputs refuse rather than crash
+    k, sig = gpd_fit(np.array([1.0, 2.0]))
+    assert np.isinf(k)
+
+
+def test_waic_matches_hand_computation():
+    rng = np.random.default_rng(3)
+    ll = rng.normal(-1.0, 0.3, size=(200, 7))
+    out = waic(ll)
+    S = ll.shape[0]
+    lppd = np.sum(np.log(np.mean(np.exp(ll), axis=0)))
+    p = np.sum(np.var(ll, axis=0, ddof=1))
+    assert out["elpd_waic"] == pytest.approx(lppd - p, rel=1e-10)
+    assert out["p_waic"] == pytest.approx(p, rel=1e-10)
+    assert out["waic"] == pytest.approx(-2 * (lppd - p), rel=1e-10)
+    assert len(out["pointwise"]) == 7
+    assert np.sum(out["pointwise"]) == pytest.approx(out["elpd_waic"])
+
+
+def test_psis_loo_matches_analytic_conjugate_normal():
+    """Known-mean-variance normal model with conjugate N(0, tau^2) prior on
+    the mean: the exact leave-one-out predictive density is analytic
+    (N(y_i; mu_{-i}, sigma^2 + s_{-i}^2)); PSIS-LOO on posterior draws must
+    reproduce it far inside its own standard error."""
+    rng = np.random.default_rng(1)
+    N, sigma, tau = 40, 1.0, 10.0
+    y = rng.normal(0.7, sigma, size=N)
+    prec = 1 / tau ** 2 + N / sigma ** 2
+    mu_n = (y.sum() / sigma ** 2) / prec
+    mu_draws = rng.normal(mu_n, np.sqrt(1 / prec), size=4000)
+    ll = (-0.5 * np.log(2 * np.pi * sigma ** 2)
+          - 0.5 * ((y[None, :] - mu_draws[:, None]) / sigma) ** 2)
+
+    exact = 0.0
+    for i in range(N):
+        prec_i = 1 / tau ** 2 + (N - 1) / sigma ** 2
+        mu_i = ((y.sum() - y[i]) / sigma ** 2) / prec_i
+        var_pred = sigma ** 2 + 1 / prec_i
+        exact += (-0.5 * np.log(2 * np.pi * var_pred)
+                  - 0.5 * (y[i] - mu_i) ** 2 / var_pred)
+
+    out = psis_loo(ll)
+    assert out["elpd_loo"] == pytest.approx(exact, abs=0.1)
+    # one scalar parameter: both effective-parameter counts ~1
+    assert 0.5 < out["p_loo"] < 1.5
+    assert np.all(out["pareto_k"] < 0.7)
+    # well-specified, large S: WAIC and LOO agree closely
+    assert waic(ll)["elpd_waic"] == pytest.approx(out["elpd_loo"], abs=0.1)
+
+
+def test_psis_smooth_normalizes_and_flags_heavy_tails():
+    rng = np.random.default_rng(7)
+    lw, k = psis_smooth(rng.normal(size=2000))
+    assert np.exp(lw).sum() == pytest.approx(1.0, rel=1e-10)
+    assert k < 0.7  # lognormal weights: finite-variance tail
+
+    # raw weights from a shape-0.5 Pareto tail must be flagged
+    heavy = np.log(_gpd_quantiles(rng.uniform(size=2000), 0.9, 1.0) + 0.1)
+    lw, k = psis_smooth(heavy)
+    assert np.exp(lw).sum() == pytest.approx(1.0, rel=1e-10)
+    assert k > 0.6
+
+
+def test_compare_elpd_paired_se():
+    rng = np.random.default_rng(5)
+    base = rng.normal(-2.0, 1.0, size=100)
+    pw_a = base + rng.normal(0.0, 0.01, size=100)       # same predictions
+    pw_b = base - 0.5 + rng.normal(0.0, 0.01, size=100)  # uniformly worse
+    ranked = compare_elpd([pw_a, pw_b], ["A", "B"])
+    assert ranked[0]["label"] == "A" and ranked[0]["d_elpd"] == 0.0
+    assert ranked[1]["d_elpd"] == pytest.approx(-50.0, abs=1.0)
+    # the PAIRED se reflects only the 0.01-scale jitter, not the shared
+    # per-point difficulty (spread ~1): that's the whole point
+    assert ranked[1]["se_d_elpd"] < 0.5
+
+    with pytest.raises(ValueError):
+        compare_elpd([pw_a, pw_b[:50]], ["A", "B"])
+
+
+def test_information_criteria_device_path_well_specified():
+    """End-to-end on a well-specified synthetic ShockCooling2 fit: data
+    generated from the model itself, so LOO and WAIC must agree, the
+    effective parameter count must be near the true dimension, and the
+    tails must be well-behaved."""
+    from lightcurve_fitting_tpu.lightcurve import LC
+    from lightcurve_fitting_tpu.filters import filtdict
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.fitting import (lightcurve_mcmc,
+                                                information_criteria,
+                                                compare_information_criteria)
+
+    rng = np.random.default_rng(2)
+    filters = [filtdict[n] for n in ["U", "B", "V", "g", "r", "i"]]
+    t0 = 57000.0
+    t = np.repeat(t0 + np.linspace(1.0, 8.0, 6), len(filters))
+    f = np.array(filters * 6)
+    y_true = ShockCooling2()(t, f, 12.0, 2.0, 35.0, t0)
+    dy = 0.05 * y_true
+    lc = LC([t, f, y_true + rng.normal(scale=dy), dy],
+            names=["MJD", "filter", "lum", "dlum"])
+    model = ShockCooling2(lc)
+    priors = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0),
+              UniformPrior(5.0, 100.0), UniformPrior(t0 - 2.0, t0 + 0.99)]
+    s = lightcurve_mcmc(lc, model, priors=priors,
+                        p_lo=[10.0, 1.5, 30.0, t0 - 0.5],
+                        p_up=[14.0, 2.5, 40.0, t0 + 0.5],
+                        nwalkers=32, nsteps=500, nsteps_burnin=500,
+                        seed=4, quiet=True)
+    ic = information_criteria(lc, model, s.flatchain, seed=0, quiet=True)
+
+    assert ic["n_points"] == len(lc)
+    assert np.isfinite(ic["elpd_loo"]) and np.isfinite(ic["elpd_waic"])
+    # well-specified: LOO and WAIC estimate the same elpd
+    assert ic["elpd_loo"] == pytest.approx(ic["elpd_waic"],
+                                           abs=3.0 + 0.1 * ic["se_elpd_loo"])
+    # 4 parameters: the effective count must be the right order
+    assert 1.0 < ic["p_loo"] < 12.0
+    # heavy tails should be rare for a well-specified model
+    assert np.mean(ic["pareto_k"] > 0.7) < 0.15
+
+    # a deliberately broken "posterior" (prior-scale jitter far off truth)
+    # scores decisively worse, with the paired comparison flagging it
+    bad = np.array([30.0, 8.0, 80.0, t0 - 1.5]) + 0.01 * rng.normal(
+        size=(len(s.flatchain), 4))
+    ic_bad = information_criteria(lc, model, bad, seed=0, quiet=True)
+    tab = compare_information_criteria([ic, ic_bad], labels=["fit", "bad"],
+                                       quiet=True)
+    assert tab["model"][0] == "fit"
+    # decisively worse (per-point elpd differences are huge and so is their
+    # paired SE — the magnitude is what matters here)
+    assert tab["d_elpd"][1] < -1000

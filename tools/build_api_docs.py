@@ -40,7 +40,8 @@ SECTIONS = [
     ("Fit drivers (L4)", "lightcurve_fitting_tpu.fitting",
      ["lightcurve_mcmc", "lightcurve_hmc", "lightcurve_map",
       "lightcurve_evidence", "lightcurve_ptmcmc", "compare_models",
-      "goodness_of_fit", "lightcurve_corner", "lightcurve_model_plot",
+      "goodness_of_fit", "information_criteria",
+      "compare_information_criteria", "lightcurve_corner", "lightcurve_model_plot",
       "format_credible_interval", "make_log_posterior"]),
     ("Bolometric pipeline", "lightcurve_fitting_tpu.bolometric",
      ["calculate_bolometric", "spectrum_mcmc", "spectrum_corner",
@@ -67,6 +68,8 @@ SECTIONS = [
      ["initialize", "process_info", "local_shard", "fit_population_local_shard"]),
     ("Optimization", "lightcurve_fitting_tpu.parallel.optimize",
      ["multistart_maximize", "laplace_covariance"]),
+    ("Information criteria (WAIC / PSIS-LOO)", "lightcurve_fitting_tpu.parallel.ic",
+     ["waic", "psis_loo", "gpd_fit", "psis_smooth", "compare_elpd"]),
     ("Diagnostics", "lightcurve_fitting_tpu.parallel.diagnostics", None),
     ("Configuration", "lightcurve_fitting_tpu.core.config", None),
 ]
