@@ -35,6 +35,34 @@ class Prior:
     def logp(self, p):
         pass
 
+    def sample(self, rng, size=None):
+        """Draw from the (normalized) prior with a host numpy Generator.
+
+        Beyond-reference addition (the reference priors only evaluate,
+        reference models.py:1048-1098): exact inverse-CDF draws where
+        analytic, rejection against the bounds otherwise. Used by the
+        simulation-based-calibration harness (``parallel/sbc.py``) and for
+        prior-predictive checks.
+        """
+        raise NotImplementedError(
+            f"{self.__class__.__name__} does not implement sampling")
+
+    def _rejection_sample(self, rng, size, propose):
+        """Draw ``propose(n)`` until all lie strictly inside the bounds."""
+        n = 1 if size is None else int(np.prod(size))
+        out = np.empty(n)
+        filled = 0
+        for _ in range(1000):
+            cand = np.asarray(propose(max(n - filled, 16)))
+            cand = cand[(cand > self.p_min) & (cand < self.p_max)]
+            take = min(len(cand), n - filled)
+            out[filled:filled + take] = cand[:take]
+            filled += take
+            if filled == n:
+                return float(out[0]) if size is None else out.reshape(size)
+        raise RuntimeError(f"{self!r}: rejection sampling failed to find "
+                           "in-bounds draws (bounds far in the tail?)")
+
     def __repr__(self):
         return f"<{self.__class__.__name__}: ({self.p_min}, {self.p_max})>"
 
@@ -44,6 +72,11 @@ class UniformPrior(Prior):
 
     def logp(self, p):
         return jnp.zeros_like(p)
+
+    def sample(self, rng, size=None):
+        if not (np.isfinite(self.p_min) and np.isfinite(self.p_max)):
+            raise ValueError("cannot sample an unbounded uniform prior")
+        return rng.uniform(self.p_min, self.p_max, size=size)
 
 
 class LogUniformPrior(Prior):
@@ -56,6 +89,13 @@ class LogUniformPrior(Prior):
 
     def logp(self, p):
         return -jnp.log(p)
+
+    def sample(self, rng, size=None):
+        if not (self.p_min > 0.0 and np.isfinite(self.p_max)):
+            raise ValueError("cannot sample a log-uniform prior with "
+                             "p_min <= 0 or infinite p_max")
+        return np.exp(rng.uniform(np.log(self.p_min), np.log(self.p_max),
+                                  size=size))
 
 
 class GaussianPrior(Prior):
@@ -71,6 +111,10 @@ class GaussianPrior(Prior):
 
     def _safe_point(self):
         return self.mean
+
+    def sample(self, rng, size=None):
+        return self._rejection_sample(
+            rng, size, lambda n: rng.normal(self.mean, self.stddev, size=n))
 
     def __repr__(self):
         return (f"<GaussianPrior: {self.mean} +/- {self.stddev} on "
@@ -101,3 +145,12 @@ class KDEPrior(Prior):
     def logp(self, p):
         z = (jnp.asarray(p)[..., None] - self.samples) / self.bandwidth
         return logsumexp(-0.5 * z ** 2, axis=-1) - self._lognorm
+
+    def sample(self, rng, size=None):
+        comp = np.asarray(self.samples)
+
+        def propose(n):
+            return (rng.choice(comp, size=n)
+                    + self.bandwidth * rng.normal(size=n))
+
+        return self._rejection_sample(rng, size, propose)

@@ -70,6 +70,8 @@ SECTIONS = [
      ["multistart_maximize", "laplace_covariance"]),
     ("Information criteria (WAIC / PSIS-LOO)", "lightcurve_fitting_tpu.parallel.ic",
      ["waic", "psis_loo", "gpd_fit", "psis_smooth", "compare_elpd"]),
+    ("Simulation-based calibration", "lightcurve_fitting_tpu.parallel.sbc",
+     ["simulation_based_calibration", "rank_statistic", "plot_sbc"]),
     ("Diagnostics", "lightcurve_fitting_tpu.parallel.diagnostics", None),
     ("Configuration", "lightcurve_fitting_tpu.core.config", None),
 ]
