@@ -73,6 +73,20 @@ class Model:
             self.z = 0.0
         self._bank_cache = {}
 
+    def _ctor_kwargs(self):
+        """Subclass constructor options beyond (lc, redshift) that select
+        the physics (e.g. ShockCooling's n/RW): subclasses record them in
+        ``self._init_options`` so :meth:`clone_for` cannot silently drop
+        them."""
+        return dict(getattr(self, "_init_options", {}))
+
+    def clone_for(self, lc):
+        """A new instance of this model class bound to ``lc``, carrying the
+        full physics configuration. Used by the SBC harness
+        (``parallel/sbc.py``) to give every simulated light curve its own
+        instance of the template model."""
+        return type(self)(lc, redshift=self.z, **self._ctor_kwargs())
+
     def __repr__(self):
         return f"<{self.__class__.__name__}: z={self.z:.3f}>"
 

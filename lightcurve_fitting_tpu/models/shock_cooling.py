@@ -28,6 +28,7 @@ class BaseShockCooling(Model):
 
     def __init__(self, lc=None, redshift=0.0, n=1.5, RW=False):
         super().__init__(lc, redshift=redshift)
+        self._init_options = {"n": n, "RW": RW}
         if n == 1.5:
             self.n = 1.5
             self.A = 0.94

@@ -76,7 +76,12 @@ def gpd_fit(x):
     b = 1.0 / x[-1] + (1.0 - np.sqrt(m / (j - 0.5))) / (3.0 * x_quart)
     k_b = np.mean(np.log1p(-b[:, None] * x[None, :]), axis=1)
     # profile log-likelihood n [log(-b/k) - k - 1]; -b/k > 0 on the grid
-    log_lik = n * (np.log(-b / k_b) - k_b - 1.0)
+    # except the measure-zero b == 0 point (k == 0 there) — mask it out
+    with np.errstate(divide="ignore", invalid="ignore"):
+        log_lik = n * (np.log(-b / k_b) - k_b - 1.0)
+    log_lik = np.where(np.isfinite(log_lik), log_lik, -np.inf)
+    if not np.any(np.isfinite(log_lik)):
+        return np.inf, np.nan
     # posterior-mean b under the implicit flat prior (normalized weights)
     w = np.exp(log_lik - log_lik.max())
     w /= w.sum()

@@ -123,7 +123,8 @@ def simulation_based_calibration(model, priors, times, filters, p_lo=None,
                 names=["MJD", "filter", model.output_quantity,
                        "d" + model.output_quantity])
         lcs.append(lc)
-        models.append(type(model)(lc, redshift=model.z))
+        # clone_for carries subclass physics options (ShockCooling n/RW)
+        models.append(model.clone_for(lc))
 
     if p_lo is None or p_up is None:
         lo, up = _hmc_init_window(priors, None, None, ndim)

@@ -48,6 +48,19 @@ def test_prior_sampling_matches_logp():
         Odd(0, 1).sample(rng)
 
 
+def test_clone_for_preserves_physics_options():
+    """The SBC harness re-instantiates the template model per simulated LC;
+    subclass constructor options (ShockCooling n/RW) must survive."""
+    from lightcurve_fitting_tpu.models import ShockCooling, ShockCooling4
+
+    m = ShockCooling(n=3.0, RW=True, redshift=0.01)
+    c = m.clone_for(None)
+    assert (c.n, c.RW, c.z) == (3.0, True, 0.01)
+    assert c.epsilon_1 == m.epsilon_1
+    c4 = ShockCooling4(redshift=0.02).clone_for(None)
+    assert c4.z == 0.02
+
+
 def test_rank_statistic_calibrated_vs_biased():
     """Exact synthetic check: when posterior draws and truths come from the
     same joint distribution the ranks are uniform; a biased posterior is
