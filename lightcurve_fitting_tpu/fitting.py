@@ -49,8 +49,7 @@ _STYLE = os.path.join(os.path.dirname(__file__), "serif.mplstyle")
 
 # goodness_of_fit compiled kernels, keyed on model/data/variance semantics
 # (the population/ladder pattern); LRU-bounded like the ladder cache
-_GOF_CACHE = _LRUCache(8)
-_IC_CACHE = _LRUCache(8)
+_GOF_CACHE = _LRUCache(16)  # shared by the chi2 and pointwise-ll kernels
 
 
 def make_log_posterior(model, lc, priors, use_sigma=False, sigma_type="relative"):
@@ -905,6 +904,65 @@ def lightcurve_evidence(lc, model, priors, p_lo=None, p_up=None, nwalkers=64,
     return log_z, log_z_err, info
 
 
+def _posterior_discrepancy(lc, model, draws, use_sigma, sigma_type, kind):
+    """Evaluate per-draw discrepancies of a posterior sample against the
+    light curve's photometry: ``kind="chi2"`` returns the (S,) summed
+    chi-square per draw; ``kind="pointwise_ll"`` the (S, N) per-point
+    Gaussian log-densities (same variance model as the likelihood,
+    reference models.py:93-136; absolute densities — the -log(yscale)
+    normalization Jacobian is added back).
+
+    One compiled kernel per (model physics, variance model, kind) serves
+    every light curve — the photometry (t, quad, y, dy, sigma units,
+    scale) are runtime ARGUMENTS, so a transient sweep compiles once, not
+    per object, and a fresh jit per driver call would otherwise add a
+    remote compile that dwarfs the diagnostic itself on a TPU tunnel.
+    Returns ``(values, yscale, n_points)``.
+    """
+    from .parallel.population import _model_fingerprint
+
+    _derive_fit_columns(lc, model)
+    oq = model.output_quantity
+    f = np.asarray(lc["filter"])
+    t = np.asarray(lc["MJD"], float)
+    y = np.asarray(lc[oq], float)
+    dy = np.asarray(lc["d" + oq], float)
+    n_model = np.shape(draws)[1] - (1 if use_sigma else 0)
+
+    key = (_model_fingerprint(model), use_sigma, sigma_type, n_model, kind)
+    fn = _GOF_CACHE.get(key)
+    if fn is None:
+        def batch(stacked, t_a, quad_a, y_a, dy_a, su_a, inv_yscale_a):
+            def one(p):
+                y_fit = model._eval_points(t_a, quad_a,
+                                           *[p[i] for i in range(n_model)])
+                y_fit = y_fit * inv_yscale_a
+                sigma2 = dy_a ** 2.0
+                if use_sigma:
+                    sigma2 = sigma2 + (p[-1] * su_a) ** 2.0
+                r2 = (y_a - y_fit) ** 2.0 / sigma2
+                if kind == "chi2":
+                    return jnp.sum(r2)
+                return -0.5 * (jnp.log(2.0 * jnp.pi * sigma2) + r2)
+            return jax.vmap(one)(stacked)
+
+        fn = jax.jit(batch)
+        _GOF_CACHE[key] = fn
+
+    # the same O(1) data normalization as the likelihood (TPU emulated-f64
+    # range safety; chi-square is invariant under it, log densities regain
+    # the Jacobian below)
+    yscale, y_n, dy_n, sigma_units = model._normalized_data(y, dy, sigma_type)
+    quad = model.prepare_quad(f)
+    out = np.asarray(fn(jnp.asarray(np.asarray(draws, float)),
+                        jnp.asarray(t), quad, jnp.asarray(y_n),
+                        jnp.asarray(dy_n), jnp.asarray(sigma_units),
+                        jnp.asarray(1.0 / yscale)))
+    if kind == "pointwise_ll":
+        out = out - np.log(yscale)
+    return out, yscale, len(y)
+
+
 def goodness_of_fit(lc, model, flatchain, use_sigma=False,
                     sigma_type="relative", n_draws=512, seed=0, quiet=False,
                     best=None):
@@ -944,46 +1002,9 @@ def goodness_of_fit(lc, model, flatchain, use_sigma=False,
     ``t_0`` past the first epoch — and were excluded from the score).
     """
     from scipy.stats import chi2 as _chi2_dist
-    from .parallel.population import _model_fingerprint
 
-    _derive_fit_columns(lc, model)
-    oq = model.output_quantity
-    f = np.asarray(lc["filter"])
-    t = np.asarray(lc["MJD"], float)
-    y = np.asarray(lc[oq], float)
-    dy = np.asarray(lc["d" + oq], float)
     flatchain = np.asarray(flatchain, float)
     ndim = flatchain.shape[1]
-    n_model = ndim - (1 if use_sigma else 0)
-    npts = len(y)
-
-    # compiled-kernel cache (the population/ladder pattern): the driver calls
-    # this after every fit, and a fresh jit per call would add a remote
-    # compile that dwarfs the diagnostic itself on a TPU tunnel. The data
-    # (t, quad, y, dy, sigma units, scale) are runtime ARGUMENTS, so one
-    # compiled kernel per (model physics, variance model, shapes) serves
-    # every light curve — a transient sweep compiles once, not per object.
-    key = (_model_fingerprint(model), use_sigma, sigma_type, n_model)
-    fn = _GOF_CACHE.get(key)
-    if fn is None:
-        def chi2_batch(stacked, t_a, quad_a, y_a, dy_a, su_a, inv_yscale_a):
-            def one(p):
-                y_fit = model._eval_points(t_a, quad_a,
-                                           *[p[i] for i in range(n_model)])
-                y_fit = y_fit * inv_yscale_a
-                sigma2 = dy_a ** 2.0
-                if use_sigma:
-                    sigma2 = sigma2 + (p[-1] * su_a) ** 2.0
-                return jnp.sum((y_a - y_fit) ** 2.0 / sigma2)
-            return jax.vmap(one)(stacked)
-
-        fn = jax.jit(chi2_batch)
-        _GOF_CACHE[key] = fn
-
-    # the same O(1) data normalization as the likelihood (TPU emulated-f64
-    # range safety; chi-square is scale-invariant under it)
-    yscale, y_n, dy_n, sigma_units = model._normalized_data(y, dy, sigma_type)
-    quad = model.prepare_quad(f)
 
     rng = np.random.default_rng(seed)
     n_draws = min(int(n_draws), len(flatchain))
@@ -994,10 +1015,8 @@ def goodness_of_fit(lc, model, flatchain, use_sigma=False,
     if best is not None:
         draws = np.concatenate([np.asarray(best, float)[None], draws])
         n_extra = 1
-    chi2_all = np.asarray(fn(jnp.asarray(draws), jnp.asarray(t), quad,
-                             jnp.asarray(y_n), jnp.asarray(dy_n),
-                             jnp.asarray(sigma_units),
-                             jnp.asarray(1.0 / yscale)))
+    chi2_all, _, npts = _posterior_discrepancy(lc, model, draws, use_sigma,
+                                               sigma_type, kind="chi2")
     chi2_draws = chi2_all[n_extra:]
     # draws outside the model's validity window (e.g. t < t_0, or past t_max
     # for a Laplace sample that overshoots the bounds) evaluate to nan/inf;
@@ -1056,53 +1075,15 @@ def information_criteria(lc, model, flatchain, use_sigma=False,
     ``pareto_k`` > 0.7 means that point's LOO term is untrustworthy (the
     printed summary counts them).
     """
-    from .parallel.population import _model_fingerprint
     from .parallel.ic import waic as _waic, psis_loo as _psis_loo
 
-    _derive_fit_columns(lc, model)
-    oq = model.output_quantity
-    f = np.asarray(lc["filter"])
-    t = np.asarray(lc["MJD"], float)
-    y = np.asarray(lc[oq], float)
-    dy = np.asarray(lc["d" + oq], float)
     flatchain = np.asarray(flatchain, float)
-    ndim = flatchain.shape[1]
-    n_model = ndim - (1 if use_sigma else 0)
-
-    # compiled pointwise-ll kernel, cached per (model physics, variance
-    # model, shapes) with the photometry as runtime arguments — same
-    # pattern (and rationale) as the goodness-of-fit kernel above
-    key = (_model_fingerprint(model), use_sigma, sigma_type, n_model)
-    fn = _IC_CACHE.get(key)
-    if fn is None:
-        def ll_pointwise_batch(stacked, t_a, quad_a, y_a, dy_a, su_a,
-                               inv_yscale_a):
-            def one(p):
-                y_fit = model._eval_points(t_a, quad_a,
-                                           *[p[i] for i in range(n_model)])
-                y_fit = y_fit * inv_yscale_a
-                sigma2 = dy_a ** 2.0
-                if use_sigma:
-                    sigma2 = sigma2 + (p[-1] * su_a) ** 2.0
-                return -0.5 * (jnp.log(2.0 * jnp.pi * sigma2)
-                               + (y_a - y_fit) ** 2.0 / sigma2)
-            return jax.vmap(one)(stacked)
-
-        fn = jax.jit(ll_pointwise_batch)
-        _IC_CACHE[key] = fn
-
-    yscale, y_n, dy_n, sigma_units = model._normalized_data(y, dy, sigma_type)
-    quad = model.prepare_quad(f)
 
     rng = np.random.default_rng(seed)
     n_draws = min(int(n_draws), len(flatchain))
     draws = flatchain[rng.choice(len(flatchain), n_draws, replace=False)]
-    ll = np.asarray(fn(jnp.asarray(draws), jnp.asarray(t), quad,
-                       jnp.asarray(y_n), jnp.asarray(dy_n),
-                       jnp.asarray(sigma_units), jnp.asarray(1.0 / yscale)))
-    # normalized-data densities differ from the physical ones by the
-    # Jacobian -log(yscale) per point: add it back so elpd is absolute
-    ll = ll - np.log(yscale)
+    ll, _, _ = _posterior_discrepancy(lc, model, draws, use_sigma,
+                                      sigma_type, kind="pointwise_ll")
     # drop draws outside the model's validity window (nan/inf rows), as in
     # goodness_of_fit
     good = np.all(np.isfinite(ll), axis=1)

@@ -82,10 +82,14 @@ class Model:
 
     def clone_for(self, lc):
         """A new instance of this model class bound to ``lc``, carrying the
-        full physics configuration. Used by the SBC harness
+        full physics configuration — including z = 0 (which the constructor
+        treats as "unset" and would otherwise replace with
+        ``lc.meta['redshift']``). Used by the SBC harness
         (``parallel/sbc.py``) to give every simulated light curve its own
         instance of the template model."""
-        return type(self)(lc, redshift=self.z, **self._ctor_kwargs())
+        clone = type(self)(lc, redshift=self.z, **self._ctor_kwargs())
+        clone.z = self.z
+        return clone
 
     def __repr__(self):
         return f"<{self.__class__.__name__}: z={self.z:.3f}>"

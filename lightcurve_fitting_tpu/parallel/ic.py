@@ -118,15 +118,20 @@ def psis_smooth(lw):
     khat = -np.inf
     if M >= 5:
         order = np.argsort(lw)
-        tail_idx = order[-M:]
         cutoff = lw[order[-M - 1]]  # largest non-tail log-weight
+        # fit and replace exactly the strict exceedances: weights tied at
+        # the cutoff contribute zero exceedance and stay untouched (with
+        # ties the effective tail is smaller than M)
+        tail_idx = order[-M:]
         exceed = np.exp(lw[tail_idx]) - np.exp(cutoff)
-        if np.ptp(exceed) > 0:
-            khat, sigma = gpd_fit(exceed[exceed > 0]
-                                  if np.any(exceed <= 0) else exceed)
+        strict = exceed > 0
+        tail_idx, exceed = tail_idx[strict], exceed[strict]
+        m_eff = len(exceed)
+        if m_eff >= 5:
+            khat, sigma = gpd_fit(exceed)
             if np.isfinite(khat):
                 # expected order statistics of the fitted tail
-                pp = (np.arange(1, M + 1) - 0.5) / M
+                pp = (np.arange(1, m_eff + 1) - 0.5) / m_eff
                 repl = np.log(_gpd_quantiles(pp, khat, sigma) + np.exp(cutoff))
                 # tail_idx is ascending in lw, pp ascending: ranks align
                 lw[tail_idx] = np.minimum(repl, 0.0)  # truncate at raw max

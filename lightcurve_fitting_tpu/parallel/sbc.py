@@ -41,11 +41,21 @@ def rank_statistic(flatchains, truths, n_ranks=127, seed=0):
     return ranks
 
 
+def _auto_bins(n_sims, n_bins=None):
+    """Default bin count: the largest power of two <= 16 with an expected
+    count >= 5 per bin (chi-square validity)."""
+    if n_bins is not None:
+        return int(n_bins)
+    n_bins = 16
+    while n_bins > 2 and n_sims / n_bins < 5:
+        n_bins //= 2
+    return n_bins
+
+
 def uniformity_pvalues(ranks, n_ranks, n_bins=None):
     """Per-parameter chi-square uniformity p-value of the rank histogram.
 
-    ``n_bins`` defaults to the largest power of two with an expected count
-    >= 5 per bin (chi-square validity), capped at 16. (n_ranks + 1) must be
+    ``n_bins`` defaults to :func:`_auto_bins`. (n_ranks + 1) must be
     divisible by n_bins for equal bin widths, which holds for the default
     n_ranks = 2^k - 1.
     """
@@ -53,10 +63,7 @@ def uniformity_pvalues(ranks, n_ranks, n_bins=None):
 
     ranks = np.asarray(ranks)
     S, D = ranks.shape
-    if n_bins is None:
-        n_bins = 16
-        while n_bins > 2 and S / n_bins < 5:
-            n_bins //= 2
+    n_bins = _auto_bins(S, n_bins)
     if (n_ranks + 1) % n_bins:
         raise ValueError(f"n_ranks+1 = {n_ranks + 1} must be divisible by "
                          f"n_bins = {n_bins}")
@@ -72,6 +79,7 @@ def simulation_based_calibration(model, priors, times, filters, p_lo=None,
                                  p_up=None, frac_err=0.05, err_floor_frac=0.1,
                                  n_sims=128, n_ranks=127, n_bins=None,
                                  nwalkers=64, nsteps=500, nsteps_burnin=500,
+                                 use_sigma=False, sigma_type="relative",
                                  init="map", seed=0, mesh=None, quiet=False,
                                  **pop_kwargs):
     """Run the full SBC loop for one model + prior choice.
@@ -83,12 +91,18 @@ def simulation_based_calibration(model, priors, times, filters, p_lo=None,
     ``dy = frac_err * (|y_true| + err_floor_frac * median(|y_true|))`` —
     the floor keeps pre-explosion epochs (zero flux) at finite error, and
     the *fit* uses exactly these dy, so the generative model and the
-    likelihood agree (the SBC prerequisite).
+    likelihood agree (the SBC prerequisite). With ``use_sigma=True`` the
+    LAST prior is the intrinsic-scatter parameter: its draw inflates the
+    simulation noise to sqrt(dy^2 + (sigma * units)^2) with exactly the
+    likelihood's variance model (reference models.py:116-129), and the fit
+    samples it alongside the physics parameters.
 
     ``p_lo``/``p_up`` bound the walker initialization (default: the prior
     bounds via the same rule as the HMC warm start). The fits run as one
     :func:`fit_population` call — pass ``mesh=`` to shard simulations over
-    devices, ``init="map"`` (default) to MAP-seed each ensemble.
+    devices, ``init="map"`` (default) to MAP-seed each ensemble. The fits
+    use an RNG stream derived from (but independent of) the truth/noise
+    stream, so walker initialization cannot correlate with the truths.
 
     Returns a dict with ``ranks`` (n_sims, ndim), ``truths``, ``p_values``
     (per-parameter chi-square uniformity), ``n_ranks``, ``acceptance``.
@@ -104,6 +118,19 @@ def simulation_based_calibration(model, priors, times, filters, p_lo=None,
     from .population import fit_population
 
     ndim = len(priors)
+    n_model = ndim - (1 if use_sigma else 0)
+    # fail BEFORE the expensive fits: the rank count the chain can support
+    # must bin evenly for the chi-square (see uniformity_pvalues)
+    n_ranks_eff = min(int(n_ranks), nsteps * nwalkers)
+    n_bins_eff = _auto_bins(n_sims, n_bins)
+    if (n_ranks_eff + 1) % n_bins_eff:
+        raise ValueError(
+            f"the chain supports n_ranks = {n_ranks_eff} "
+            f"(min(n_ranks, nsteps*nwalkers)), and n_ranks+1 = "
+            f"{n_ranks_eff + 1} is not divisible by n_bins = {n_bins_eff}; "
+            "pick n_ranks = 2^k - 1 <= nsteps*nwalkers or pass a matching "
+            "n_bins")
+
     f_objs = [f if hasattr(f, "freq_eff") else filtdict[f] for f in filters]
     times = np.asarray(times, float)
     t_full = np.repeat(times, len(f_objs))
@@ -114,11 +141,22 @@ def simulation_based_calibration(model, priors, times, filters, p_lo=None,
 
     lcs, models = [], []
     for s in range(n_sims):
-        y_true = np.asarray(model.evaluate(t_full, f_full, *truths[s]))
+        y_true = np.asarray(model.evaluate(t_full, f_full,
+                                           *truths[s, :n_model]))
         floor = err_floor_frac * np.median(np.abs(y_true)[y_true != 0]) \
             if np.any(y_true != 0) else err_floor_frac
         dy = frac_err * (np.abs(y_true) + floor)
-        y = y_true + rng.normal(scale=dy)
+        scale = dy
+        if use_sigma:
+            if sigma_type == "relative":
+                sigma_units = dy
+            elif sigma_type == "absolute":
+                sigma_units = np.median(dy)
+            else:
+                raise Exception('sigma_type must either be "relative" or '
+                                '"absolute"')
+            scale = np.sqrt(dy ** 2 + (truths[s, -1] * sigma_units) ** 2)
+        y = y_true + rng.normal(scale=scale)
         lc = LC([t_full, f_full, y, dy],
                 names=["MJD", "filter", model.output_quantity,
                        "d" + model.output_quantity])
@@ -131,16 +169,20 @@ def simulation_based_calibration(model, priors, times, filters, p_lo=None,
         p_lo = lo if p_lo is None else np.asarray(p_lo, float)
         p_up = up if p_up is None else np.asarray(p_up, float)
 
+    # independent streams for the fits and the rank thinning (derived from
+    # the same master seed, so the whole procedure stays reproducible)
+    fit_seed = int(rng.integers(2 ** 31 - 1))
+    rank_seed = int(rng.integers(2 ** 31 - 1))
     flat, acc = fit_population(models, lcs, priors, p_lo=p_lo, p_up=p_up,
                                nwalkers=nwalkers, nsteps=nsteps,
-                               nsteps_burnin=nsteps_burnin, seed=seed,
+                               nsteps_burnin=nsteps_burnin, seed=fit_seed,
+                               use_sigma=use_sigma, sigma_type=sigma_type,
                                init=init, mesh=mesh, **pop_kwargs)
 
-    ranks = rank_statistic(flat, truths, n_ranks=n_ranks, seed=seed)
-    pvals = uniformity_pvalues(ranks, min(n_ranks, flat.shape[1]),
-                               n_bins=n_bins)
+    ranks = rank_statistic(flat, truths, n_ranks=n_ranks_eff, seed=rank_seed)
+    pvals = uniformity_pvalues(ranks, n_ranks_eff, n_bins=n_bins_eff)
     out = {"ranks": ranks, "truths": truths, "p_values": pvals,
-           "n_ranks": min(n_ranks, flat.shape[1]), "acceptance": acc}
+           "n_ranks": n_ranks_eff, "acceptance": acc}
     if not quiet:
         worst = float(pvals.min())
         verdict = ("consistent with calibrated inference" if worst > 0.01
@@ -153,24 +195,24 @@ def simulation_based_calibration(model, priors, times, filters, p_lo=None,
 
 def plot_sbc(result, model=None, n_bins=None, save_plot_as=""):
     """Rank histograms per parameter with the 99% uniform band
-    (Talts+18 fig. 2 style)."""
+    (Talts+18 fig. 2 style). Bins proportionally (``rank * n_bins //
+    (L + 1)``) so any (n_ranks, n_bins) combination renders — bin widths
+    can differ by one rank value, which matters for the chi-square test
+    (:func:`uniformity_pvalues` stays strict) but not for a plot."""
     import matplotlib.pyplot as plt
     from scipy.stats import binom
 
-    ranks = result["ranks"]
+    ranks = np.asarray(result["ranks"])
     S, D = ranks.shape
     L = result["n_ranks"]
-    if n_bins is None:
-        n_bins = 16
-        while n_bins > 2 and S / n_bins < 5:
-            n_bins //= 2
-    width = (L + 1) // n_bins
+    n_bins = _auto_bins(S, n_bins)
     labels = (model.axis_labels if model is not None
               else [f"param {d}" for d in range(D)])
     fig, axes = plt.subplots(1, D, figsize=(3 * D, 2.8), squeeze=False)
     lo, hi = binom.ppf([0.005, 0.995], S, 1.0 / n_bins)
     for d, ax in enumerate(axes[0]):
-        counts = np.bincount(ranks[:, d] // width, minlength=n_bins)
+        counts = np.bincount(ranks[:, d] * n_bins // (L + 1),
+                             minlength=n_bins)
         ax.bar(np.arange(n_bins), counts, width=0.92, color="#4878cf")
         ax.axhspan(lo, hi, color="0.85", zorder=0)
         ax.axhline(S / n_bins, color="0.4", lw=1, ls="--")

@@ -101,6 +101,46 @@ def test_uniformity_binning_validation():
     assert 0.0 <= p[0] <= 1.0
 
 
+def test_sbc_validates_before_fitting_and_separates_streams():
+    """The n_ranks/n_bins incompatibility must be caught BEFORE the
+    expensive fits, and the fit RNG stream must differ from the truth
+    stream (a shared stream makes walker initialization a deterministic
+    function of the truths)."""
+    from lightcurve_fitting_tpu.models import ShockCooling2
+
+    model = ShockCooling2()
+    priors = [UniformPrior(8.0, 20.0), UniformPrior(1.0, 4.0),
+              UniformPrior(25.0, 50.0)]
+    # nsteps*nwalkers = 96 caps n_ranks at 96; 97 is prime -> no valid bins
+    with pytest.raises(ValueError, match="n_ranks"):
+        simulation_based_calibration(model, priors,
+                                     times=np.linspace(1.0, 8.0, 4),
+                                     filters=["g", "r"], n_sims=20,
+                                     n_ranks=127, nwalkers=32, nsteps=3,
+                                     nsteps_burnin=2, seed=0, quiet=True)
+
+
+def test_sbc_use_sigma_generative_model():
+    """With use_sigma=True the last prior is the intrinsic-scatter
+    parameter: the simulation noise includes it and the fit samples it.
+    A pure-likelihood check on a tiny run (full calibration of the sigma
+    path is statistical and covered by the main harness design)."""
+    from lightcurve_fitting_tpu.models import ShockCooling2
+
+    model = ShockCooling2()
+    priors = [UniformPrior(8.0, 20.0), UniformPrior(1.0, 4.0),
+              UniformPrior(25.0, 50.0), UniformPrior(0.5, 2.0)]
+    res = simulation_based_calibration(
+        model, priors, times=np.linspace(1.0, 8.0, 4),
+        filters=["g", "r", "i"], n_sims=8, n_ranks=31, nwalkers=16,
+        nsteps=20, nsteps_burnin=20, use_sigma=True, seed=0, quiet=True,
+        init="window")
+    assert res["ranks"].shape == (8, 4)          # sigma is ranked too
+    assert res["truths"].shape == (8, 4)
+    assert np.all(res["truths"][:, -1] > 0.5) and np.all(
+        res["truths"][:, -1] < 2.0)
+
+
 def test_sbc_end_to_end_shockcooling2(tmp_path):
     """The full harness on a 3-parameter ShockCooling2 population: ranks in
     range, calibrated p-values, and the plot writes. Statistical: seeds and
