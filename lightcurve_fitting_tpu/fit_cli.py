@@ -15,7 +15,7 @@ outputs:
                  ["Uniform", 0, 100], ["Uniform", 57468.0, 57468.7]],
       "p_lo": [20, 2, 20, 57468.5],
       "p_up": [50, 5, 50, 57468.7],
-      "driver": "mcmc",     // mcmc | hmc | map | ptmcmc | evidence | compare | population | bolometric
+      "driver": "mcmc",     // mcmc | hmc | map | ptmcmc | evidence | compare | population | bolometric | sbc
       "driver_kwargs": {"nwalkers": 100, "nsteps": 1000, "nsteps_burnin": 1000},
       "outputs": {"flatchain": "chain.npy", "corner": "corner.pdf",
                   "summary": "summary.json"}
@@ -214,6 +214,54 @@ def _run_compare(cfg, config_dir):
     return 0
 
 
+def _run_sbc(cfg, config_dir):
+    """``driver: "sbc"`` — simulation-based calibration of the configured
+    model + priors (`parallel.sbc.simulation_based_calibration`): no
+    ``data`` key (the photometry is simulated); ``times`` (epoch grid) and
+    ``filters`` (band names observed at every epoch) are required;
+    n_sims/nwalkers/nsteps/... pass through ``driver_kwargs``. Writes the
+    per-parameter uniformity p-values (``outputs.summary``), the rank
+    matrix (``outputs.ranks``, .npy) and the rank-histogram figure
+    (``outputs.plot``)."""
+    from .parallel.sbc import simulation_based_calibration, plot_sbc
+
+    model_cls = getattr(_models, cfg["model"], None)
+    if model_cls is None:
+        raise SystemExit(f"unknown model {cfg['model']!r}")
+    model = model_cls(redshift=cfg.get("meta", {}).get("redshift", 0.0))
+    priors = _build_priors(cfg["priors"])
+    res = simulation_based_calibration(model, priors, cfg["times"],
+                                       cfg["filters"],
+                                       p_lo=cfg.get("p_lo"),
+                                       p_up=cfg.get("p_up"),
+                                       **cfg.get("driver_kwargs", {}))
+    summary = {"driver": "sbc", "model": cfg["model"],
+               "n_sims": int(len(res["ranks"])),
+               "n_ranks": int(res["n_ranks"]),
+               "p_values": {name: float(p) for name, p in
+                            zip(model.input_names, res["p_values"])},
+               "calibrated": bool(res["p_values"].min() > 0.01)}
+    outputs = cfg.get("outputs", {})
+
+    def outpath(key):
+        p = outputs.get(key)
+        if p is not None and not os.path.isabs(p):
+            p = os.path.join(config_dir, p)
+        return p
+
+    if outpath("ranks"):
+        np.save(outpath("ranks"), res["ranks"])
+    if outpath("plot"):
+        import matplotlib
+        matplotlib.use("Agg")
+        plot_sbc(res, model, save_plot_as=outpath("plot"))
+    if outpath("summary"):
+        with open(outpath("summary"), "w") as f:
+            json.dump(summary, f, indent=2)
+    print(json.dumps(summary))
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(
         prog="lcfit", description="Fit a light-curve model from a JSON config "
@@ -225,7 +273,8 @@ def main(argv=None):
         cfg = json.load(f)
     config_dir = os.path.dirname(os.path.abspath(args.config))
     required = {"bolometric": ("data",),
-                "compare": ("data", "models", "priors")}.get(
+                "compare": ("data", "models", "priors"),
+                "sbc": ("model", "priors", "times", "filters")}.get(
         cfg.get("driver"), ("data", "model", "priors"))
     for key in required:
         if key not in cfg:
@@ -237,6 +286,8 @@ def main(argv=None):
         return _run_bolometric(cfg, config_dir)
     if cfg.get("driver") == "compare":
         return _run_compare(cfg, config_dir)
+    if cfg.get("driver") == "sbc":
+        return _run_sbc(cfg, config_dir)
 
     lc = _load_lc(cfg, config_dir)
     model_cls = getattr(_models, cfg["model"], None)
@@ -303,7 +354,7 @@ def main(argv=None):
         summary["rung_acceptance"] = [float(a) for a in info["acceptance"]]
     else:
         raise SystemExit(f"unknown driver {driver!r}; choose from "
-                         "mcmc | hmc | map | ptmcmc | evidence | compare | "
+                         "mcmc | hmc | map | ptmcmc | evidence | compare | sbc | "
                          "population | bolometric")
 
     if flatchain is not None:

@@ -210,3 +210,38 @@ def test_cli_compare(tmp_path, synth_csv):
     del bad["models"]
     with pytest.raises(SystemExit, match="models"):
         _run(tmp_path, bad)
+
+
+def test_cli_sbc(tmp_path):
+    """driver "sbc": no data key — simulate, fit, and report per-parameter
+    rank-uniformity; summary, ranks and plot written."""
+    import matplotlib
+    matplotlib.use("Agg")
+    summary = _run(tmp_path, {
+        "driver": "sbc",
+        "model": "ShockCooling2",
+        "priors": [["Uniform", 8.0, 20.0], ["Uniform", 1.0, 4.0],
+                   ["Uniform", 25.0, 50.0]],
+        "times": [1.0, 2.75, 4.5, 6.25, 8.0],
+        "filters": ["g", "r", "i"],
+        "driver_kwargs": {"n_sims": 16, "n_ranks": 31, "nwalkers": 16,
+                          "nsteps": 40, "nsteps_burnin": 40, "seed": 0,
+                          "quiet": True, "init": "window"},
+        "outputs": {"summary": "summary.json", "ranks": "ranks.npy",
+                    "plot": "sbc.png"},
+    })
+    assert summary["driver"] == "sbc"
+    assert summary["n_sims"] == 16 and summary["n_ranks"] == 31
+    assert set(summary["p_values"]) == {"T_1", "L_1", "t_\\mathrm{tr}"}
+    assert all(0.0 <= p <= 1.0 for p in summary["p_values"].values())
+    ranks = np.load(str(tmp_path / "ranks.npy"))
+    assert ranks.shape == (16, 3)
+    assert os.path.exists(str(tmp_path / "sbc.png"))
+
+    # missing times/filters is a config error
+    cfg_path = str(tmp_path / "bad.json")
+    with open(cfg_path, "w") as f:
+        json.dump({"driver": "sbc", "model": "ShockCooling2",
+                   "priors": [["Uniform", 0, 1]]}, f)
+    with pytest.raises(SystemExit, match="times"):
+        main([cfg_path])
