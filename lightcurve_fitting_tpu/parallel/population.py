@@ -23,7 +23,8 @@ from jax import shard_map
 
 from .sampler import make_stretch_kernel
 
-__all__ = ["pack_population", "fit_population"]
+__all__ = ["pack_population", "fit_population",
+           "population_goodness_of_fit"]
 
 _COMPILED_CACHE = {}
 
@@ -557,3 +558,99 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
                            0, -1)
         return (flat if return_chains else None), acc_out, summ
     return flat, acc_out
+
+
+def population_goodness_of_fit(models, lcs, flatchains, use_sigma=False,
+                               sigma_type="relative", n_draws=256, seed=0,
+                               quiet=False):
+    """Per-transient posterior-predictive goodness of fit for a population.
+
+    The survey companion to :func:`fitting.goodness_of_fit`: after
+    ``fit_population``, flag the transients whose best fit cannot reproduce
+    their photometry. All S transients evaluate in ONE compiled device call
+    on the same padded arrays the fit used (looping the single-LC
+    diagnostic would retrace per distinct photometry length — a remote
+    compile each on a TPU tunnel; here ragged lengths are masked instead).
+
+    ``flatchains``: (S, M, ndim) posterior samples from ``fit_population``.
+    Returns a dict of (S,) arrays: ``chi2`` (best evaluated draw per
+    transient), ``dof``, ``chi2_nu``, ``p_value`` (posterior-predictive,
+    analytic chi-square-N inner probability), ``n_points``, and
+    ``n_invalid_draws`` (draws outside the model's validity window,
+    excluded). The chi-square convention matches the single-LC diagnostic
+    (variance model of reference models.py:93-136).
+    """
+    from scipy.stats import chi2 as _chi2_dist
+
+    flatchains = np.asarray(flatchains, float)
+    S, M, ndim = flatchains.shape
+    if S != len(lcs):
+        raise ValueError(f"flatchains has {S} transients, got {len(lcs)} lcs")
+    n_model = ndim - (1 if use_sigma else 0)
+    model = models[0]
+    packed = pack_population(models, lcs, use_sigma)
+
+    rng = np.random.default_rng(seed)
+    n_draws = min(int(n_draws), M)
+    draws = np.stack([fc[rng.choice(M, n_draws, replace=False)]
+                      for fc in flatchains])               # (S, n_draws, ndim)
+
+    key = (_model_fingerprint(model), use_sigma, sigma_type, n_model,
+           "pop_chi2")
+    fn = _COMPILED_CACHE.get(key)
+    if fn is None:
+        def chi2_one_transient(draws_s, t_s, y_s, dy_s, mask_s, yscale_s,
+                               quad_s):
+            inv = 1.0 / yscale_s
+            yn = y_s * inv
+            dyn = dy_s * inv
+            if sigma_type == "relative":
+                sigma_units = dyn
+            elif sigma_type == "absolute":
+                sigma_units = jnp.nanmedian(jnp.where(mask_s, dyn, jnp.nan))
+            else:
+                raise Exception('sigma_type must either be "relative" or '
+                                '"absolute"')
+
+            def one(p):
+                y_fit = model._eval_points(t_s, quad_s,
+                                           *[p[i] for i in range(n_model)])
+                y_fit = y_fit * inv
+                sigma2 = dyn ** 2.0
+                if use_sigma:
+                    sigma2 = sigma2 + (p[-1] * sigma_units) ** 2.0
+                r2 = (yn - y_fit) ** 2.0 / sigma2
+                return jnp.sum(jnp.where(mask_s, r2, 0.0))
+
+            return jax.vmap(one)(draws_s)
+
+        fn = jax.jit(jax.vmap(chi2_one_transient))
+        _COMPILED_CACHE[key] = fn
+
+    chi2_all = np.asarray(fn(jnp.asarray(draws), packed["t"], packed["y"],
+                             packed["dy"], packed["mask"], packed["yscale"],
+                             packed["quad"]))               # (S, n_draws)
+    npts = np.asarray(packed["mask"].sum(axis=1))
+    dof = npts - ndim
+
+    chi2_best = np.full(S, np.nan)
+    p_value = np.full(S, np.nan)
+    n_bad = np.zeros(S, int)
+    for s in range(S):
+        finite = np.isfinite(chi2_all[s])
+        n_bad[s] = int(np.sum(~finite))
+        vals = chi2_all[s][finite]
+        if len(vals):
+            chi2_best[s] = float(np.min(vals))
+            p_value[s] = float(np.mean(_chi2_dist.sf(vals, npts[s])))
+
+    with np.errstate(invalid="ignore", divide="ignore"):
+        chi2_nu = chi2_best / np.where(dof > 0, dof, np.nan)
+    out = {"chi2": chi2_best, "dof": dof, "chi2_nu": chi2_nu,
+           "p_value": p_value, "n_points": npts, "n_invalid_draws": n_bad}
+    if not quiet:
+        flagged = int(np.sum(p_value < 0.01))
+        print(f"population goodness of fit: chi2_nu median "
+              f"{np.nanmedian(chi2_nu):.2f} over {S} transients; "
+              f"{flagged} with posterior-predictive p < 0.01")
+    return out

@@ -327,3 +327,43 @@ def test_fit_population_summaries_checkpointed_path(population, tmp_path):
     _, _, summ_ck = fit_population(models, lcs2, priors, summaries=True,
                                    checkpoint_every=20, checkpoint_file=ck, **kw)
     np.testing.assert_allclose(summ_ck, summ_fast, rtol=1e-9, atol=1e-12)
+
+
+def test_population_goodness_of_fit_matches_single(population):
+    """One padded device call for the whole population must reproduce the
+    single-LC goodness_of_fit per transient (ragged lengths masked, not
+    truncated), flag a deliberately broken transient, and honor the sigma
+    variance model."""
+    from lightcurve_fitting_tpu.fitting import goodness_of_fit
+    from lightcurve_fitting_tpu.parallel.population import (
+        population_goodness_of_fit)
+
+    lcs, models, priors = population
+    lcs2, models2 = [], []
+    for lc, truth in zip(lcs[:4], TRUTHS[:4]):
+        lc2 = lc.copy()
+        lc2["MJD"] = np.asarray(lc2["MJD"], float) - truth[3]
+        lc2 = LC(lc2)
+        lcs2.append(lc2)
+        models2.append(ShockCooling2(lc2))
+    # synthetic "posteriors": truth + small jitter; one transient corrupted
+    rng = np.random.default_rng(0)
+    M = 64
+    flat = np.stack([np.asarray(truth[:3]) + 0.01 * rng.normal(size=(M, 3))
+                     for truth in TRUTHS[:4]])
+    flat[2] = flat[2] + np.array([8.0, 3.0, 30.0])      # badly wrong params
+
+    pop = population_goodness_of_fit(models2, lcs2, flat, n_draws=M,
+                                     seed=0, quiet=True)
+    assert pop["chi2"].shape == (4,)
+    for s in range(4):
+        single = goodness_of_fit(lcs2[s], models2[s], flat[s], n_draws=M,
+                                 seed=0, quiet=True)
+        assert pop["n_points"][s] == single["n_points"]
+        assert pop["dof"][s] == single["dof"]
+        assert pop["chi2"][s] == pytest.approx(single["chi2"], rel=1e-4)
+        assert pop["p_value"][s] == pytest.approx(single["p_value"],
+                                                  abs=1e-6)
+    # the corrupted transient is flagged, the honest ones are plausible
+    assert pop["p_value"][2] < 1e-6
+    assert pop["chi2_nu"][2] > 5 * np.nanmax(np.delete(pop["chi2_nu"], 2))
