@@ -171,7 +171,10 @@ def _run_bolometric(cfg, config_dir):
 def _run_compare(cfg, config_dir):
     """``driver: "compare"`` — ``models`` is a LIST of model names ranked by
     Bayes factor (`fitting.compare_models`); ``priors`` is per-model (a list
-    of prior lists) or one shared list; ``p_lo``/``p_up`` likewise."""
+    of prior lists) or one shared list; ``p_lo``/``p_up`` likewise. With
+    ``"method": "loo"`` the ranking is chain-based PSIS-LOO elpd
+    (`fitting.compare_models_loo`: one MCMC fit per model, prior-volume
+    insensitive) instead of the evidence ladder."""
     lc = _load_lc(cfg, config_dir)
     models = []
     for name in cfg["models"]:
@@ -187,23 +190,45 @@ def _run_compare(cfg, config_dir):
     priors = [_build_priors(p) for p in raw] if per_model else _build_priors(raw)
 
     from . import fitting
+    method = cfg.get("method", "evidence")
     try:
-        table = fitting.compare_models(lc, models, priors,
-                                       p_lo=cfg.get("p_lo"),
-                                       p_up=cfg.get("p_up"),
-                                       labels=cfg.get("labels"),
-                                       **cfg.get("driver_kwargs", {}))
+        if method == "loo":
+            table = fitting.compare_models_loo(lc, models, priors,
+                                               p_lo=cfg.get("p_lo"),
+                                               p_up=cfg.get("p_up"),
+                                               labels=cfg.get("labels"),
+                                               **cfg.get("driver_kwargs", {}))
+        elif method == "evidence":
+            table = fitting.compare_models(lc, models, priors,
+                                           p_lo=cfg.get("p_lo"),
+                                           p_up=cfg.get("p_up"),
+                                           labels=cfg.get("labels"),
+                                           **cfg.get("driver_kwargs", {}))
+        else:
+            raise SystemExit(f"unknown compare method {method!r}; "
+                             "choose evidence | loo")
     except ValueError as exc:
         # config-shape errors (too few models, prior/label length mismatch)
         # surface as clean CLI errors like the other invalid-config paths
         raise SystemExit(str(exc))
-    summary = {"driver": "compare", "models": list(cfg["models"]),
-               "ranking": [dict(model=str(m), log_z=float(z), dlog_z=float(dz),
-                                delta_log_z=float(d))
-                           for m, z, dz, d in zip(table["model"],
-                                                  table["log_z"],
-                                                  table["dlog_z"],
-                                                  table["delta_log_z"])]}
+    if method == "loo":
+        summary = {"driver": "compare", "method": "loo",
+                   "models": list(cfg["models"]),
+                   "ranking": [dict(model=str(m), elpd_loo=float(e),
+                                    d_elpd=float(d), se_d_elpd=float(se))
+                               for m, e, d, se in zip(table["model"],
+                                                      table["elpd_loo"],
+                                                      table["d_elpd"],
+                                                      table["se_d_elpd"])]}
+    else:
+        summary = {"driver": "compare", "method": "evidence",
+                   "models": list(cfg["models"]),
+                   "ranking": [dict(model=str(m), log_z=float(z),
+                                    dlog_z=float(dz), delta_log_z=float(d))
+                               for m, z, dz, d in zip(table["model"],
+                                                      table["log_z"],
+                                                      table["dlog_z"],
+                                                      table["delta_log_z"])]}
     out = cfg.get("outputs", {}).get("summary")
     if out:
         if not os.path.isabs(out):

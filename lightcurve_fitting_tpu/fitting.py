@@ -1149,6 +1149,110 @@ def compare_information_criteria(ics, labels=None, quiet=False):
     return tab
 
 
+def _compare_args(models, priors, p_lo, p_up, labels):
+    """Normalize the shared-vs-per-model argument shapes of the comparison
+    drivers: priors (flat shared list or one list per model), p_lo/p_up
+    (shared window or per-model), labels (default: deduplicated class
+    names). Shared by ``compare_models`` and ``compare_models_loo``."""
+    models = list(models)
+    n = len(models)
+    if n < 2:
+        raise ValueError("model comparison needs at least two models")
+
+    def per_model(arg, name):
+        if arg is None:
+            return [None] * n
+        seq = list(arg)
+        if seq and not np.iterable(seq[0]):      # one shared flat window
+            return [seq] * n
+        if len(seq) != n:
+            raise ValueError(f"{name} must be shared or one entry per model "
+                             f"({len(seq)} given for {n} models)")
+        return seq
+
+    if priors and callable(priors[0]):           # shared flat prior list
+        ndims = {len(m.input_names) for m in models}
+        if len(ndims) != 1:
+            raise ValueError("a shared prior list requires all models to "
+                             "have the same number of parameters; give one "
+                             "prior list per model")
+        priors = [list(priors)] * n
+    elif len(priors) != n:
+        raise ValueError(f"priors must be shared or one list per model "
+                         f"({len(priors)} given for {n} models)")
+    p_lo, p_up = per_model(p_lo, "p_lo"), per_model(p_up, "p_up")
+
+    if labels is None:
+        labels, seen = [], {}
+        for m in models:
+            base = type(m).__name__
+            seen[base] = seen.get(base, 0) + 1
+            labels.append(base if seen[base] == 1 else f"{base}#{seen[base]}")
+    else:
+        labels = [str(lb) for lb in labels]
+        if len(labels) != n:
+            raise ValueError(f"labels must be one per model "
+                             f"({len(labels)} given for {n} models)")
+        if len(set(labels)) != n:
+            raise ValueError("labels must be unique")
+    return models, priors, p_lo, p_up, labels
+
+
+def compare_models_loo(lc, models, priors, p_lo=None, p_up=None, labels=None,
+                       nwalkers=100, nsteps=1000, nsteps_burnin=1000,
+                       use_sigma=False, sigma_type="relative", seed=None,
+                       n_draws=1024, quiet=False, **mcmc_kwargs):
+    """One-call chain-based model comparison: fit every candidate with
+    :func:`lightcurve_mcmc`, score PSIS-LOO, and rank with paired
+    standard errors.
+
+    The cheaper, prior-volume-insensitive sibling of :func:`compare_models`
+    (which integrates the evidence on a tempered ladder): elpd compares
+    predictive accuracy, so diffuse priors do not penalize a model the way
+    they shrink its evidence. The cost is one ordinary MCMC fit per model
+    plus one vmapped device call each for the pointwise log-likelihood
+    matrix. Chains must be converged — elpd from an unconverged sample
+    inherits its bias (the defaults match the flagship notebook's
+    1000+1000-step fits).
+
+    Arguments shape-match ``compare_models`` (shared or per-model priors /
+    windows / labels); ``mcmc_kwargs`` forward to every
+    :func:`lightcurve_mcmc` call (replicas, mesh, init, ...).
+
+    Returns the :func:`compare_information_criteria` Table (columns
+    ``model``, ``elpd_loo``, ``d_elpd``, ``se_d_elpd``);
+    ``table.meta["ics"]`` keeps each model's full
+    :func:`information_criteria` dict and ``table.meta["samplers"]`` the
+    fitted samplers, keyed by label.
+    """
+    models, priors, p_lo, p_up, labels = _compare_args(models, priors, p_lo,
+                                                       p_up, labels)
+    ics, samplers = {}, {}
+    for label, model, pri, lo, up in zip(labels, models, priors, p_lo, p_up):
+        sampler = lightcurve_mcmc(lc, model, priors=pri, p_lo=lo, p_up=up,
+                                  nwalkers=nwalkers, nsteps=nsteps,
+                                  nsteps_burnin=nsteps_burnin,
+                                  use_sigma=use_sigma, sigma_type=sigma_type,
+                                  seed=seed, quiet=True, **mcmc_kwargs)
+        ics[label] = information_criteria(lc, model, sampler.flatchain,
+                                          use_sigma=use_sigma,
+                                          sigma_type=sigma_type,
+                                          n_draws=n_draws,
+                                          seed=0 if seed is None else seed,
+                                          quiet=True)
+        samplers[label] = sampler
+    tab = compare_information_criteria([ics[lb] for lb in labels],
+                                       labels=labels, quiet=quiet)
+    tab.meta["ics"] = ics
+    tab.meta["samplers"] = samplers
+    if not quiet:
+        worst = max(int(np.sum(ics[lb]["pareto_k"] > 0.7)) for lb in labels)
+        if worst:
+            print(f"  (up to {worst} points per model have pareto_k > 0.7 — "
+                  "expected under misspecification, but verify convergence)")
+    return tab
+
+
 def compare_models(lc, models, priors, p_lo=None, p_up=None, labels=None,
                    quiet=False, **evidence_kwargs):
     """Bayes-factor model comparison: run ``lightcurve_evidence`` for each
@@ -1188,47 +1292,8 @@ def compare_models(lc, models, priors, p_lo=None, p_up=None, labels=None,
     """
     from .utils.table import Table
 
-    models = list(models)
-    n = len(models)
-    if n < 2:
-        raise ValueError("compare_models needs at least two models")
-
-    def per_model(arg, name):
-        if arg is None:
-            return [None] * n
-        seq = list(arg)
-        if seq and not np.iterable(seq[0]):      # one shared flat window
-            return [seq] * n
-        if len(seq) != n:
-            raise ValueError(f"{name} must be shared or one entry per model "
-                             f"({len(seq)} given for {n} models)")
-        return seq
-
-    if priors and callable(priors[0]):           # shared flat prior list
-        ndims = {len(m.input_names) for m in models}
-        if len(ndims) != 1:
-            raise ValueError("a shared prior list requires all models to "
-                             "have the same number of parameters; give one "
-                             "prior list per model")
-        priors = [list(priors)] * n
-    elif len(priors) != n:
-        raise ValueError(f"priors must be shared or one list per model "
-                         f"({len(priors)} given for {n} models)")
-    p_lo, p_up = per_model(p_lo, "p_lo"), per_model(p_up, "p_up")
-
-    if labels is None:
-        labels, seen = [], {}
-        for m in models:
-            base = type(m).__name__
-            seen[base] = seen.get(base, 0) + 1
-            labels.append(base if seen[base] == 1 else f"{base}#{seen[base]}")
-    else:
-        labels = [str(lb) for lb in labels]
-        if len(labels) != n:
-            raise ValueError(f"labels must be one per model "
-                             f"({len(labels)} given for {n} models)")
-        if len(set(labels)) != n:
-            raise ValueError("labels must be unique")
+    models, priors, p_lo, p_up, labels = _compare_args(models, priors, p_lo,
+                                                       p_up, labels)
 
     def per_model_path(path, label):
         # compared models must never share a checkpoint file: the resume

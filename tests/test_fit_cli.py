@@ -245,3 +245,27 @@ def test_cli_sbc(tmp_path):
                    "priors": [["Uniform", 0, 1]]}, f)
     with pytest.raises(SystemExit, match="times"):
         main([cfg_path])
+
+
+def test_cli_compare_loo(tmp_path, synth_csv):
+    """driver "compare" with method "loo": chain-based PSIS-LOO ranking —
+    the truth-compatible prior beats one pinning t_tr far too low."""
+    good = [["Uniform", 1, 50], ["Uniform", 0.1, 20],
+            ["Uniform", 5, 100], ["Uniform", -1, 1]]
+    pinned = [["Uniform", 1, 50], ["Uniform", 0.1, 20],
+              ["Uniform", 1, 3], ["Uniform", -1, 1]]
+    summary = _run(tmp_path, {
+        "data": synth_csv, "models": ["ShockCooling2", "ShockCooling2"],
+        "labels": ["free", "pinned"], "method": "loo",
+        "priors": [good, pinned],
+        "p_lo": [[10, 1.5, 20, -0.3], [10, 1.5, 1.2, -0.3]],
+        "p_up": [[14, 2.5, 50, 0.3], [14, 2.5, 2.8, 0.3]],
+        "driver": "compare",
+        "driver_kwargs": {"nwalkers": 32, "nsteps": 300,
+                          "nsteps_burnin": 300, "seed": 6, "quiet": True},
+        "outputs": {"summary": "summary.json"}})
+    assert summary["method"] == "loo"
+    ranking = summary["ranking"]
+    assert [r["model"] for r in ranking] == ["free", "pinned"]
+    assert ranking[0]["d_elpd"] == 0.0
+    assert ranking[1]["d_elpd"] < 0.0

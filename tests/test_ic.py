@@ -160,3 +160,43 @@ def test_information_criteria_device_path_well_specified():
     # decisively worse (per-point elpd differences are huge and so is their
     # paired SE — the magnitude is what matters here)
     assert tab["d_elpd"][1] < -1000
+
+
+def test_compare_models_loo_one_call():
+    """One-call chain-based comparison on a well-specified synthetic fit:
+    the truth-compatible configuration beats one whose prior forces a
+    wrong transparency time, with the paired SE resolving the gap."""
+    from lightcurve_fitting_tpu.lightcurve import LC
+    from lightcurve_fitting_tpu.filters import filtdict
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.fitting import compare_models_loo
+
+    rng = np.random.default_rng(4)
+    filters = [filtdict[n] for n in ["g", "r", "i", "B"]]
+    t0 = 0.0
+    t = np.repeat(np.linspace(1.0, 12.0, 7), len(filters))
+    f = np.array(filters * 7)
+    y_true = ShockCooling2()(t, f, 12.0, 2.0, 15.0, t0)
+    dy = 0.05 * y_true
+    lc = LC([t, f, y_true + rng.normal(scale=dy), dy],
+            names=["MJD", "filter", "lum", "dlum"])
+
+    good = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0),
+            UniformPrior(5.0, 100.0), UniformPrior(-1.0, 1.0)]
+    # t_tr pinned far too low: the posterior cannot reach the truth
+    bad = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0),
+           UniformPrior(1.0, 3.0), UniformPrior(-1.0, 1.0)]
+    tab = compare_models_loo(
+        lc, [ShockCooling2(lc), ShockCooling2(lc)], [good, bad],
+        p_lo=[[10.0, 1.5, 10.0, -0.3], [10.0, 1.5, 1.2, -0.3]],
+        p_up=[[14.0, 2.5, 25.0, 0.3], [14.0, 2.5, 2.8, 0.3]],
+        labels=["free", "pinned"], nwalkers=32, nsteps=300,
+        nsteps_burnin=300, seed=6, quiet=True)
+    assert list(tab.colnames) == ["model", "elpd_loo", "d_elpd", "se_d_elpd"]
+    assert tab["model"][0] == "free"
+    assert tab["d_elpd"][1] < -3.0 * max(tab["se_d_elpd"][1], 1.0)
+    assert set(tab.meta["ics"]) == {"free", "pinned"}
+    assert tab.meta["samplers"]["free"].flatchain.shape[1] == 4
+
+    with pytest.raises(ValueError):
+        compare_models_loo(lc, [ShockCooling2(lc)], [good], quiet=True)

@@ -39,7 +39,7 @@ SECTIONS = [
      ["Prior", "UniformPrior", "LogUniformPrior", "GaussianPrior", "KDEPrior"]),
     ("Fit drivers (L4)", "lightcurve_fitting_tpu.fitting",
      ["lightcurve_mcmc", "lightcurve_hmc", "lightcurve_map",
-      "lightcurve_evidence", "lightcurve_ptmcmc", "compare_models",
+      "lightcurve_evidence", "lightcurve_ptmcmc", "compare_models", "compare_models_loo",
       "goodness_of_fit", "information_criteria",
       "compare_information_criteria", "lightcurve_corner", "lightcurve_model_plot",
       "format_credible_interval", "make_log_posterior"]),
