@@ -20,6 +20,12 @@ import sys
 
 sys.path.insert(0, os.path.join(os.path.dirname(os.path.abspath(__file__)), ".."))  # run without installing
 
+if os.environ.get("LCF_CPU"):
+    # this environment pins JAX_PLATFORMS to a TPU tunnel and ignores the
+    # env var; LCF_CPU=1 forces the CPU backend via jax.config instead
+    import jax
+    jax.config.update("jax_platforms", "cpu")
+
 
 import numpy as np
 
