@@ -225,12 +225,19 @@ def _bench_population(S=64, nwalkers=64, nsteps=1000, nsteps_burnin=100):
             "transients_per_sec": S / elapsed, "evals_per_sec": evals / elapsed}
 
 
-def _wait_for_backend(max_wait_s=1200, probe_timeout_s=180):
+def _wait_for_backend(max_wait_s=1500, probe_timeout_s=300):
     """The TPU tunnel goes down for stretches (observed late round 3:
     backend init hangs, then 'Unavailable'). Probe it in a SUBPROCESS (an
     in-process hang cannot be timed out) and retry for up to max_wait_s so
     a transient outage doesn't turn the round's benchmark into a crash.
-    Returns True when a device answered, False on giving up."""
+
+    The probe asserts a NON-CPU device actually answered — a CPU fallback
+    passing the probe would just move the hang into main(). The generous
+    per-probe timeout covers a cold tunnel's first remote compile
+    (documented at minutes). On a CPU-only host (no accelerator expected)
+    the probe legitimately fails and bench reports the outage JSON — this
+    benchmark is defined on accelerator hardware.
+    Returns True when an accelerator answered, False on giving up."""
     import subprocess
     import time
 
@@ -240,6 +247,8 @@ def _wait_for_backend(max_wait_s=1200, probe_timeout_s=180):
             r = subprocess.run(
                 [sys.executable, "-c",
                  "import jax, jax.numpy as jnp;"
+                 "assert jax.devices()[0].platform.lower() != 'cpu', "
+                 "'cpu fallback';"
                  "print(float(jnp.ones(4).sum()))"],
                 timeout=probe_timeout_s, capture_output=True)
             if r.returncode == 0:

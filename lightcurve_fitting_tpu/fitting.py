@@ -933,6 +933,8 @@ def _posterior_discrepancy(lc, model, draws, use_sigma, sigma_type, kind):
     fn = _GOF_CACHE.get(key)
     if fn is None:
         def batch(stacked, t_a, quad_a, y_a, dy_a, su_a, inv_yscale_a):
+            # population_goodness_of_fit carries a masked copy of this
+            # variance model — parity is test-enforced; change both
             def one(p):
                 y_fit = model._eval_points(t_a, quad_a,
                                            *[p[i] for i in range(n_model)])

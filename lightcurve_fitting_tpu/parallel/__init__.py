@@ -4,7 +4,8 @@ batched epoch fits."""
 from .sampler import EnsembleSampler, make_stretch_kernel  # noqa: F401
 from .mesh import ShardedEnsembleSampler, walker_mesh, make_sharded_stretch_step  # noqa: F401
 from .batched import pack_epochs, batched_blackbody_mcmc  # noqa: F401
-from .population import pack_population, fit_population  # noqa: F401
+from .population import (pack_population, fit_population,  # noqa: F401
+                         population_goodness_of_fit)
 from .hmc import HMCSampler, BoundsTransform, WhitenedPosterior  # noqa: F401
 from .nuts import NUTSSampler  # noqa: F401
 from . import distributed  # noqa: F401

@@ -27,6 +27,10 @@ __all__ = ["pack_population", "fit_population",
            "population_goodness_of_fit"]
 
 _COMPILED_CACHE = {}
+# the GOF kernels close over a model instance: bound like fitting._GOF_CACHE
+# so sweeping model variants cannot accumulate executables forever
+from .evidence import _LRUCache as _EvLRUCache  # noqa: E402
+_POP_GOF_CACHE = _EvLRUCache(16)
 
 
 def _array_digest(a):
@@ -595,12 +599,16 @@ def population_goodness_of_fit(models, lcs, flatchains, use_sigma=False,
     draws = np.stack([fc[rng.choice(M, n_draws, replace=False)]
                       for fc in flatchains])               # (S, n_draws, ndim)
 
-    key = (_model_fingerprint(model), use_sigma, sigma_type, n_model,
-           "pop_chi2")
-    fn = _COMPILED_CACHE.get(key)
+    key = (_model_fingerprint(model), use_sigma, sigma_type, n_model)
+    fn = _POP_GOF_CACHE.get(key)
     if fn is None:
         def chi2_one_transient(draws_s, t_s, y_s, dy_s, mask_s, yscale_s,
                                quad_s):
+            # masked form of the variance model in
+            # fitting._posterior_discrepancy — keep the two in sync (the
+            # suite enforces parity: tests/test_population.py::
+            # test_population_goodness_of_fit_matches_single, both
+            # sigma_type conventions)
             inv = 1.0 / yscale_s
             yn = y_s * inv
             dyn = dy_s * inv
@@ -625,7 +633,7 @@ def population_goodness_of_fit(models, lcs, flatchains, use_sigma=False,
             return jax.vmap(one)(draws_s)
 
         fn = jax.jit(jax.vmap(chi2_one_transient))
-        _COMPILED_CACHE[key] = fn
+        _POP_GOF_CACHE[key] = fn
 
     chi2_all = np.asarray(fn(jnp.asarray(draws), packed["t"], packed["y"],
                              packed["dy"], packed["mask"], packed["yscale"],

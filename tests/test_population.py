@@ -367,3 +367,20 @@ def test_population_goodness_of_fit_matches_single(population):
     # the corrupted transient is flagged, the honest ones are plausible
     assert pop["p_value"][2] < 1e-6
     assert pop["chi2_nu"][2] > 5 * np.nanmax(np.delete(pop["chi2_nu"], 2))
+
+    # intrinsic-scatter variance model: parity with the single-LC
+    # diagnostic for both sigma_type conventions (the masked nanmedian of
+    # the 'absolute' path must ignore pad rows)
+    flat_sig = np.concatenate(
+        [flat, np.full((4, M, 1), 0.7)], axis=2)
+    for stype in ("relative", "absolute"):
+        pop_s = population_goodness_of_fit(models2, lcs2, flat_sig,
+                                           use_sigma=True, sigma_type=stype,
+                                           n_draws=M, seed=0, quiet=True)
+        for s in range(4):
+            single_s = goodness_of_fit(lcs2[s], models2[s], flat_sig[s],
+                                       use_sigma=True, sigma_type=stype,
+                                       n_draws=M, seed=0, quiet=True)
+            assert pop_s["chi2"][s] == pytest.approx(single_s["chi2"],
+                                                     rel=1e-4), stype
+            assert pop_s["dof"][s] == single_s["dof"]
