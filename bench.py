@@ -266,7 +266,11 @@ def main():
                           "unit": "evals/s",
                           "vs_baseline": 0.0,
                           "error": "accelerator backend unavailable "
-                                   "(tunnel down); no measurement taken"}))
+                                   "(tunnel down); no measurement taken",
+                          "last_measured_note": "mid-round-3 on-chip "
+                          "measurement was 7.35e7 evals/s at 131072 walkers "
+                          "(CLAUDE.md perf notes; driver-verified round-2 "
+                          "value 5.84e7 in BENCH_r02.json)"}))
         return 1
 
     import jax
