@@ -24,7 +24,7 @@ from jax import shard_map
 from .sampler import make_stretch_kernel
 
 __all__ = ["pack_population", "fit_population",
-           "population_goodness_of_fit"]
+           "population_goodness_of_fit", "population_information_criteria"]
 
 _COMPILED_CACHE = {}
 # the GOF kernels close over a model instance: bound like fitting._GOF_CACHE
@@ -661,4 +661,115 @@ def population_goodness_of_fit(models, lcs, flatchains, use_sigma=False,
         print(f"population goodness of fit: chi2_nu median "
               f"{np.nanmedian(chi2_nu):.2f} over {S} transients; "
               f"{flagged} with posterior-predictive p < 0.01")
+    return out
+
+
+def population_information_criteria(models, lcs, flatchains, use_sigma=False,
+                                    sigma_type="relative", n_draws=512,
+                                    seed=0, quiet=False):
+    """Per-transient WAIC / PSIS-LOO for a fitted population.
+
+    The survey companion to :func:`fitting.information_criteria`: one
+    padded device call produces every transient's (draws x points)
+    pointwise log-likelihood matrix (masked ragged lengths — no per-shape
+    recompiles on a remote-compile backend), then the host PSIS/WAIC
+    statistics (``parallel/ic.py``) run per transient on its REAL points
+    only. Use it to compare model families across a survey: score each
+    family once, then feed matching transients' ``pointwise`` entries to
+    :func:`parallel.ic.compare_elpd` for paired-SE rankings.
+
+    ``flatchains``: (S, M, ndim) posterior samples from ``fit_population``.
+    Returns a dict with (S,) arrays ``elpd_loo``, ``se_elpd_loo``,
+    ``p_loo``, ``elpd_waic``, ``se_elpd_waic``, ``p_waic``, ``n_points``,
+    ``n_high_pareto_k`` (points with k > 0.7), ``n_invalid_draws``, plus
+    lists ``pareto_k`` and ``pointwise`` (per-transient arrays over real
+    points). Log densities are absolute (the -log(yscale) normalization
+    Jacobian is restored per transient).
+    """
+    from .ic import waic as _waic, psis_loo as _psis_loo
+
+    flatchains = np.asarray(flatchains, float)
+    S, M, ndim = flatchains.shape
+    if S != len(lcs):
+        raise ValueError(f"flatchains has {S} transients, got {len(lcs)} lcs")
+    n_model = ndim - (1 if use_sigma else 0)
+    model = models[0]
+    packed = pack_population(models, lcs, use_sigma)
+
+    rng = np.random.default_rng(seed)
+    n_draws = min(int(n_draws), M)
+    draws = np.stack([fc[rng.choice(M, n_draws, replace=False)]
+                      for fc in flatchains])               # (S, n_draws, ndim)
+
+    key = (_model_fingerprint(model), use_sigma, sigma_type, n_model, "ll")
+    fn = _POP_GOF_CACHE.get(key)
+    if fn is None:
+        def ll_one_transient(draws_s, t_s, y_s, dy_s, mask_s, yscale_s,
+                             quad_s):
+            # masked form of the pointwise-ll branch of
+            # fitting._posterior_discrepancy — parity is test-enforced
+            inv = 1.0 / yscale_s
+            yn = y_s * inv
+            dyn = dy_s * inv
+            if sigma_type == "relative":
+                sigma_units = dyn
+            elif sigma_type == "absolute":
+                sigma_units = jnp.nanmedian(jnp.where(mask_s, dyn, jnp.nan))
+            else:
+                raise Exception('sigma_type must either be "relative" or '
+                                '"absolute"')
+
+            def one(p):
+                y_fit = model._eval_points(t_s, quad_s,
+                                           *[p[i] for i in range(n_model)])
+                y_fit = y_fit * inv
+                sigma2 = dyn ** 2.0
+                if use_sigma:
+                    sigma2 = sigma2 + (p[-1] * sigma_units) ** 2.0
+                ll = -0.5 * (jnp.log(2.0 * jnp.pi * sigma2)
+                             + (yn - y_fit) ** 2.0 / sigma2)
+                return jnp.where(mask_s, ll, 0.0)
+
+            return jax.vmap(one)(draws_s)
+
+        fn = jax.jit(jax.vmap(ll_one_transient))
+        _POP_GOF_CACHE[key] = fn
+
+    ll_all = np.asarray(fn(jnp.asarray(draws), packed["t"], packed["y"],
+                           packed["dy"], packed["mask"], packed["yscale"],
+                           packed["quad"]))                # (S, n_draws, N)
+    mask = np.asarray(packed["mask"])
+    log_yscale = np.log(np.asarray(packed["yscale"]))
+
+    out = {k: np.full(S, np.nan) for k in
+           ("elpd_loo", "se_elpd_loo", "p_loo", "elpd_waic", "se_elpd_waic",
+            "p_waic")}
+    out["n_points"] = mask.sum(axis=1)
+    out["n_high_pareto_k"] = np.zeros(S, int)
+    out["n_invalid_draws"] = np.zeros(S, int)
+    out["pareto_k"] = [None] * S
+    out["pointwise"] = [None] * S
+    for s in range(S):
+        ll = ll_all[s][:, mask[s]] - log_yscale[s]       # real points only
+        good = np.all(np.isfinite(ll), axis=1)
+        out["n_invalid_draws"][s] = int(np.sum(~good))
+        ll = ll[good]
+        if len(ll) < 8:
+            continue                        # chain missed the validity window
+        loo = _psis_loo(ll)
+        wa = _waic(ll)
+        out["elpd_loo"][s] = loo["elpd_loo"]
+        out["se_elpd_loo"][s] = loo["se_elpd_loo"]
+        out["p_loo"][s] = loo["p_loo"]
+        out["elpd_waic"][s] = wa["elpd_waic"]
+        out["se_elpd_waic"][s] = wa["se_elpd_waic"]
+        out["p_waic"][s] = wa["p_waic"]
+        out["n_high_pareto_k"][s] = int(np.sum(loo["pareto_k"] > 0.7))
+        out["pareto_k"][s] = loo["pareto_k"]
+        out["pointwise"][s] = loo["pointwise"]
+    if not quiet:
+        n_flag = int(np.sum(out["n_high_pareto_k"] > 0))
+        print(f"population information criteria: elpd_loo median "
+              f"{np.nanmedian(out['elpd_loo']):.1f} over {S} transients; "
+              f"{n_flag} with any pareto_k > 0.7")
     return out

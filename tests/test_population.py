@@ -384,3 +384,40 @@ def test_population_goodness_of_fit_matches_single(population):
             assert pop_s["chi2"][s] == pytest.approx(single_s["chi2"],
                                                      rel=1e-4), stype
             assert pop_s["dof"][s] == single_s["dof"]
+
+
+def test_population_information_criteria_matches_single(population):
+    """Per-transient WAIC/PSIS-LOO from one padded device call must match
+    the single-LC information_criteria on each transient's real points."""
+    from lightcurve_fitting_tpu.fitting import information_criteria
+    from lightcurve_fitting_tpu.parallel import (
+        population_information_criteria)
+
+    lcs, models, priors = population
+    lcs2, models2 = [], []
+    for lc, truth in zip(lcs[:3], TRUTHS[:3]):
+        lc2 = lc.copy()
+        lc2["MJD"] = np.asarray(lc2["MJD"], float) - truth[3]
+        lc2 = LC(lc2)
+        lcs2.append(lc2)
+        models2.append(ShockCooling2(lc2))
+    rng = np.random.default_rng(1)
+    M = 96
+    flat = np.stack([np.asarray(truth[:3]) + 0.02 * rng.normal(size=(M, 3))
+                     for truth in TRUTHS[:3]])
+
+    pop = population_information_criteria(models2, lcs2, flat, n_draws=M,
+                                          seed=0, quiet=True)
+    assert pop["elpd_loo"].shape == (3,)
+    for s in range(3):
+        single = information_criteria(lcs2[s], models2[s], flat[s],
+                                      n_draws=M, seed=0, quiet=True)
+        assert pop["n_points"][s] == single["n_points"]
+        assert pop["elpd_loo"][s] == pytest.approx(single["elpd_loo"],
+                                                   rel=1e-4), s
+        assert pop["elpd_waic"][s] == pytest.approx(single["elpd_waic"],
+                                                    rel=1e-4)
+        assert pop["p_loo"][s] == pytest.approx(single["p_loo"], rel=1e-3,
+                                                abs=1e-6)
+        np.testing.assert_allclose(pop["pointwise"][s], single["pointwise"],
+                                   rtol=1e-4)

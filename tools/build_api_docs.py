@@ -61,7 +61,8 @@ SECTIONS = [
     ("Evidence & parallel tempering", "lightcurve_fitting_tpu.parallel.evidence",
      ["stepping_stone_evidence", "make_beta_ladder"]),
     ("Population fitting", "lightcurve_fitting_tpu.parallel.population",
-     ["pack_population", "fit_population", "population_goodness_of_fit"]),
+     ["pack_population", "fit_population", "population_goodness_of_fit",
+      "population_information_criteria"]),
     ("Batched bolometric kernels", "lightcurve_fitting_tpu.parallel.batched",
      ["pack_epochs", "batched_blackbody_mcmc", "batched_map_centers"]),
     ("Multi-host execution", "lightcurve_fitting_tpu.parallel.distributed",
