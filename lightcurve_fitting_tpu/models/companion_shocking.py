@@ -63,8 +63,13 @@ class BaseCompanionShocking(Model):
     """Kasen (2010) shock + scaled/stretched SiFTO template (reference
     models.py:665-845)."""
 
-    def __init__(self, lc, redshift=0.0):
+    def __init__(self, lc, redshift=0.0, kappa=1.0):
         super().__init__(lc, redshift=redshift)
+        self._init_options = {"kappa": kappa}
+        #: electron-scattering opacity in units of 0.2 cm^2/g, threaded
+        #: through the device Kasen component (the reference only accepts
+        #: kappa per evaluate() call, models.py:731-784)
+        self.kappa = float(kappa)
         if "lum" not in lc.colnames:
             if "absmag" not in lc.colnames:
                 lc.calcAbsMag()
@@ -181,7 +186,9 @@ class BaseCompanionShocking(Model):
         val = _ppoly_batched(quad["sifto_knots"], quad["sifto_c"], arg)
         return jnp.nan_to_num(val, nan=0.0)
 
-    def _kasen_points(self, t, quad, t_exp, a13, Mc_v9_7, kappa=1.0):
+    def _kasen_points(self, t, quad, t_exp, a13, Mc_v9_7, kappa=None):
+        if kappa is None:
+            kappa = self.kappa
         T_kasen, R_kasen = self._tr_points(t, t_exp, a13, Mc_v9_7, kappa)
         return self._bandflux(quad, T_kasen, R_kasen)
 
@@ -217,33 +224,21 @@ class CompanionShocking(BaseCompanionShocking):
              u.dimensionless_unscaled, u.dimensionless_unscaled]
 
     def evaluate(self, t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch,
-                 rr=1.0, ri=1.0, rU=1.0, kappa=1.0):
-        if kappa != 1.0:
-            return self._evaluate_host(t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch,
-                                       dict(rr=rr, ri=ri, rU=rU), kappa)
-        return super().evaluate(t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch, rr, ri, rU)
+                 rr=1.0, ri=1.0, rU=1.0, kappa=None):
+        # kappa rides the device Kasen component as an ordinary traced
+        # parameter (reference models.py:876-918 signature; no host fallback)
+        if kappa is None:
+            kappa = self.kappa
+        return super().evaluate(t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch,
+                                rr, ri, rU, kappa)
 
     def _eval_points(self, t, quad, t_exp, a13, Mc_v9_7, t_peak, stretch,
-                     rr=1.0, ri=1.0, rU=1.0):
-        Lnu_kasen = self._kasen_points(t, quad, t_exp, a13, Mc_v9_7)
+                     rr=1.0, ri=1.0, rU=1.0, kappa=None):
+        Lnu_kasen = self._kasen_points(t, quad, t_exp, a13, Mc_v9_7, kappa)
         Lnu_sifto = self._sifto_points(t, quad, t_peak, stretch)
         kasen_fac = jnp.where(quad["is_U"], rU, 1.0)
         sifto_fac = jnp.where(quad["is_r"], rr, jnp.where(quad["is_i"], ri, 1.0))
         return Lnu_kasen * kasen_fac + Lnu_sifto * sifto_fac
-
-
-    def _evaluate_host(self, t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch,
-                       factors, kappa):
-        Lnu_kasen = self.companion_shocking(t_in, f, t_exp, a13, Mc_v9_7, kappa)
-        Lnu_sifto = self.stretched_sifto(t_in, f, t_peak, stretch)
-        f_arr = np.atleast_1d(f)
-        kasen_fac = np.array([factors["rU"] if filt.char == "U" else 1.0 for filt in f_arr])
-        sifto_fac = np.array([factors["rr"] if filt.char == "r"
-                              else factors["ri"] if filt.char == "i" else 1.0
-                              for filt in f_arr])
-        shape = [len(f_arr)] + [1] * (np.ndim(Lnu_kasen) - 1)
-        return (Lnu_kasen * kasen_fac.reshape(shape)
-                + Lnu_sifto * sifto_fac.reshape(shape))
 
 
 class CompanionShocking2(BaseCompanionShocking):
@@ -254,15 +249,16 @@ class CompanionShocking2(BaseCompanionShocking):
              u.dimensionless_unscaled, u.d, u.d]
 
     def evaluate(self, t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch,
-                 dtU=0.0, dti=0.0, kappa=1.0):
-        if kappa != 1.0:
-            Lnu_kasen = self.companion_shocking(t_in, f, t_exp, a13, Mc_v9_7, kappa)
-            Lnu_sifto = self.stretched_sifto(t_in, f, t_peak, stretch, dtU, dti)
-            return Lnu_kasen + Lnu_sifto
-        return super().evaluate(t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch, dtU, dti)
+                 dtU=0.0, dti=0.0, kappa=None):
+        # kappa rides the device path (reference models.py:957-980 signature)
+        if kappa is None:
+            kappa = self.kappa
+        return super().evaluate(t_in, f, t_exp, a13, Mc_v9_7, t_peak, stretch,
+                                dtU, dti, kappa)
 
-    def _eval_points(self, t, quad, t_exp, a13, Mc_v9_7, t_peak, stretch, dtU=0.0, dti=0.0):
-        Lnu_kasen = self._kasen_points(t, quad, t_exp, a13, Mc_v9_7)
+    def _eval_points(self, t, quad, t_exp, a13, Mc_v9_7, t_peak, stretch,
+                     dtU=0.0, dti=0.0, kappa=None):
+        Lnu_kasen = self._kasen_points(t, quad, t_exp, a13, Mc_v9_7, kappa)
         Lnu_sifto = self._sifto_points(t, quad, t_peak, stretch, dtU, dti)
         return Lnu_kasen + Lnu_sifto
 
@@ -275,17 +271,16 @@ class CompanionShocking3(BaseCompanionShocking):
     units = [u.d, 10.0 ** 13.0 * u.cm, u.deg, u.d, u.dimensionless_unscaled, u.d, u.d]
 
     def evaluate(self, t_in, f, t_exp, a13, theta, t_peak, stretch,
-                 dtU=0.0, dti=0.0, kappa=1.0):
-        if kappa != 1.0:
-            Lnu_kasen = self.companion_shocking(t_in, f, t_exp, a13, 1.0, kappa)
-            Lnu_sifto = self.stretched_sifto(t_in, f, t_peak, stretch, dtU, dti)
-            th = np.deg2rad(theta)
-            frac = (0.5 * np.cos(th) + 0.5) * (0.14 * th ** 2.0 - 0.4 * th + 1.0)
-            return Lnu_kasen * frac + Lnu_sifto
-        return super().evaluate(t_in, f, t_exp, a13, theta, t_peak, stretch, dtU, dti)
+                 dtU=0.0, dti=0.0, kappa=None):
+        # kappa rides the device path (reference models.py:1022-1045 signature)
+        if kappa is None:
+            kappa = self.kappa
+        return super().evaluate(t_in, f, t_exp, a13, theta, t_peak, stretch,
+                                dtU, dti, kappa)
 
-    def _eval_points(self, t, quad, t_exp, a13, theta, t_peak, stretch, dtU=0.0, dti=0.0):
-        Lnu_kasen = self._kasen_points(t, quad, t_exp, a13, 1.0)
+    def _eval_points(self, t, quad, t_exp, a13, theta, t_peak, stretch,
+                     dtU=0.0, dti=0.0, kappa=None):
+        Lnu_kasen = self._kasen_points(t, quad, t_exp, a13, 1.0, kappa)
         Lnu_sifto = self._sifto_points(t, quad, t_peak, stretch, dtU, dti)
         theta_rad = jnp.deg2rad(theta)
         fractional_flux = ((0.5 * jnp.cos(theta_rad) + 0.5)

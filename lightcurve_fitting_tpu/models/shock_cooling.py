@@ -8,7 +8,7 @@ see :class:`~lightcurve_fitting_tpu.models.base.Model` for the batching contract
 import numpy as np
 import jax.numpy as jnp
 
-from ..core.constants import k_B, c3_42, c4, c4_30
+from ..core.constants import k_B, c3_42, c4_30
 from ..ops.mathx import power, hot, hot_phase
 from ..utils import units as u
 from .base import Model
@@ -26,9 +26,14 @@ class BaseShockCooling(Model):
     t_tr = 19.5 d sqrt(kappa M_env / v_s)
     """
 
-    def __init__(self, lc=None, redshift=0.0, n=1.5, RW=False):
+    def __init__(self, lc=None, redshift=0.0, n=1.5, RW=False, kappa=1.0):
         super().__init__(lc, redshift=redshift)
-        self._init_options = {"n": n, "RW": RW}
+        self._init_options = {"n": n, "RW": RW, "kappa": kappa}
+        #: opacity in units of 0.34 cm^2/g, threaded through the device path
+        #: (the reference only accepts kappa per evaluate() call,
+        #: models.py:231-269; binding it at construction lets MCMC/HMC fits
+        #: run nonstandard opacity on device instead of a host fallback)
+        self.kappa = float(kappa)
         if n == 1.5:
             self.n = 1.5
             self.A = 0.94
@@ -63,11 +68,13 @@ class BaseShockCooling(Model):
     def __repr__(self):
         return f"<{self.__class__.__name__}: z={self.z:.3f}, n={self.n:.1f}, RW={self.RW}>"
 
-    def temperature_radius(self, t_in, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=1.0):
+    def temperature_radius(self, t_in, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=None):
         """Color temperature (kK) and blackbody radius (1000 Rsun) vs time
         (reference models.py:231-269; SW17 Eq. 18-23). Accepts numpy or jax
         arrays; parameters may be scalars or vectors (numpy-style outer
         broadcasting, as in the reference)."""
+        if kappa is None:
+            kappa = self.kappa
         t = hot_phase(jnp.reshape(jnp.asarray(t_in, float), (-1, 1)), t_exp)
         t, v_s, M_env, f_rho_M, R, kappa = hot(t, v_s, M_env, f_rho_M, R, kappa)
         # luminosity carried in units of 1e42 erg/s (TPU float64 emulation has
@@ -83,9 +90,11 @@ class BaseShockCooling(Model):
         R_bb = c3_42 * jnp.squeeze(L_42) ** 0.5 * power(T_K, -2.0)
         return T_K, R_bb
 
-    # default device path: blackbody through the per-point bands
-    def _tr_points(self, t, *params):
-        T_K, R_bb = self.temperature_radius(t, *params)
+    # default device path: blackbody through the per-point bands. kappa is
+    # pure power-law algebra in temperature_radius, so it traces on device
+    # like any other parameter (no host fallback for kappa != 1).
+    def _tr_points(self, t, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=None):
+        T_K, R_bb = self.temperature_radius(t, v_s, M_env, f_rho_M, R, t_exp, kappa)
         return T_K, R_bb
 
     def _eval_points(self, t, quad, *params):
@@ -116,16 +125,12 @@ class ShockCooling(BaseShockCooling):
     input_names = ["v_\\mathrm{s*}", "M_\\mathrm{env}", "f_\\rho M", "R", "t_0"]
     units = [10.0 ** 8.5 * u.cm / u.s, u.Msun, u.Msun, 1e13 * u.cm, u.d]
 
-    def evaluate(self, t_in, f, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=1.0):
-        if kappa != 1.0:
-            return self._evaluate_kappa(t_in, f, v_s, M_env, f_rho_M, R, t_exp, kappa)
-        return super().evaluate(t_in, f, v_s, M_env, f_rho_M, R, t_exp)
-
-    def _evaluate_kappa(self, t_in, f, *params_with_kappa):
-        from .blackbody import blackbody_to_filters
-        *params, kappa = params_with_kappa
-        T_K, R_bb = self.temperature_radius(np.asarray(t_in, float), *params, kappa=kappa)
-        return blackbody_to_filters(f, np.asarray(T_K), np.asarray(R_bb), self.z)
+    def evaluate(self, t_in, f, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=None):
+        # kappa rides the device path as an ordinary traced parameter
+        # (reference models.py:322-353 signature; no host fallback)
+        if kappa is None:
+            kappa = self.kappa
+        return super().evaluate(t_in, f, v_s, M_env, f_rho_M, R, t_exp, kappa)
 
 
 class ShockCooling2(BaseShockCooling):
@@ -182,18 +187,17 @@ class ShockCooling3(BaseShockCooling):
     output_quantity = "flux"
     use_band_table = False  # sampled E(B-V): extinction does not factorize
 
-    def evaluate(self, t_in, f, v_s, M_env, f_rho_M, R, dist, ebv=0.0, t_exp=0.0, kappa=1.0):
-        if kappa != 1.0:
-            from .blackbody import blackbody_to_filters
-            T_K, R_bb = self.temperature_radius(np.asarray(t_in, float), v_s, M_env,
-                                                f_rho_M, R, t_exp, kappa)
-            lum = blackbody_to_filters(f, np.asarray(T_K), np.asarray(R_bb), self.z, ebv=ebv)
-            return c4 * lum / dist ** 2.0
+    def evaluate(self, t_in, f, v_s, M_env, f_rho_M, R, dist, ebv=0.0, t_exp=0.0, kappa=None):
+        # kappa rides the device path (reference models.py:460-497 signature)
+        if kappa is None:
+            kappa = self.kappa
         return super(BaseShockCooling, self).evaluate(t_in, f, v_s, M_env, f_rho_M, R,
-                                                      dist, ebv, t_exp)
+                                                      dist, ebv, t_exp, kappa)
 
-    def _eval_points(self, t, quad, v_s, M_env, f_rho_M, R, dist, ebv=0.0, t_exp=0.0):
-        T_K, R_bb = BaseShockCooling._tr_points(self, t, v_s, M_env, f_rho_M, R, t_exp)
+    def _eval_points(self, t, quad, v_s, M_env, f_rho_M, R, dist, ebv=0.0, t_exp=0.0,
+                     kappa=None):
+        T_K, R_bb = BaseShockCooling._tr_points(self, t, v_s, M_env, f_rho_M, R, t_exp,
+                                                kappa)
         lum = bandflux_pointwise(quad["nodes"], quad["weights"], T_K, R_bb,
                                  k_ext=quad["k_ext"], ebv=ebv)
         # c4 ~ 8e-47 underflows the TPU's float32-range f64 emulation; split it
@@ -221,8 +225,11 @@ class ShockCooling4(Model):
     input_names = ["v_\\mathrm{s*}", "M_\\mathrm{env}", "f_\\rho M", "R", "t_0"]
     units = [10.0 ** 8.5 * u.cm / u.s, u.Msun, u.Msun, 1e13 * u.cm, u.d]
 
-    def __init__(self, lc=None, redshift=0.0):
+    def __init__(self, lc=None, redshift=0.0, kappa=1.0):
         super().__init__(lc, redshift=redshift)
+        self._init_options = {"kappa": kappa}
+        #: opacity in units of 0.34 cm^2/g, threaded through the device path
+        self.kappa = float(kappa)
         self.A = 0.9
         self.a = 2.0
         self.alpha = 0.5
@@ -233,7 +240,9 @@ class ShockCooling4(Model):
         self.t_07eV_0 = 6.86    # d (Eq. A8)
         self.t_tr_0 = 19.5      # d (Eq. A9)
 
-    def _tr_points(self, t, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=1.0):
+    def _tr_points(self, t, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=None):
+        if kappa is None:
+            kappa = self.kappa
         t_br = self.t_br_0 * R ** 1.26 * v_s ** -1.13 * f_rho_M ** -0.13        # Eq. A5
         L_br_42 = ((self.L_br_0 / 1e42) * R ** 0.78 * v_s ** 2.11 * f_rho_M ** 0.11
                    * kappa ** -0.89)                                             # Eq. A6
@@ -251,36 +260,33 @@ class ShockCooling4(Model):
         R_bb = c3_42 * L_42 ** 0.5 * power(T_K, -2.0)
         return T_K, R_bb
 
-    def temperature_radius(self, t_in, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=1.0):
+    def temperature_radius(self, t_in, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=None):
         t = jnp.reshape(jnp.asarray(t_in, float), (-1, 1)) - t_exp
         T_K, R_bb = self._tr_points(t, v_s, M_env, f_rho_M, R, 0.0, kappa)
         return jnp.squeeze(T_K), jnp.squeeze(R_bb)
 
-    def evaluate(self, t_in, f, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=1.0):
-        if kappa != 1.0:
-            from .blackbody import blackbody_to_filters
-            T_K, R_bb = self.temperature_radius(np.asarray(t_in, float), v_s, M_env,
-                                                f_rho_M, R, t_exp, kappa)
-            lum_bb = blackbody_to_filters(f, np.asarray(T_K), np.asarray(R_bb), self.z)
-            lum_sup = blackbody_to_filters(f, 0.74 * np.asarray(T_K),
-                                           0.74 ** -2.0 * np.asarray(R_bb), self.z)
-            return np.minimum(lum_bb, lum_sup)
-        return super().evaluate(t_in, f, v_s, M_env, f_rho_M, R, t_exp)
+    def evaluate(self, t_in, f, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=None):
+        # kappa rides the device path (reference models.py:644-657 signature)
+        if kappa is None:
+            kappa = self.kappa
+        return super().evaluate(t_in, f, v_s, M_env, f_rho_M, R, t_exp, kappa)
 
-    def _eval_points(self, t, quad, v_s, M_env, f_rho_M, R, t_exp=0.0):
-        T_K, R_bb = self._tr_points(t, v_s, M_env, f_rho_M, R, t_exp)
+    def _eval_points(self, t, quad, v_s, M_env, f_rho_M, R, t_exp=0.0, kappa=None):
+        T_K, R_bb = self._tr_points(t, v_s, M_env, f_rho_M, R, t_exp, kappa)
         lum_bb = self._bandflux(quad, T_K, R_bb)
         lum_sup = self._bandflux(quad, 0.74 * T_K, 0.74 ** -2.0 * R_bb)
         return jnp.minimum(lum_bb, lum_sup)  # Eq. A4
 
-    def t_min(self, p, kappa=1.0):
+    def t_min(self, p, kappa=None):
         """t_min = 17 min * R + t_exp (MSW23 Eq. A3; reference models.py:634-642)."""
         R = p[3]
         t_exp = p[4] if len(p) > 4 else 0.0
         return self.t_min_0 * R + t_exp
 
-    def t_max(self, p, kappa=1.0):
+    def t_max(self, p, kappa=None):
         """t_max = min(t_0.7eV, t_tr/2) + t_exp (MSW23 Eq. A3, A8, A9)."""
+        if kappa is None:
+            kappa = self.kappa
         v_s, M_env, f_rho_M, R, t_exp, *_ = p
         t_07eV = self.t_07eV_0 * R ** 0.56 * v_s ** 0.16 * kappa ** -0.61 * f_rho_M ** -0.06
         t_tr = self.t_tr_0 * np.sqrt(kappa * M_env / v_s)

@@ -240,6 +240,50 @@ def test_model_repr_and_redshift_from_lc():
     assert m2.z == 0.1
 
 
+def test_kappa_device_path_matches_exact_quadrature():
+    """kappa != 1 now rides the jitted device path (it is pure power-law
+    algebra in temperature_radius); values must match the exact host
+    quadrature through blackbody_to_filters (reference models.py:322-353)."""
+    from lightcurve_fitting_tpu.models.blackbody import blackbody_to_filters
+    t = np.array([2.0, 3.0, 4.0, 5.0])
+    f = np.array(FILTS[:4])
+    for m, params in [(ShockCooling(), (1.0, 1.0, 10.0, 1.0, 0.5)),
+                      (ShockCooling4(), (1.0, 1.0, 10.0, 1.0, 0.5))]:
+        y_dev = m(t, f, *params, kappa=0.7)
+        T_K, R_bb = m.temperature_radius(t, *params, kappa=0.7)
+        y_exact = blackbody_to_filters(f, np.asarray(T_K), np.asarray(R_bb), m.z)
+        if isinstance(m, ShockCooling4):
+            y_sup = blackbody_to_filters(f, 0.74 * np.asarray(T_K),
+                                         0.74 ** -2.0 * np.asarray(R_bb), m.z)
+            y_exact = np.minimum(y_exact, y_sup)
+        assert np.allclose(y_dev, y_exact, rtol=1e-4), (y_dev, y_exact)
+
+
+def test_kappa_constructor_binds_fit_path():
+    """ShockCooling(kappa=...) binds opacity for the whole fit path: the
+    jitted per-point likelihood kernel (what the sampler vmaps) sees it, and
+    clone_for carries it."""
+    m07 = ShockCooling(kappa=0.7)
+    m10 = ShockCooling()
+    t = np.array([2.0, 4.0])
+    f = np.array(FILTS[:2])
+    y07 = m07(t, f, 1.0, 1.0, 10.0, 1.0, 0.5)
+    y10 = m10(t, f, 1.0, 1.0, 10.0, 1.0, 0.5)
+    assert not np.allclose(y07, y10)
+    assert np.allclose(y07, m10(t, f, 1.0, 1.0, 10.0, 1.0, 0.5, kappa=0.7))
+    # the sampler-facing likelihood kernel (kappa closed over as a constant)
+    ll07 = m07.make_log_likelihood_arrays(t, f, y07, 0.05 * y07)
+    ll10 = m10.make_log_likelihood_arrays(t, f, y07, 0.05 * y07)
+    import jax.numpy as jnp
+    p = jnp.asarray([1.0, 1.0, 10.0, 1.0, 0.5])
+    assert float(ll07(p)) > float(ll10(p))  # data generated at kappa=0.7
+    # clone_for must not drop the opacity
+    from lightcurve_fitting_tpu.utils.table import Table
+    lc = Table([[1.0]], names=["MJD"])
+    assert ShockCooling(kappa=0.7).clone_for(lc).kappa == 0.7
+    assert ShockCooling4(kappa=0.7).clone_for(lc).kappa == 0.7
+
+
 def test_kappa_keyword_host_paths():
     """kappa != 1 is supported through the host quadrature paths (reference
     signatures models.py:322,460,599)."""
