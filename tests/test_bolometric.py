@@ -180,6 +180,42 @@ def test_batch_mode_matches_sequential(tmp_path):
                                np.asarray(t_bat["temp"], float), rtol=1e-6)
 
 
+def test_spectrum_mcmc_jnp_spectrum_runs_device_sampler(tmp_path):
+    """A pure-jnp custom spectrum function must get the jitted device
+    sampler (EnsembleSampler), not the ~19 evals/s host fallback — and
+    without any fallback warning (the warning filter turns one into an
+    error)."""
+    import warnings
+    import jax.numpy as jnp
+    from lightcurve_fitting_tpu.models import UniformPrior
+    from lightcurve_fitting_tpu.parallel.sampler import EnsembleSampler
+
+    def jnp_powerlaw(nu, amp, alpha):
+        return amp * 1e15 * jnp.power(nu / 500.0, alpha)
+
+    filters = [filtdict[n] for n in ["B", "V", "r", "i", "g"]]
+    amp_true, alpha_true = 2.0, -1.0
+    lum = np.array([f.synthesize(
+        lambda nu, a, al: a * 1e15 * np.power(np.asarray(nu) / 500.0, al),
+        amp_true, alpha_true) for f in filters])
+    epoch = LC([np.full(5, 57000.0), filters, lum, 0.03 * lum],
+               names=["MJD", "filter", "lum", "dlum"])
+    priors = [UniformPrior(0.1, 10.0), UniformPrior(-3.0, 1.0)]
+    rng = np.random.default_rng(0)
+    guesses = np.column_stack([rng.uniform(1.0, 3.0, 10),
+                               rng.uniform(-2.0, 0.0, 10)])
+    with warnings.catch_warnings():
+        warnings.filterwarnings("error", message="device SED path unavailable")
+        sampler = bol.spectrum_mcmc(jnp_powerlaw, epoch, priors, guesses,
+                                    outpath=str(tmp_path), nwalkers=10,
+                                    burnin_steps=150, steps=100, seed=4,
+                                    make_corner=False)
+    assert isinstance(sampler, EnsembleSampler)
+    med = np.median(sampler.flatchain, axis=0)
+    assert med[0] == pytest.approx(amp_true, rel=0.2)
+    assert med[1] == pytest.approx(alpha_true, abs=0.3)
+
+
 def test_spectrum_mcmc_generic_python_spectrum(tmp_path):
     """Arbitrary (non-jax-traceable) spectrum callables fall back to the host
     sampler, preserving the reference's generality (bolometric.py:87-97)."""
