@@ -27,3 +27,18 @@ def test_api_reference_covers_driver_surface():
                  "calculate_bolometric", "calibrate_spectra", "EnsembleSampler",
                  "NUTSSampler", "fit_population", "checkpoint_every"]:
         assert name in text, name
+
+
+def test_golden_manifest_verify():
+    """Golden-drift guard (docs/goldens.md): recompute every derived data
+    artifact from the reference checkout and diff against the committed
+    files. Skips when the reference checkout is unavailable."""
+    import pytest
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "build_data", os.path.join(root, "tools", "build_data.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    if not os.path.isdir(mod.REF):
+        pytest.skip("reference checkout not available")
+    assert mod.verify() == 0, "committed goldens drifted from the reference recomputation"

@@ -168,8 +168,14 @@ def native_synth_planck(wl, T, freq, temp_kk, rad_krsun, z):
     return np.trapezoid(lnu * T_norm, freq)
 
 
-def main():
-    os.makedirs(OUT, exist_ok=True)
+def build_artifacts(quiet=False):
+    """Recompute every derived data artifact from the reference checkout.
+
+    Returns ``(curves, golden, sifto_names, sifto_table, csv_text)`` — the
+    exact contents of the four committed files under
+    ``lightcurve_fitting_tpu/data/``. Used both to (re)generate them and, via
+    ``--verify``, to detect silent drift between the committed goldens and
+    what the pinned reference behaviors produce (see docs/goldens.md)."""
     curves = {}
     golden = {}
     for name, fname, angstrom in CURVES:
@@ -189,17 +195,11 @@ def main():
         # store the native grid (sorted, duplicates nudged): host integration and
         # the FilterBank's default padded-native quadrature then reproduce the
         # reference's trapezoids exactly
-        grid = wl_s
-        T_resamp = T_s
-        n = len(grid)
-        curves[name + "__wl"] = grid.astype(np.float64)
-        curves[name + "__T"] = T_resamp.astype(np.float64)
-        print(f"{name:12s} n_native={len(wl_s):5d} n_resamp={n:5d} "
-              f"wl_eff={meta['wl_eff']:.2f}nm freq_eff={meta['freq_eff']:.2f}THz")
-
-    np.savez_compressed(os.path.join(OUT, "filter_curves.npz"), **curves)
-    with open(os.path.join(OUT, "golden_filters.json"), "w") as f:
-        json.dump(golden, f, indent=1)
+        curves[name + "__wl"] = wl_s.astype(np.float64)
+        curves[name + "__T"] = T_s.astype(np.float64)
+        if not quiet:
+            print(f"{name:12s} n_native={len(wl_s):5d} "
+                  f"wl_eff={meta['wl_eff']:.2f}nm freq_eff={meta['freq_eff']:.2f}THz")
 
     # SiFTO template (models/sifto.dat: Epoch + UBVgri)
     sifto_path = os.path.join(REF, "models", "sifto.dat")
@@ -207,9 +207,6 @@ def main():
     with open(sifto_path) as f:
         headerline = f.readline().strip("# \n")
     names = headerline.split()
-    np.savez_compressed(os.path.join(OUT, "sifto.npz"),
-                        names=np.array(names), table=data)
-    print(f"sifto: {data.shape} cols={names}")
 
     # example photometry -> CSV (fixed-width two-line source: column spans come
     # from the dashes row; values like "Las Cumbres" contain spaces)
@@ -227,12 +224,75 @@ def main():
             start = None
     header = [lines[0][a:b].strip() for a, b in spans]
     rows = [[ln[a:b].strip() for a, b in spans] for ln in lines[2:]]
+    csv_text = ",".join(header) + "\n" + "".join(",".join(r) + "\n" for r in rows)
+    return curves, golden, names, data, csv_text
+
+
+def main():
+    os.makedirs(OUT, exist_ok=True)
+    curves, golden, sifto_names, sifto_table, csv_text = build_artifacts()
+    np.savez_compressed(os.path.join(OUT, "filter_curves.npz"), **curves)
+    with open(os.path.join(OUT, "golden_filters.json"), "w") as f:
+        json.dump(golden, f, indent=1)
+    np.savez_compressed(os.path.join(OUT, "sifto.npz"),
+                        names=np.array(sifto_names), table=sifto_table)
+    print(f"sifto: {sifto_table.shape} cols={sifto_names}")
     with open(os.path.join(OUT, "SN2016bkv.csv"), "w") as f:
-        f.write(",".join(header) + "\n")
-        for r in rows:
-            f.write(",".join(r) + "\n")
-    print(f"example: {len(rows)} rows, cols={header}")
+        f.write(csv_text)
+    print(f"example: {csv_text.count(chr(10)) - 1} rows")
+
+
+def verify():
+    """Check the committed artifacts against a fresh recomputation from the
+    reference checkout (golden-drift guard; see docs/goldens.md). Returns a
+    nonzero exit code and prints every mismatch if anything drifted."""
+    curves, golden, sifto_names, sifto_table, csv_text = build_artifacts(quiet=True)
+    problems = []
+
+    with np.load(os.path.join(OUT, "filter_curves.npz")) as fz:
+        keys = set(fz.files)
+        if keys != set(curves):
+            problems.append(f"filter_curves.npz keys differ: "
+                            f"missing={sorted(set(curves) - keys)} "
+                            f"extra={sorted(keys - set(curves))}")
+        for k in sorted(keys & set(curves)):
+            if not np.array_equal(fz[k], curves[k]):
+                problems.append(f"filter_curves.npz[{k}] drifted")
+
+    with open(os.path.join(OUT, "golden_filters.json")) as f:
+        committed = json.load(f)
+    # round-trip the recomputation through json so float repr matches exactly
+    recomputed = json.loads(json.dumps(golden))
+    if committed != recomputed:
+        for name in sorted(set(committed) | set(recomputed)):
+            if committed.get(name) != recomputed.get(name):
+                problems.append(f"golden_filters.json[{name!r}] drifted: "
+                                f"{committed.get(name)} != {recomputed.get(name)}")
+
+    with np.load(os.path.join(OUT, "sifto.npz")) as fz:
+        if list(fz["names"]) != list(np.array(sifto_names)) \
+                or not np.array_equal(fz["table"], sifto_table):
+            problems.append("sifto.npz drifted")
+
+    with open(os.path.join(OUT, "SN2016bkv.csv")) as f:
+        if f.read() != csv_text:
+            problems.append("SN2016bkv.csv drifted")
+
+    n_files = 4
+    n_curves = sum(1 for k in curves if k.endswith("__wl"))
+    n_golden = sum(1 + len(v["synth_planck"]) for v in golden.values())
+    if problems:
+        for p in problems:
+            print("DRIFT:", p)
+        print(f"verify FAILED: {len(problems)} mismatches across {n_files} artifacts")
+        return 1
+    print(f"verify OK: {n_files} artifacts match the reference recomputation "
+          f"({n_curves} filter curves, {n_golden} golden scalar groups, "
+          f"SiFTO {sifto_table.shape}, example CSV)")
+    return 0
 
 
 if __name__ == "__main__":
+    if "--verify" in sys.argv[1:]:
+        sys.exit(verify())
     sys.exit(main())
