@@ -332,6 +332,45 @@ def main():
         return (sampler.total_walkers * nsteps / elapsed, elapsed,
                 float(np.asarray(out[4]).mean()))
 
+    def _roofline(evals_per_sec):
+        """Auditable efficiency arithmetic for the headline number (VERDICT
+        r3 #3): FLOP/eval from the live flagship quadrature (adaptive
+        Chebyshev degree read off the actual table, not assumed), achieved
+        TFLOP/s, and % of an assumed v5e f32 VPU peak. The likelihood is
+        VPU-bound elementwise work — no matmuls — so the MXU peak is not the
+        relevant roofline (docs/design.md 'Adaptive per-band Chebyshev
+        tables')."""
+        from lightcurve_fitting_tpu.models import ShockCooling2
+        early = _flagship_early_lc()
+        model = ShockCooling2(early)
+        f = np.asarray(early["filter"])
+        quad = model.prepare_quad(f)
+        n_points = len(f)
+        deg = int(quad["bb_coeffs"].shape[-1]) - 1
+        # per point per eval: Clenshaw deg*3 (mul+sub+add per term; trailing
+        # zero-pad terms still execute) + ~38 for the SC2 T/L power laws,
+        # the table's log/affine/exp wrapper, and the residual
+        flops_clenshaw = n_points * 3 * deg
+        flops_other_est = n_points * 38
+        flops_total = flops_clenshaw + flops_other_est
+        # v5e TensorCore VPU: (8,128) lanes x 4 ALUs x 2 (FMA) at ~1.5 GHz
+        # ~= 12 TFLOP/s f32 if every op dual-issued as FMA; the Clenshaw
+        # term is 1 FMA + 1 add, so sustainable peak for this mix is lower
+        vpu_peak_assumed = 12.0e12
+        achieved = evals_per_sec * flops_total
+        return {
+            "n_points": n_points,
+            "chebyshev_degree": deg,
+            "flops_per_eval_clenshaw": flops_clenshaw,
+            "flops_per_eval_other_est": flops_other_est,
+            "flops_per_eval_total_est": flops_total,
+            "achieved_tflops_est": achieved / 1e12,
+            "v5e_vpu_f32_peak_assumed_tflops": vpu_peak_assumed / 1e12,
+            "pct_of_vpu_fma_peak_est": 100.0 * achieved / vpu_peak_assumed,
+            "formula": "evals/s x n_points x (3*deg + 38) flops; "
+                       "deg read from the live adaptive band table",
+        }
+
     # headline: population-scale ensemble (128 transients' worth of walkers in
     # one chain kernel, the throughput asymptote); secondary: 32768 walkers and
     # the reference-default-scale fit, the latter both as a lone ensemble and
@@ -360,6 +399,7 @@ def main():
             "nsteps": 300,
             "elapsed_s": elapsed,
             "acceptance_check": accept,
+            "roofline": _roofline(float(value)),
             "evals_per_sec_at_32768_walkers": float(value_32k),
             "evals_per_sec_at_1024_walkers": float(value_1k),
             "evals_at_1024_walkers_replicas": 32,
