@@ -30,3 +30,38 @@ def get_compute_dtype():
         import jax.numpy as jnp
         compute_dtype = None if jax.default_backend() == "cpu" else jnp.float32
     return compute_dtype
+
+
+def enable_compilation_cache(path=None, min_compile_time_secs=1.0):
+    """Persist compiled XLA executables across processes.
+
+    First TPU compiles of the fit kernels take minutes through a remote-
+    compile backend; enabling JAX's persistent compilation cache makes every
+    later process (CLI invocations, notebook restarts, batch jobs) reuse the
+    serialized executable instead of recompiling. In-process caches already
+    dedupe repeat calls (e.g. the tempered-ladder kernel cache); this extends
+    that across process boundaries.
+
+    Parameters
+    ----------
+    path : str, optional
+        Cache directory. Defaults to ``$LCF_COMPILATION_CACHE`` or
+        ``~/.cache/lightcurve_fitting_tpu/xla``. Created if missing.
+    min_compile_time_secs : float, optional
+        Only compilations slower than this are persisted (skips trivia).
+
+    Returns the cache directory in use.
+    """
+    import os
+    import jax
+
+    if path is None:
+        path = os.environ.get(
+            "LCF_COMPILATION_CACHE",
+            os.path.join(os.path.expanduser("~"), ".cache",
+                         "lightcurve_fitting_tpu", "xla"))
+    os.makedirs(path, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", path)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs",
+                      float(min_compile_time_secs))
+    return path

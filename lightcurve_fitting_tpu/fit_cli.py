@@ -292,7 +292,18 @@ def main(argv=None):
         prog="lcfit", description="Fit a light-curve model from a JSON config "
         "(see lightcurve_fitting_tpu.fit_cli docstring for the schema).")
     parser.add_argument("config", help="path to the JSON fit configuration")
+    parser.add_argument("--compile-cache", nargs="?", const="", default=None,
+                        metavar="DIR",
+                        help="persist compiled XLA executables across lcfit "
+                             "invocations (first TPU compiles take minutes; "
+                             "cached reruns skip them). Optional DIR overrides "
+                             "$LCF_COMPILATION_CACHE / ~/.cache/"
+                             "lightcurve_fitting_tpu/xla")
     args = parser.parse_args(argv)
+
+    if args.compile_cache is not None:
+        from .core.config import enable_compilation_cache
+        enable_compilation_cache(args.compile_cache or None)
 
     with open(args.config) as f:
         cfg = json.load(f)

@@ -269,3 +269,45 @@ def test_cli_compare_loo(tmp_path, synth_csv):
     assert [r["model"] for r in ranking] == ["free", "pinned"]
     assert ranking[0]["d_elpd"] == 0.0
     assert ranking[1]["d_elpd"] < 0.0
+
+
+def test_cli_compile_cache(tmp_path, synth_csv):
+    """--compile-cache persists compiled executables across lcfit runs
+    (core.config.enable_compilation_cache); the cache dir must be populated
+    after a fit."""
+    import jax
+    cache_dir = str(tmp_path / "xla-cache")
+    cfg = {"data": synth_csv, "model": "ShockCooling2",
+           "priors": [["Uniform", 1, 50], ["Uniform", 0.1, 20],
+                      ["Uniform", 5, 100], ["Uniform", -0.5, 0.5]],
+           "p_lo": [5, 0.5, 20, -0.4], "p_up": [25, 5, 60, 0.4],
+           "driver": "mcmc",
+           "driver_kwargs": {"nwalkers": 16, "nsteps": 20,
+                             "nsteps_burnin": 20, "seed": 1, "quiet": True,
+                             "shard": False},
+           "outputs": {"summary": "summary.json"}}
+    cfg_path = str(tmp_path / "fit.json")
+    with open(cfg_path, "w") as f:
+        json.dump(cfg, f)
+    old_dir = jax.config.jax_compilation_cache_dir
+    old_min = jax.config.jax_persistent_cache_min_compile_time_secs
+    try:
+        # the flag must wire the cache directory into jax and run the fit
+        assert main([cfg_path, "--compile-cache", cache_dir]) == 0
+        assert jax.config.jax_compilation_cache_dir == cache_dir
+        # executables persist once the threshold admits them (deterministic
+        # check with threshold 0 on a kernel not yet compiled this process)
+        from lightcurve_fitting_tpu.core.config import enable_compilation_cache
+        assert enable_compilation_cache(cache_dir, min_compile_time_secs=0.0) \
+            == cache_dir
+        import jax.numpy as jnp
+
+        @jax.jit
+        def probe(x):
+            return jnp.sin(x * 3.14159) @ x
+
+        probe(jnp.ones((16, 16))).block_until_ready()
+        assert len(os.listdir(cache_dir)) > 0, "no executables persisted"
+    finally:
+        jax.config.update("jax_compilation_cache_dir", old_dir)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", old_min)
