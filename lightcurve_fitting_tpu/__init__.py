@@ -25,6 +25,14 @@ if not _os.environ.get("LCF_NO_X64"):
     import jax as _jax
     _jax.config.update("jax_enable_x64", True)
 
+if _os.environ.get("LCF_COMPILATION_CACHE"):
+    # persist compiled XLA executables across processes (first TPU compiles
+    # take minutes); env-var form so batch jobs / notebook kernels /
+    # subprocesses opt in without code changes — see
+    # core.config.enable_compilation_cache for the explicit API
+    from .core.config import enable_compilation_cache as _ecc
+    _ecc()
+
 from . import filters  # noqa: F401
 from . import models  # noqa: F401
 from .lightcurve import LC  # noqa: F401

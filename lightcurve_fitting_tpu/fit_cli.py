@@ -215,11 +215,12 @@ def _run_compare(cfg, config_dir):
         summary = {"driver": "compare", "method": "loo",
                    "models": list(cfg["models"]),
                    "ranking": [dict(model=str(m), elpd_loo=float(e),
-                                    d_elpd=float(d), se_d_elpd=float(se))
-                               for m, e, d, se in zip(table["model"],
-                                                      table["elpd_loo"],
-                                                      table["d_elpd"],
-                                                      table["se_d_elpd"])]}
+                                    d_elpd=float(d), se_d_elpd=float(se),
+                                    stacking_weight=float(w))
+                               for m, e, d, se, w in zip(
+                                   table["model"], table["elpd_loo"],
+                                   table["d_elpd"], table["se_d_elpd"],
+                                   table["stacking_weight"])]}
     else:
         summary = {"driver": "compare", "method": "evidence",
                    "models": list(cfg["models"]),

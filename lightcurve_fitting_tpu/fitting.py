@@ -1125,8 +1125,14 @@ def compare_information_criteria(ics, labels=None, quiet=False):
     difference, Vehtari+17 eq. 24 — per-point difficulty is shared, so this
     is much tighter than differencing marginal SEs). The usual reading: a
     model is distinguishable when |d_elpd| exceeds a few times se_d_elpd.
+
+    The ``stacking_weight`` column carries the Bayesian-stacking simplex
+    weights (Yao+18; :func:`~lightcurve_fitting_tpu.parallel.ic.
+    stacking_weights`) — the optimal mixture of the candidates' LOO
+    predictive distributions. Complementary misspecified models can both
+    carry weight even when their d_elpd ranking is decisive.
     """
-    from .parallel.ic import compare_elpd
+    from .parallel.ic import compare_elpd, stacking_weights
     from .utils.table import Table
 
     ics = list(ics)
@@ -1135,19 +1141,25 @@ def compare_information_criteria(ics, labels=None, quiet=False):
     if len(labels) != len(ics) or len(set(labels)) != len(labels):
         raise ValueError("labels must be one per model and unique")
     ranked = compare_elpd([ic["pointwise"] for ic in ics], list(labels))
+    w = stacking_weights([ic["pointwise"] for ic in ics])
+    weight = dict(zip(labels, w))
     tab = Table([[r["label"] for r in ranked],
                  [r["elpd"] for r in ranked],
                  [r["d_elpd"] for r in ranked],
-                 [r["se_d_elpd"] for r in ranked]],
-                names=["model", "elpd_loo", "d_elpd", "se_d_elpd"])
+                 [r["se_d_elpd"] for r in ranked],
+                 [weight[r["label"]] for r in ranked]],
+                names=["model", "elpd_loo", "d_elpd", "se_d_elpd",
+                       "stacking_weight"])
     if not quiet:
         print("model ranking by PSIS-LOO elpd (best first):")
         for r in ranked:
             if r["d_elpd"] == 0.0:
-                print(f"  {r['label']}: elpd_loo = {r['elpd']:.1f} (best)")
+                print(f"  {r['label']}: elpd_loo = {r['elpd']:.1f} (best), "
+                      f"stacking weight {weight[r['label']]:.3f}")
             else:
                 print(f"  {r['label']}: elpd_loo = {r['elpd']:.1f} "
-                      f"(d_elpd = {r['d_elpd']:.1f} +/- {r['se_d_elpd']:.1f})")
+                      f"(d_elpd = {r['d_elpd']:.1f} +/- {r['se_d_elpd']:.1f}), "
+                      f"stacking weight {weight[r['label']]:.3f}")
     return tab
 
 

@@ -19,7 +19,7 @@ points, natural-log densities.
 
 import numpy as np
 
-__all__ = ["waic", "psis_loo", "compare_elpd"]
+__all__ = ["waic", "psis_loo", "compare_elpd", "stacking_weights"]
 
 
 def _logsumexp(a, axis=None):
@@ -162,6 +162,47 @@ def psis_loo(ll):
     return {"elpd_loo": elpd, "p_loo": float(np.sum(lppd_i - elpd_i)),
             "looic": -2.0 * elpd, "se_elpd_loo": se,
             "pareto_k": khat, "pointwise": elpd_i}
+
+
+def stacking_weights(pointwise_list, tol=1e-12, max_iter=100000):
+    """Bayesian stacking of predictive distributions (Yao, Vehtari, Gabry &
+    Gelman 2018, Bayesian Analysis 13, 917-1007).
+
+    Finds the simplex weights ``w`` maximizing the stacked LOO score
+    ``sum_i log sum_k w_k exp(elpd_ik)``, where ``elpd_ik`` is model k's
+    pointwise LOO predictive density at point i (from :func:`psis_loo`).
+    Unlike elpd ranking — which picks ONE model — stacking rewards
+    *complementary* models: two misspecified models that each predict a
+    different subset of the data well can both carry weight, and the
+    stacked mixture then predicts better than either alone.
+
+    The objective is concave on the simplex (log of an affine function),
+    so the mixture-proportion EM fixed point ``w_k <- mean_i r_ki`` with
+    responsibilities ``r_ki = w_k p_ki / sum_j w_j p_ji`` converges
+    monotonically to the global optimum. Per-point densities are
+    normalized by their column max first — the argmax is invariant and
+    exp() then cannot underflow to an all-zero column.
+
+    Returns ``w`` (shape (K,), sums to 1), aligned with the input order.
+    """
+    pw = [np.asarray(p, float) for p in pointwise_list]
+    n = {len(p) for p in pw}
+    if len(n) != 1:
+        raise ValueError("models were scored on different numbers of points "
+                         f"({sorted(n)}); stacking requires the same data")
+    L = np.stack(pw)                              # (K, N)
+    P = np.exp(L - L.max(axis=0, keepdims=True))  # column max -> 1
+    K, N = P.shape
+    w = np.full(K, 1.0 / K)
+    prev = -np.inf
+    for _ in range(max_iter):
+        mix = w @ P                               # (N,)
+        obj = float(np.sum(np.log(mix)))
+        w = np.mean((w[:, None] * P) / mix[None, :], axis=1)
+        if obj - prev <= tol * max(1.0, abs(obj)):
+            break
+        prev = obj
+    return w / w.sum()
 
 
 def compare_elpd(pointwise_list, labels):

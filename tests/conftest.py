@@ -8,6 +8,17 @@ flags = os.environ.get("XLA_FLAGS", "")
 if "host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (flags + " --xla_force_host_platform_device_count=8").strip()
 
+# Persistent XLA compilation cache (core.config.enable_compilation_cache):
+# the kill-and-resume / two-process / CLI tests spawn subprocesses that
+# would recompile kernels the parent already built, and repeat suite runs
+# recompile everything. LCF_COMPILATION_CACHE is honored by the package at
+# import, so spawned subprocesses inherit it through the environment.
+# LCF_NO_TEST_CACHE=1 opts out (e.g. to time cold compiles).
+if not os.environ.get("LCF_NO_TEST_CACHE"):
+    _cache_dir = os.path.join(os.path.dirname(__file__), ".xla_cache")
+    os.makedirs(_cache_dir, exist_ok=True)
+    os.environ.setdefault("LCF_COMPILATION_CACHE", _cache_dir)
+
 import jax  # noqa: E402
 
 jax.config.update("jax_platforms", "cpu")  # the axon env pins JAX_PLATFORMS=tpu-tunnel

@@ -192,7 +192,8 @@ def test_compare_models_loo_one_call():
         p_up=[[14.0, 2.5, 25.0, 0.3], [14.0, 2.5, 2.8, 0.3]],
         labels=["free", "pinned"], nwalkers=32, nsteps=300,
         nsteps_burnin=300, seed=6, quiet=True)
-    assert list(tab.colnames) == ["model", "elpd_loo", "d_elpd", "se_d_elpd"]
+    assert list(tab.colnames) == ["model", "elpd_loo", "d_elpd", "se_d_elpd",
+                                  "stacking_weight"]
     assert tab["model"][0] == "free"
     assert tab["d_elpd"][1] < -3.0 * max(tab["se_d_elpd"][1], 1.0)
     assert set(tab.meta["ics"]) == {"free", "pinned"}
@@ -200,3 +201,47 @@ def test_compare_models_loo_one_call():
 
     with pytest.raises(ValueError):
         compare_models_loo(lc, [ShockCooling2(lc)], [good], quiet=True)
+
+
+def test_stacking_weights():
+    """Yao+18 stacking: identical models split weight evenly, a dominated
+    model gets ~0, and two COMPLEMENTARY misspecified models both carry
+    weight with the stacked score beating either alone."""
+    from lightcurve_fitting_tpu.parallel.ic import stacking_weights
+
+    # identical predictive distributions -> symmetric weights
+    pw = np.full(20, -1.3)
+    w = stacking_weights([pw, pw.copy()])
+    assert w == pytest.approx([0.5, 0.5], abs=1e-6)
+
+    # uniformly dominated model -> essentially zero weight
+    w = stacking_weights([np.full(20, -1.0), np.full(20, -6.0)])
+    assert w[0] > 0.999 and w.sum() == pytest.approx(1.0)
+
+    # complementary: A predicts the first half well, B the second half
+    a = np.array([-1.0] * 10 + [-8.0] * 10)
+    b = np.array([-8.0] * 10 + [-1.0] * 10)
+    w = stacking_weights([a, b])
+    assert w == pytest.approx([0.5, 0.5], abs=1e-3)
+
+    def score(weights):
+        P = np.exp(np.stack([a, b]))
+        return np.sum(np.log(weights @ P))
+
+    assert score(w) > score(np.array([1.0, 0.0])) + 10.0  # mixture >> best single
+
+    with pytest.raises(ValueError):
+        stacking_weights([a, b[:5]])
+
+
+def test_compare_information_criteria_stacking_column():
+    """The ranking table carries the stacking weights aligned by label."""
+    from lightcurve_fitting_tpu.fitting import compare_information_criteria
+
+    rng = np.random.default_rng(0)
+    base = rng.normal(-2.0, 0.5, size=50)
+    ics = [{"pointwise": base}, {"pointwise": base - 3.0}]
+    tab = compare_information_criteria(ics, labels=["good", "bad"], quiet=True)
+    assert list(tab["model"]) == ["good", "bad"]
+    w = np.asarray(tab["stacking_weight"], float)
+    assert w[0] > 0.99 and w.sum() == pytest.approx(1.0, abs=1e-6)
