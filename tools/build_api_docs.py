@@ -70,7 +70,8 @@ SECTIONS = [
     ("Optimization", "lightcurve_fitting_tpu.parallel.optimize",
      ["multistart_maximize", "laplace_covariance"]),
     ("Information criteria (WAIC / PSIS-LOO)", "lightcurve_fitting_tpu.parallel.ic",
-     ["waic", "psis_loo", "gpd_fit", "psis_smooth", "compare_elpd"]),
+     ["waic", "psis_loo", "gpd_fit", "psis_smooth", "compare_elpd",
+      "stacking_weights"]),
     ("Simulation-based calibration", "lightcurve_fitting_tpu.parallel.sbc",
      ["simulation_based_calibration", "rank_statistic", "plot_sbc"]),
     ("Diagnostics", "lightcurve_fitting_tpu.parallel.diagnostics", None),
