@@ -573,16 +573,16 @@ def lightcurve_hmc(lc, model, priors, p_lo=None, p_up=None, nchains=16, nsamples
         np.save(save_sampler_as, result.flatchain)
         print("saving sampler.flatchain as " + save_sampler_as)
     if not quiet:
-        from .parallel.diagnostics import split_rhat
+        from .parallel.diagnostics import rank_normalized_split_rhat
         extra = ""
         if sampler == "nuts":
             extra = (f", mean tree depth {engine.mean_tree_depth:.1f}, "
                      f"divergence rate {engine.divergence_rate:.3f}")
         print(f"{sampler.upper()}: step size {engine.step_size:.3g}, mean acceptance "
               f"{float(engine.acceptance_fraction.mean()):.3f}{extra}")
-        rhat = split_rhat(x_chain)
+        rhat = rank_normalized_split_rhat(x_chain)
         for name, r in zip(model.input_names, np.atleast_1d(rhat)):
-            print(f"  {name}: R-hat = {r:.3f}  (independent chains)")
+            print(f"  {name}: rank-normalized R-hat = {r:.3f}  (independent chains)")
         try:
             goodness_of_fit(lc, model, result.flatchain,
                             use_sigma=use_sigma, sigma_type=sigma_type)

@@ -11,4 +11,5 @@ from .hmc import HMCSampler, BoundsTransform, WhitenedPosterior  # noqa: F401
 from .nuts import NUTSSampler  # noqa: F401
 from . import distributed  # noqa: F401
 from .host_sampler import HostEnsembleSampler  # noqa: F401
-from .diagnostics import split_rhat, effective_sample_size, summarize_chain  # noqa: F401
+from .diagnostics import (split_rhat, rank_normalized_split_rhat,  # noqa: F401
+                          effective_sample_size, summarize_chain)

@@ -1,14 +1,16 @@
-"""Convergence diagnostics: split-R-hat and effective sample size.
+"""Convergence diagnostics: split-R-hat (plain and rank-normalized) and
+effective sample size.
 
 The reference never inspects its chains (SURVEY.md §5); these are the standard
-checks (Gelman et al. 2013, BDA3 §11.4; Vehtari et al. 2021 rank-normalization
-omitted for simplicity) computed from the (nsteps, nwalkers, ndim) chain layout
-our samplers produce.
+checks (Gelman et al. 2013, BDA3 §11.4; Vehtari et al. 2021 for the
+rank-normalized bulk/tail variant) computed from the (nsteps, nwalkers, ndim)
+chain layout our samplers produce.
 """
 
 import numpy as np
 
-__all__ = ["split_rhat", "effective_sample_size", "summarize_chain"]
+__all__ = ["split_rhat", "rank_normalized_split_rhat", "effective_sample_size",
+           "summarize_chain"]
 
 
 def split_rhat(chain):
@@ -32,6 +34,40 @@ def split_rhat(chain):
     var_hat = (nn - 1) / nn * W + B / nn
     with np.errstate(divide="ignore", invalid="ignore"):
         return np.sqrt(var_hat / W)
+
+
+def _rank_normalize(chain):
+    """Pooled average ranks mapped through the normal quantile function
+    (Vehtari+21 eq. 14, the Blom offset (r - 3/8)/(S + 1/4))."""
+    from scipy.special import ndtri
+    from scipy.stats import rankdata
+
+    n, m, d = chain.shape
+    flat = chain.reshape(n * m, d)
+    z = np.empty_like(flat)
+    for k in range(d):
+        r = rankdata(flat[:, k], method="average")
+        z[:, k] = ndtri((r - 0.375) / (n * m + 0.25))
+    return z.reshape(n, m, d)
+
+
+def rank_normalized_split_rhat(chain):
+    """Rank-normalized split-R-hat, max of the bulk and tail variants
+    (Vehtari, Gelman, Simpson, Carpenter & Buerkner 2021, Bayesian Analysis
+    16, 667: their recommended replacement for plain R-hat — robust to
+    heavy tails and to chains agreeing in mean but not in spread).
+
+    ``chain``: (nsteps, nchains, ndim). Bulk: split-R-hat of the
+    rank-normalized draws. Tail: the same on the draws folded about the
+    pooled median (|x - median|), which exposes scale disagreement.
+    Ranking pools all draws, so it commutes with the half-splitting done
+    inside :func:`split_rhat`. The ensemble-coupling caveat on
+    :func:`split_rhat` applies here identically."""
+    chain = np.asarray(chain, float)
+    bulk = split_rhat(_rank_normalize(chain))
+    med = np.median(chain.reshape(-1, chain.shape[-1]), axis=0)
+    tail = split_rhat(_rank_normalize(np.abs(chain - med)))
+    return np.maximum(bulk, tail)
 
 
 def effective_sample_size(chain, max_lag=None):

@@ -355,3 +355,31 @@ def test_param_rescaled_checkpoint_roundtrip(tmp_path):
     plain = EnsembleSampler(16, 2, logp, seed=5)
     with pytest.raises(ValueError, match="rescaling"):
         plain.load_checkpoint(path)
+
+
+def test_rank_normalized_split_rhat():
+    """Vehtari+21 rank-normalized bulk/tail R-hat: ~1 on well-mixed chains
+    (even heavy-tailed ones, where plain R-hat is unstable), large on a
+    mean-shifted chain, and — the case plain R-hat misses — large when
+    chains share a mean but disagree in spread."""
+    from lightcurve_fitting_tpu.parallel.diagnostics import (
+        split_rhat, rank_normalized_split_rhat)
+
+    rng = np.random.default_rng(0)
+    good = rng.normal(size=(1000, 8, 2))
+    assert np.all(rank_normalized_split_rhat(good) < 1.01)
+
+    # heavy tails: well-mixed Cauchy draws must not read as unconverged
+    cauchy = rng.standard_cauchy(size=(1000, 8, 1))
+    assert rank_normalized_split_rhat(cauchy)[0] < 1.01
+
+    shifted = good.copy()
+    shifted[:, :4, 0] += 4.0
+    assert rank_normalized_split_rhat(shifted)[0] > 1.5
+
+    # same mean, different variances: plain R-hat is blind (W dominated by
+    # the wide chains covers B), the folded/tail variant fires
+    scales = np.concatenate([rng.normal(0, 1, (1000, 4, 1)),
+                             rng.normal(0, 20, (1000, 4, 1))], axis=1)
+    assert split_rhat(scales)[0] < 1.05
+    assert rank_normalized_split_rhat(scales)[0] > 1.1
