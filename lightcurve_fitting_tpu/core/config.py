@@ -61,7 +61,18 @@ def enable_compilation_cache(path=None, min_compile_time_secs=1.0):
             os.path.join(os.path.expanduser("~"), ".cache",
                          "lightcurve_fitting_tpu", "xla"))
     os.makedirs(path, exist_ok=True)
+    redirect = (jax.config.jax_compilation_cache_dir is not None
+                and jax.config.jax_compilation_cache_dir != path)
     jax.config.update("jax_compilation_cache_dir", path)
     jax.config.update("jax_persistent_cache_min_compile_time_secs",
                       float(min_compile_time_secs))
+    if redirect:
+        # jax lazily builds one cache object bound to the directory it saw
+        # first; a later directory change needs an explicit reset or writes
+        # keep landing in the old location
+        try:
+            from jax.experimental.compilation_cache import compilation_cache
+            compilation_cache.reset_cache()
+        except Exception:
+            pass
     return path

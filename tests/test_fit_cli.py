@@ -311,3 +311,8 @@ def test_cli_compile_cache(tmp_path, synth_csv):
     finally:
         jax.config.update("jax_compilation_cache_dir", old_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", old_min)
+        try:  # rebind the lazy cache object to the restored directory
+            from jax.experimental.compilation_cache import compilation_cache
+            compilation_cache.reset_cache()
+        except Exception:
+            pass
