@@ -1054,7 +1054,7 @@ def goodness_of_fit(lc, model, flatchain, use_sigma=False,
 
 def information_criteria(lc, model, flatchain, use_sigma=False,
                          sigma_type="relative", n_draws=1024, seed=0,
-                         quiet=False):
+                         group_by=None, quiet=False):
     """WAIC and PSIS-LOO predictive scores of a completed fit.
 
     Beyond-reference capability (the reference has no model-selection
@@ -1076,8 +1076,13 @@ def information_criteria(lc, model, flatchain, use_sigma=False,
     ``pointwise_waic``, and ``n_points``. Per-point reliability: any
     ``pareto_k`` > 0.7 means that point's LOO term is untrustworthy (the
     printed summary counts them).
+
+    ``group_by`` (a light-curve column name like ``"filter"``, or an
+    explicit length-N label array) adds leave-one-GROUP-out scores under
+    ``out["logo"]`` (:func:`parallel.ic.psis_logo`): can the model predict
+    a whole held-out band/epoch, not just one point given its bandmates.
     """
-    from .parallel.ic import waic as _waic, psis_loo as _psis_loo
+    from .parallel.ic import waic as _waic, psis_loo as _psis_loo, psis_logo
 
     flatchain = np.asarray(flatchain, float)
 
@@ -1104,6 +1109,10 @@ def information_criteria(lc, model, flatchain, use_sigma=False,
            "p_waic": wa["p_waic"], "waic": wa["waic"],
            "pointwise": loo["pointwise"], "pointwise_waic": wa["pointwise"],
            "n_points": ll.shape[1], "n_invalid_draws": n_bad}
+    if group_by is not None:
+        labels = (np.asarray(lc[group_by]) if isinstance(group_by, str)
+                  else np.asarray(group_by))
+        out["logo"] = psis_logo(ll, labels)
     if not quiet:
         n_hi = int(np.sum(loo["pareto_k"] > 0.7))
         k_note = (f"; {n_hi}/{ll.shape[1]} points have pareto_k > 0.7 "
@@ -1112,6 +1121,14 @@ def information_criteria(lc, model, flatchain, use_sigma=False,
               f"(p_loo = {loo['p_loo']:.1f}); "
               f"elpd_waic = {wa['elpd_waic']:.1f} +/- {wa['se_elpd_waic']:.1f}"
               f"{k_note}")
+        if group_by is not None:
+            lg = out["logo"]
+            n_hi_g = int(np.sum(lg["pareto_k"] > 0.7))
+            g_note = (f"; {n_hi_g}/{len(lg['groups'])} groups have "
+                      "pareto_k > 0.7" if n_hi_g else "")
+            print(f"leave-one-group-out ({len(lg['groups'])} groups): "
+                  f"elpd_logo = {lg['elpd_logo']:.1f} "
+                  f"+/- {lg['se_elpd_logo']:.1f}{g_note}")
     return out
 
 

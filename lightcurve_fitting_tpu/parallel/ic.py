@@ -19,7 +19,7 @@ points, natural-log densities.
 
 import numpy as np
 
-__all__ = ["waic", "psis_loo", "compare_elpd", "stacking_weights"]
+__all__ = ["waic", "psis_loo", "psis_logo", "compare_elpd", "stacking_weights"]
 
 
 def _logsumexp(a, axis=None):
@@ -162,6 +162,44 @@ def psis_loo(ll):
     return {"elpd_loo": elpd, "p_loo": float(np.sum(lppd_i - elpd_i)),
             "looic": -2.0 * elpd, "se_elpd_loo": se,
             "pareto_k": khat, "pointwise": elpd_i}
+
+
+def psis_logo(ll, groups):
+    """Leave-one-GROUP-out elpd via PSIS (the VGG17 machinery with joint
+    importance ratios: dropping group g multiplies the ratios over its
+    points, ``lw_s = -sum_{i in g} ll_si``).
+
+    The astronomy-relevant cross-validation axis: pointwise LOO asks "can
+    the model predict this one photometry point given the rest" — easy,
+    because its bandmates at neighbouring epochs remain. Grouping by
+    ``filter`` (or by epoch) asks "can the model predict a whole held-out
+    band/epoch", which is what transferring a fit to an unobserved band
+    actually requires. Larger groups give heavier importance tails — the
+    per-group ``pareto_k`` reports when the estimate degrades (> 0.7).
+
+    ``ll``: (S, N). ``groups``: length-N labels. Returns a dict with
+    ``elpd_logo``, ``se_elpd_logo``, ``pointwise`` (per-group elpd, ordered
+    by first appearance), ``pareto_k`` (per group), and ``groups`` (the
+    label order). Singleton groups reproduce :func:`psis_loo` exactly.
+    """
+    ll = np.asarray(ll, float)
+    groups = np.asarray(groups)
+    if groups.shape != (ll.shape[1],):
+        raise ValueError(f"groups must label each of the {ll.shape[1]} points "
+                         f"(got shape {groups.shape})")
+    _, first = np.unique(groups, return_index=True)
+    labels = groups[np.sort(first)]                 # first-appearance order
+    elpd_g = np.empty(len(labels))
+    khat = np.empty(len(labels))
+    for j, g in enumerate(labels):
+        llg = ll[:, groups == g].sum(axis=1)        # joint group log density
+        lw, k = psis_smooth(-llg)
+        elpd_g[j] = _logsumexp(lw + llg)
+        khat[j] = k
+    G = len(labels)
+    se = float(np.sqrt(G * np.var(elpd_g, ddof=1))) if G > 1 else np.nan
+    return {"elpd_logo": float(np.sum(elpd_g)), "se_elpd_logo": se,
+            "pointwise": elpd_g, "pareto_k": khat, "groups": labels}
 
 
 def stacking_weights(pointwise_list, tol=1e-12, max_iter=100000):

@@ -245,3 +245,54 @@ def test_compare_information_criteria_stacking_column():
     assert list(tab["model"]) == ["good", "bad"]
     w = np.asarray(tab["stacking_weight"], float)
     assert w[0] > 0.99 and w.sum() == pytest.approx(1.0, abs=1e-6)
+
+
+def test_psis_logo_singletons_match_loo():
+    """With singleton groups, leave-one-group-out IS leave-one-out."""
+    from lightcurve_fitting_tpu.parallel.ic import psis_loo, psis_logo
+
+    rng = np.random.default_rng(3)
+    ll = -0.5 * (rng.normal(size=(800, 1)) - rng.normal(size=(1, 12))) ** 2
+    loo = psis_loo(ll)
+    logo = psis_logo(ll, np.arange(12))
+    assert logo["pointwise"] == pytest.approx(loo["pointwise"])
+    assert logo["elpd_logo"] == pytest.approx(loo["elpd_loo"])
+    assert logo["pareto_k"] == pytest.approx(loo["pareto_k"])
+
+    with pytest.raises(ValueError):
+        psis_logo(ll, np.arange(5))
+
+
+def test_information_criteria_group_by_filter():
+    """group_by='filter' scores whole held-out bands; groups come back in
+    first-appearance order and the joint-group elpd is below the sum of its
+    pointwise terms (predicting a whole band is harder)."""
+    from lightcurve_fitting_tpu.lightcurve import LC
+    from lightcurve_fitting_tpu.filters import filtdict
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.fitting import lightcurve_mcmc, information_criteria
+
+    rng = np.random.default_rng(7)
+    filters = [filtdict[n] for n in ["g", "r", "i"]]
+    t = np.repeat(np.linspace(1.0, 10.0, 8), len(filters))
+    f = np.array(filters * 8)
+    y = ShockCooling2()(t, f, 12.0, 2.0, 15.0, 0.0)
+    dy = 0.05 * y
+    lc = LC([t, f, y + rng.normal(scale=dy), dy],
+            names=["MJD", "filter", "lum", "dlum"])
+    priors = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0),
+              UniformPrior(5.0, 100.0), UniformPrior(-1.0, 1.0)]
+    s = lightcurve_mcmc(lc, ShockCooling2(lc), priors=priors,
+                        p_lo=[8, 1, 8, -0.5], p_up=[16, 4, 30, 0.5],
+                        nwalkers=32, nsteps=400, nsteps_burnin=400,
+                        seed=2, quiet=True, shard=False)
+    ic = information_criteria(lc, ShockCooling2(lc), s.flatchain,
+                              group_by="filter", seed=0, quiet=True)
+    lg = ic["logo"]
+    assert [fl.name for fl in lg["groups"]] == ["g", "r", "i"]
+    assert np.all(np.isfinite(lg["pointwise"]))
+    # per group: joint elpd <= sum of that group's pointwise LOO terms
+    labels = np.asarray(lc["filter"])
+    for g, elpd_g in zip(lg["groups"], lg["pointwise"]):
+        pointwise_sum = ic["pointwise"][labels == g].sum()
+        assert elpd_g <= pointwise_sum + 1e-6

@@ -71,7 +71,7 @@ SECTIONS = [
      ["multistart_maximize", "laplace_covariance"]),
     ("Information criteria (WAIC / PSIS-LOO)", "lightcurve_fitting_tpu.parallel.ic",
      ["waic", "psis_loo", "gpd_fit", "psis_smooth", "compare_elpd",
-      "stacking_weights"]),
+      "psis_logo", "stacking_weights"]),
     ("Simulation-based calibration", "lightcurve_fitting_tpu.parallel.sbc",
      ["simulation_based_calibration", "rank_statistic", "plot_sbc"]),
     ("Diagnostics", "lightcurve_fitting_tpu.parallel.diagnostics", None),
