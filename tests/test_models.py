@@ -284,6 +284,35 @@ def test_kappa_constructor_binds_fit_path():
     assert ShockCooling4(kappa=0.7).clone_for(lc).kappa == 0.7
 
 
+def test_kappa_model_fits_on_device():
+    """lightcurve_mcmc with a kappa-bearing model runs the jitted device
+    sampler end-to-end and recovers truth generated at that opacity
+    (VERDICT r3 #5 done-criterion)."""
+    from lightcurve_fitting_tpu.utils.table import Table
+    from lightcurve_fitting_tpu.fitting import lightcurve_mcmc
+
+    truth = (1.2, 1.0, 10.0, 1.5, 0.3)
+    m = ShockCooling(kappa=0.7)
+    t = np.repeat(np.linspace(1.0, 7.0, 6), 4)
+    f = np.array(FILTS[:4] * 6)
+    y_true = m(t, f, *truth)
+    rng = np.random.default_rng(11)
+    dy = 0.05 * y_true
+    lc = Table([t, f, y_true + rng.normal(scale=dy), dy],
+               names=["MJD", "filter", "lum", "dlum"])
+    priors = [UniformPrior(0.1, 5.0), UniformPrior(0.1, 5.0),
+              UniformPrior(1.0, 50.0), UniformPrior(0.1, 10.0),
+              UniformPrior(-1.0, 1.0)]
+    s = lightcurve_mcmc(lc, m, priors=priors,
+                        p_lo=[0.5, 0.5, 5.0, 0.5, -0.5],
+                        p_up=[2.0, 2.0, 20.0, 3.0, 0.5],
+                        nwalkers=32, nsteps=300, nsteps_burnin=300,
+                        seed=9, quiet=True, shard=False)
+    med = np.median(s.flatchain, axis=0)
+    resid = np.abs(m(t, f, *med) - y_true) / y_true
+    assert np.median(resid) < 0.1, (med, np.median(resid))
+
+
 def test_kappa_keyword_host_paths():
     """kappa != 1 is supported through the host quadrature paths (reference
     signatures models.py:322,460,599)."""
