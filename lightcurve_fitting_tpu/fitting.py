@@ -1276,6 +1276,8 @@ def compare_models_loo(lc, models, priors, p_lo=None, p_up=None, labels=None,
                                        labels=labels, quiet=quiet)
     tab.meta["ics"] = ics
     tab.meta["samplers"] = samplers
+    tab.meta["models"] = dict(zip(labels, models))  # for stacked_model_plot
+    tab.meta["use_sigma"] = use_sigma
     if not quiet:
         worst = max(int(np.sum(ics[lb]["pareto_k"] > 0.7)) for lb in labels)
         if worst:
@@ -1614,6 +1616,17 @@ def lightcurve_model_plot(lc, model, sampler_flatchain, model_kwargs=None,
 
     y_fit, y_sifto = _posterior_curves(model, sampler_flatchain, xfit, ufilts,
                                        num_models_to_plot, use_sigma, seed=seed)
+    _render_model_plot(lc, y_fit, y_sifto, xfit, ufilts, ycol, ax,
+                       filter_spacing, tmin, mjd_offset, xscale, textsize,
+                       label_filters, lc_plot_kwargs, model_plot_kwargs)
+
+
+def _render_model_plot(lc, y_fit, y_sifto, xfit, ufilts, ycol, ax,
+                       filter_spacing, tmin, mjd_offset, xscale, textsize,
+                       label_filters, lc_plot_kwargs, model_plot_kwargs):
+    """Shared rendering tail of the model-overlay plots: photometry points +
+    per-filter posterior-draw curves on one axes (reference
+    fitting.py:363-429)."""
     dycol, yscale, ylabel, y_fit, y_sifto = _y_axis_spec(ycol, y_fit, y_sifto, ufilts, ax)
     solid_kwargs, dashed_kwargs = _split_model_kwargs(model_plot_kwargs)
 
@@ -1648,6 +1661,59 @@ def lightcurve_model_plot(lc, model, sampler_flatchain, model_kwargs=None,
     ax.set_xlabel("MJD $-$ {:f}".format(mjd_offset).rstrip("0").rstrip("."), size=textsize)
     ax.set_ylabel(ylabel, size=textsize)
     ax.tick_params(labelsize=textsize)
+
+
+def stacked_model_plot(lc, comparison, num_models_to_plot=100,
+                       filter_spacing=1.0, tmin=None, tmax=None, ycol=None,
+                       textsize="medium", ax=None, mjd_offset=None,
+                       xscale="linear", filters_to_model=None,
+                       label_filters=True, lc_plot_kwargs=None,
+                       model_plot_kwargs=None, seed=None):
+    """Model-AVERAGED posterior-draw light curves: each plotted curve comes
+    from candidate k with probability equal to its Yao+18 stacking weight,
+    so the overlay shows the stacked mixture's predictive distribution
+    rather than a single winner's.
+
+    ``comparison`` is the Table returned by :func:`compare_models_loo`
+    (its ``meta`` carries the fitted samplers and models; the
+    ``stacking_weight`` column carries the mixture). Candidates with zero
+    allocated draws are simply absent. Returns the dict of draw counts per
+    label actually used."""
+    if ax is None:
+        ax = plt.axes()
+    labels = [str(lb) for lb in comparison["model"]]
+    weights = np.asarray(comparison["stacking_weight"], float)
+    samplers = comparison.meta["samplers"]
+    models = comparison.meta["models"]
+    use_sigma = comparison.meta.get("use_sigma", False)
+    if ycol is None:
+        ycol = models[labels[0]].output_quantity
+
+    if tmin is None:
+        tmin = float(np.min(np.asarray(lc["MJD"])))
+    if tmax is None:
+        tmax = float(np.max(np.asarray(lc["MJD"])))
+    xfit = np.geomspace(tmin, tmax, 1000) if xscale == "log" else np.linspace(tmin, tmax, 1000)
+    if filters_to_model is None:
+        ufilts = np.array(sorted(set(lc["filter"])), dtype=object)
+    else:
+        ufilts = np.array([filtdict[f] for f in filters_to_model], dtype=object)
+
+    rng = np.random.default_rng(seed)
+    counts = rng.multinomial(num_models_to_plot, weights / weights.sum())
+    pieces = []
+    for lb, n_k in zip(labels, counts):
+        if n_k == 0:
+            continue
+        y_k, _ = _posterior_curves(models[lb], samplers[lb].flatchain, xfit,
+                                   ufilts, int(n_k), use_sigma,
+                                   seed=rng.integers(2 ** 31))
+        pieces.append(y_k)
+    y_fit = np.concatenate(pieces, axis=-1)  # (B, N, num) mixture draws
+    _render_model_plot(lc, y_fit, [None] * len(ufilts), xfit, ufilts, ycol,
+                       ax, filter_spacing, tmin, mjd_offset, xscale, textsize,
+                       label_filters, lc_plot_kwargs, model_plot_kwargs)
+    return {lb: int(n) for lb, n in zip(labels, counts)}
 
 
 # --------------------------------------------------------------------------

@@ -199,6 +199,17 @@ def test_compare_models_loo_one_call():
     assert set(tab.meta["ics"]) == {"free", "pinned"}
     assert tab.meta["samplers"]["free"].flatchain.shape[1] == 4
 
+    # model-averaged overlay: draws are allocated by stacking weight (the
+    # decisively-winning 'free' model must get essentially all of them)
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from lightcurve_fitting_tpu.fitting import stacked_model_plot
+    counts = stacked_model_plot(lc, tab, num_models_to_plot=40, seed=0)
+    assert sum(counts.values()) == 40 and counts["free"] >= 38, counts
+    assert len(plt.gca().lines) > 0
+    plt.close("all")
+
     with pytest.raises(ValueError):
         compare_models_loo(lc, [ShockCooling2(lc)], [good], quiet=True)
 

@@ -41,7 +41,7 @@ SECTIONS = [
      ["lightcurve_mcmc", "lightcurve_hmc", "lightcurve_map",
       "lightcurve_evidence", "lightcurve_ptmcmc", "compare_models", "compare_models_loo",
       "goodness_of_fit", "information_criteria",
-      "compare_information_criteria", "lightcurve_corner", "lightcurve_model_plot",
+      "compare_information_criteria", "lightcurve_corner", "lightcurve_model_plot", "stacked_model_plot",
       "format_credible_interval", "make_log_posterior"]),
     ("Bolometric pipeline", "lightcurve_fitting_tpu.bolometric",
      ["calculate_bolometric", "spectrum_mcmc", "spectrum_corner",
