@@ -263,12 +263,16 @@ def test_cli_compare_loo(tmp_path, synth_csv):
         "driver": "compare",
         "driver_kwargs": {"nwalkers": 32, "nsteps": 300,
                           "nsteps_burnin": 300, "seed": 6, "quiet": True},
-        "outputs": {"summary": "summary.json"}})
+        "outputs": {"summary": "summary.json", "stacked_plot": "stacked.png"}})
     assert summary["method"] == "loo"
     ranking = summary["ranking"]
     assert [r["model"] for r in ranking] == ["free", "pinned"]
     assert ranking[0]["d_elpd"] == 0.0
     assert ranking[1]["d_elpd"] < 0.0
+    # stacking weights ride the summary; the model-averaged overlay is saved
+    assert ranking[0]["stacking_weight"] > 0.9
+    assert sum(r["stacking_weight"] for r in ranking) == pytest.approx(1.0)
+    assert os.path.getsize(str(tmp_path / "stacked.png")) > 10000
 
 
 def test_cli_compile_cache(tmp_path, synth_csv):
