@@ -212,18 +212,6 @@ def _run_compare(cfg, config_dir):
         # surface as clean CLI errors like the other invalid-config paths
         raise SystemExit(str(exc))
     if method == "loo":
-        plot_out = cfg.get("outputs", {}).get("stacked_plot")
-        if plot_out:
-            import matplotlib
-            matplotlib.use("Agg")
-            import matplotlib.pyplot as plt
-            if not os.path.isabs(plot_out):
-                plot_out = os.path.join(config_dir, plot_out)
-            fig = plt.figure()
-            fitting.stacked_model_plot(lc, table, ax=fig.add_subplot(),
-                                       seed=cfg.get("driver_kwargs", {}).get("seed"))
-            fig.savefig(plot_out, bbox_inches="tight")
-            plt.close(fig)
         summary = {"driver": "compare", "method": "loo",
                    "models": list(cfg["models"]),
                    "ranking": [dict(model=str(m), elpd_loo=float(e),
@@ -249,6 +237,23 @@ def _run_compare(cfg, config_dir):
         with open(out, "w") as f:
             json.dump(summary, f, indent=2)
     print(json.dumps(summary))
+    # the plot is rendered AFTER the summary is safely written: a plotting
+    # failure must not discard hours of fit work
+    plot_out = cfg.get("outputs", {}).get("stacked_plot")
+    if plot_out and method == "loo":
+        try:
+            import matplotlib
+            matplotlib.use("Agg")
+            import matplotlib.pyplot as plt
+            if not os.path.isabs(plot_out):
+                plot_out = os.path.join(config_dir, plot_out)
+            fig = plt.figure()
+            fitting.stacked_model_plot(lc, table, ax=fig.add_subplot(),
+                                       seed=cfg.get("driver_kwargs", {}).get("seed"))
+            fig.savefig(plot_out, bbox_inches="tight")
+            plt.close(fig)
+        except Exception as exc:
+            print(f"(stacked plot unavailable: {exc})", file=sys.stderr)
     return 0
 
 

@@ -1604,6 +1604,18 @@ def lightcurve_model_plot(lc, model, sampler_flatchain, model_kwargs=None,
     _ensure_sigma_param(model, use_sigma)
 
     sampler_flatchain = np.asarray(sampler_flatchain)
+    tmin, tmax, xfit, ufilts = _model_plot_grid(lc, tmin, tmax, xscale,
+                                                filters_to_model)
+
+    y_fit, y_sifto = _posterior_curves(model, sampler_flatchain, xfit, ufilts,
+                                       num_models_to_plot, use_sigma, seed=seed)
+    _render_model_plot(lc, y_fit, y_sifto, xfit, ufilts, ycol, ax,
+                       filter_spacing, tmin, mjd_offset, xscale, textsize,
+                       label_filters, lc_plot_kwargs, model_plot_kwargs)
+
+
+def _model_plot_grid(lc, tmin, tmax, xscale, filters_to_model):
+    """Shared time-grid / filter-selection setup of the model-overlay plots."""
     if tmin is None:
         tmin = float(np.min(np.asarray(lc["MJD"])))
     if tmax is None:
@@ -1613,12 +1625,7 @@ def lightcurve_model_plot(lc, model, sampler_flatchain, model_kwargs=None,
         ufilts = np.array(sorted(set(lc["filter"])), dtype=object)
     else:
         ufilts = np.array([filtdict[f] for f in filters_to_model], dtype=object)
-
-    y_fit, y_sifto = _posterior_curves(model, sampler_flatchain, xfit, ufilts,
-                                       num_models_to_plot, use_sigma, seed=seed)
-    _render_model_plot(lc, y_fit, y_sifto, xfit, ufilts, ycol, ax,
-                       filter_spacing, tmin, mjd_offset, xscale, textsize,
-                       label_filters, lc_plot_kwargs, model_plot_kwargs)
+    return tmin, tmax, xfit, ufilts
 
 
 def _render_model_plot(lc, y_fit, y_sifto, xfit, ufilts, ycol, ax,
@@ -1686,18 +1693,18 @@ def stacked_model_plot(lc, comparison, num_models_to_plot=100,
     samplers = comparison.meta["samplers"]
     models = comparison.meta["models"]
     use_sigma = comparison.meta.get("use_sigma", False)
+    quantities = {models[lb].output_quantity for lb in labels}
+    if len(quantities) > 1:
+        raise ValueError("cannot stack candidates with different output "
+                         f"quantities ({sorted(quantities)}): their curves "
+                         "are not commensurable on one axis")
     if ycol is None:
         ycol = models[labels[0]].output_quantity
+    if num_models_to_plot < 1:
+        raise ValueError("num_models_to_plot must be >= 1")
 
-    if tmin is None:
-        tmin = float(np.min(np.asarray(lc["MJD"])))
-    if tmax is None:
-        tmax = float(np.max(np.asarray(lc["MJD"])))
-    xfit = np.geomspace(tmin, tmax, 1000) if xscale == "log" else np.linspace(tmin, tmax, 1000)
-    if filters_to_model is None:
-        ufilts = np.array(sorted(set(lc["filter"])), dtype=object)
-    else:
-        ufilts = np.array([filtdict[f] for f in filters_to_model], dtype=object)
+    tmin, tmax, xfit, ufilts = _model_plot_grid(lc, tmin, tmax, xscale,
+                                                filters_to_model)
 
     rng = np.random.default_rng(seed)
     counts = rng.multinomial(num_models_to_plot, weights / weights.sum())

@@ -122,9 +122,13 @@ class BaseCompanionShocking(Model):
         R_kasen = 2.7 * power(kappa * Mc_v9_7 * tt ** 7.0, 1.0 / 9.0)
         return T_kasen, R_kasen
 
-    def companion_shocking(self, t_in, f, t_exp, a13, Mc_v9_7, kappa=1.0):
-        """Shock component only, host API (reference models.py:757-784)."""
+    def companion_shocking(self, t_in, f, t_exp, a13, Mc_v9_7, kappa=None):
+        """Shock component only, host API (reference models.py:757-784).
+        ``kappa`` defaults to the constructor-bound opacity so component
+        curves match a kappa-bound fit."""
         from .blackbody import blackbody_to_filters
+        if kappa is None:
+            kappa = getattr(self, "kappa", 1.0)
         T_kasen, R_kasen = self.temperature_radius(np.asarray(t_in, float), t_exp, a13, Mc_v9_7, kappa)
         return blackbody_to_filters(f, np.asarray(T_kasen), np.asarray(R_kasen), self.z)
 

@@ -101,18 +101,22 @@ class BaseShockCooling(Model):
         T_K, R_bb = self._tr_points(t, *params)
         return self._bandflux(quad, T_K, R_bb)
 
-    @staticmethod
-    def t_min(p, kappa=1.0):
-        """Earliest validity time, SW17 Eq. 17 (reference models.py:275-287)."""
+    def t_min(self, p, kappa=None):
+        """Earliest validity time, SW17 Eq. 17 (reference models.py:275-287).
+        ``kappa`` defaults to the constructor-bound opacity so the window
+        stays consistent with the fitted model."""
+        if kappa is None:
+            kappa = getattr(self, "kappa", 1.0)
         v_s = p[0]
         f_rho_M = p[2]
         R = p[3]
         t_exp = p[4] if len(p) > 4 else 0.0
         return 0.2 * R / v_s * np.maximum(0.5, R ** 0.4 * (f_rho_M * kappa) ** -0.2 * v_s ** -0.7) + t_exp
 
-    @staticmethod
-    def t_max(p, kappa=1.0):
+    def t_max(self, p, kappa=None):
         """Latest validity time, SW17 Eq. 24 (reference models.py:289-298)."""
+        if kappa is None:
+            kappa = getattr(self, "kappa", 1.0)
         R = p[3]
         t_exp = p[4] if len(p) > 4 else 0.0
         return 7.4 * (R / kappa) ** 0.55 + t_exp
@@ -203,14 +207,14 @@ class ShockCooling3(BaseShockCooling):
         # c4 ~ 8e-47 underflows the TPU's float32-range f64 emulation; split it
         return ((lum * 1e-30) * c4_30) / dist ** 2.0
 
-    @staticmethod
-    def t_min(p, kappa=1.0):
-        return BaseShockCooling.t_min([p[0], p[1], p[2], p[3], p[6] if len(p) > 6 else 0.0],
+    def t_min(self, p, kappa=None):
+        return BaseShockCooling.t_min(self, [p[0], p[1], p[2], p[3],
+                                             p[6] if len(p) > 6 else 0.0],
                                       kappa=kappa)
 
-    @staticmethod
-    def t_max(p, kappa=1.0):
-        return BaseShockCooling.t_max([p[0], p[1], p[2], p[3], p[6] if len(p) > 6 else 0.0],
+    def t_max(self, p, kappa=None):
+        return BaseShockCooling.t_max(self, [p[0], p[1], p[2], p[3],
+                                             p[6] if len(p) > 6 else 0.0],
                                       kappa=kappa)
 
 

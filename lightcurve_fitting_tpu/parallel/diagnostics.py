@@ -43,12 +43,8 @@ def _rank_normalize(chain):
     from scipy.stats import rankdata
 
     n, m, d = chain.shape
-    flat = chain.reshape(n * m, d)
-    z = np.empty_like(flat)
-    for k in range(d):
-        r = rankdata(flat[:, k], method="average")
-        z[:, k] = ndtri((r - 0.375) / (n * m + 0.25))
-    return z.reshape(n, m, d)
+    r = rankdata(chain.reshape(n * m, d), method="average", axis=0)
+    return ndtri((r - 0.375) / (n * m + 0.25)).reshape(n, m, d)
 
 
 def rank_normalized_split_rhat(chain):

@@ -282,6 +282,13 @@ def test_kappa_constructor_binds_fit_path():
     lc = Table([[1.0]], names=["MJD"])
     assert ShockCooling(kappa=0.7).clone_for(lc).kappa == 0.7
     assert ShockCooling4(kappa=0.7).clone_for(lc).kappa == 0.7
+    # validity windows follow the bound opacity (SW17 Eq. 17/24 with kappa)
+    p = [1.0, 1.0, 10.0, 1.0, 0.5]
+    assert m07.t_max(p) == pytest.approx(m10.t_max(p, kappa=0.7))
+    assert m07.t_max(p) == pytest.approx(7.4 * (1.0 / 0.7) ** 0.55 + 0.5)
+    assert m07.t_min(p) == pytest.approx(m10.t_min(p, kappa=0.7))
+    m4 = ShockCooling4(kappa=0.7)
+    assert m4.t_max(p) == pytest.approx(ShockCooling4().t_max(p, kappa=0.7))
 
 
 def test_kappa_model_fits_on_device():
