@@ -6,7 +6,8 @@ from .mesh import ShardedEnsembleSampler, walker_mesh, make_sharded_stretch_step
 from .batched import pack_epochs, batched_blackbody_mcmc  # noqa: F401
 from .population import (pack_population, fit_population,  # noqa: F401
                          population_goodness_of_fit,
-                         population_information_criteria)
+                         population_information_criteria,
+                         population_compare_elpd)
 from .hmc import HMCSampler, BoundsTransform, WhitenedPosterior  # noqa: F401
 from .nuts import NUTSSampler  # noqa: F401
 from . import distributed  # noqa: F401

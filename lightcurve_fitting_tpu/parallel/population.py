@@ -24,7 +24,8 @@ from jax import shard_map
 from .sampler import make_stretch_kernel
 
 __all__ = ["pack_population", "fit_population",
-           "population_goodness_of_fit", "population_information_criteria"]
+           "population_goodness_of_fit", "population_information_criteria",
+           "population_compare_elpd"]
 
 _COMPILED_CACHE = {}
 # the GOF kernels close over a model instance: bound like fitting._GOF_CACHE
@@ -772,4 +773,78 @@ def population_information_criteria(models, lcs, flatchains, use_sigma=False,
         print(f"population information criteria: elpd_loo median "
               f"{np.nanmedian(out['elpd_loo']):.1f} over {S} transients; "
               f"{n_flag} with any pareto_k > 0.7")
+    return out
+
+
+def population_compare_elpd(ics, labels, quiet=False):
+    """Survey-level model comparison: per-transient paired elpd rankings and
+    Yao+18 stacking weights across K model families.
+
+    ``ics``: one :func:`population_information_criteria` result per family,
+    all scored on the SAME transients/photometry. Per transient the paired
+    difference machinery of :func:`parallel.ic.compare_elpd` runs on the
+    matching ``pointwise`` arrays; per-transient stacking weights say which
+    families' predictive distributions that transient actually needs.
+
+    Returns a dict of arrays over (K families, S transients):
+    ``elpd_loo`` (K, S), ``d_elpd``/``se_d_elpd`` (K, S, vs the
+    per-transient best), ``stacking_weight`` (K, S), ``best`` (S,) family
+    indices, plus survey totals ``total_elpd`` (K,), ``total_d_elpd`` and
+    ``total_se_d_elpd`` (K, paired over all points of all transients) and
+    ``n_best`` (K,).
+    """
+    from .ic import stacking_weights
+
+    K = len(ics)
+    if K != len(labels) or len(set(map(str, labels))) != K:
+        raise ValueError("labels must be one per model family and unique")
+    S = len(ics[0]["pointwise"])
+    for ic in ics:
+        if len(ic["pointwise"]) != S:
+            raise ValueError("families were scored on different numbers of "
+                             "transients")
+    elpd = np.empty((K, S))
+    d_elpd = np.empty((K, S))
+    se_d = np.empty((K, S))
+    w = np.empty((K, S))
+    for s in range(S):
+        pw = [np.asarray(ic["pointwise"][s], float) for ic in ics]
+        n = {len(p) for p in pw}
+        if len(n) != 1:
+            raise ValueError(f"transient {s} was scored on different numbers "
+                             f"of points across families ({sorted(n)})")
+        N = n.pop()
+        elpd[:, s] = [p.sum() for p in pw]
+        best = int(np.argmax(elpd[:, s]))
+        for k in range(K):
+            diff = pw[k] - pw[best]
+            d_elpd[k, s] = elpd[k, s] - elpd[best, s]
+            se_d[k, s] = (float(np.sqrt(N * np.var(diff, ddof=1)))
+                          if k != best and N > 1 else 0.0)
+        w[:, s] = stacking_weights(pw)
+    best_idx = np.argmax(elpd, axis=0)
+
+    # survey totals: paired over the concatenation of every transient's points
+    all_pw = [np.concatenate([np.asarray(ic["pointwise"][s], float)
+                              for s in range(S)]) for ic in ics]
+    total = np.array([p.sum() for p in all_pw])
+    tbest = int(np.argmax(total))
+    N_all = len(all_pw[0])
+    total_se = np.array([float(np.sqrt(N_all * np.var(all_pw[k] - all_pw[tbest],
+                                                      ddof=1)))
+                         if k != tbest and N_all > 1 else 0.0
+                         for k in range(K)])
+    out = {"labels": list(labels), "elpd_loo": elpd, "d_elpd": d_elpd,
+           "se_d_elpd": se_d, "stacking_weight": w, "best": best_idx,
+           "total_elpd": total, "total_d_elpd": total - total[tbest],
+           "total_se_d_elpd": total_se,
+           "n_best": np.bincount(best_idx, minlength=K)}
+    if not quiet:
+        order = np.argsort(-total)
+        print(f"survey model comparison over {S} transients (best first):")
+        for k in order:
+            print(f"  {labels[k]}: total elpd_loo = {total[k]:.1f} "
+                  f"(d = {total[k] - total[tbest]:.1f} +/- {total_se[k]:.1f}), "
+                  f"best on {out['n_best'][k]}/{S} transients, "
+                  f"mean stacking weight {w[k].mean():.3f}")
     return out

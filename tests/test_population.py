@@ -421,3 +421,33 @@ def test_population_information_criteria_matches_single(population):
                                                 abs=1e-6)
         np.testing.assert_allclose(pop["pointwise"][s], single["pointwise"],
                                    rtol=1e-4)
+
+
+def test_population_compare_elpd():
+    """Survey-level comparison: per-transient paired rankings + stacking
+    weights from synthetic pointwise matrices with known structure."""
+    from lightcurve_fitting_tpu.parallel.population import population_compare_elpd
+
+    rng = np.random.default_rng(0)
+    # family A wins transients 0 and 1, family B wins transient 2
+    base = [rng.normal(-2.0, 0.3, 12) for _ in range(3)]
+    ic_a = {"pointwise": [base[0], base[1], base[2] - 2.0]}
+    ic_b = {"pointwise": [base[0] - 2.0, base[1] - 2.0, base[2]]}
+    out = population_compare_elpd([ic_a, ic_b], ["A", "B"], quiet=True)
+    assert list(out["best"]) == [0, 0, 1]
+    assert list(out["n_best"]) == [2, 1]
+    assert out["elpd_loo"].shape == (2, 3)
+    # per-transient: the winner has d_elpd 0 and ~all stacking weight
+    assert out["d_elpd"][0, 0] == 0.0 and out["d_elpd"][1, 0] < -20.0
+    assert out["stacking_weight"][0, 0] > 0.99
+    assert out["stacking_weight"][1, 2] > 0.99
+    assert np.allclose(out["stacking_weight"].sum(axis=0), 1.0)
+    # survey totals: A wins overall (2 transients to 1), paired SE is tight
+    assert out["total_elpd"][0] > out["total_elpd"][1]
+    assert out["total_d_elpd"][0] == 0.0 and out["total_se_d_elpd"][1] > 0.0
+
+    with pytest.raises(ValueError):
+        population_compare_elpd([ic_a], ["A", "B"], quiet=True)
+    with pytest.raises(ValueError):
+        population_compare_elpd([ic_a, {"pointwise": [base[0]]}], ["A", "B"],
+                                quiet=True)

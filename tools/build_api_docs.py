@@ -62,7 +62,7 @@ SECTIONS = [
      ["stepping_stone_evidence", "make_beta_ladder"]),
     ("Population fitting", "lightcurve_fitting_tpu.parallel.population",
      ["pack_population", "fit_population", "population_goodness_of_fit",
-      "population_information_criteria"]),
+      "population_information_criteria", "population_compare_elpd"]),
     ("Batched bolometric kernels", "lightcurve_fitting_tpu.parallel.batched",
      ["pack_epochs", "batched_blackbody_mcmc", "batched_map_centers"]),
     ("Multi-host execution", "lightcurve_fitting_tpu.parallel.distributed",
