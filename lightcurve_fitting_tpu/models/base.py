@@ -71,7 +71,6 @@ class Model:
             self.z = lc.meta["redshift"]
         else:
             self.z = 0.0
-        self._bank_cache = {}
 
     def _ctor_kwargs(self):
         """Subclass constructor options beyond (lc, redshift) that select
@@ -196,13 +195,23 @@ class Model:
     # -------------------------------------------------------------- likelihood
     def log_likelihood(self, lc, p, use_sigma=False, sigma_type="relative"):
         """Host-side log-likelihood, identical formula to reference
-        models.py:93-136 (Gaussian with optional intrinsic-scatter parameter)."""
+        models.py:93-136 (Gaussian with optional intrinsic-scatter parameter).
+
+        1-D ``p`` returns a float; extra trailing dimensions of ``p`` return
+        an array of that shape (one likelihood per parameter set, vmapped in
+        one device call — the behavior the reference *documents*; its numpy
+        implementation pools the sum over all sets instead)."""
         f = np.asarray(lc["filter"])
         t = np.asarray(lc["MJD"], float)
         y = np.asarray(lc[self.output_quantity], float)
         dy = np.asarray(lc["d" + self.output_quantity], float)
         ll_fn = self.make_log_likelihood_arrays(t, f, y, dy, use_sigma, sigma_type)
-        return float(ll_fn(jnp.asarray(np.asarray(p, float))))
+        p = np.asarray(p, float)
+        if p.ndim == 1:
+            return float(ll_fn(jnp.asarray(p)))
+        flat = p.reshape(p.shape[0], -1).T                    # (W, nparams)
+        vals = jax.vmap(ll_fn)(jnp.asarray(flat))
+        return np.asarray(vals).reshape(p.shape[1:])
 
     def _normalized_data(self, y, dy, sigma_type="relative"):
         """O(1) data normalization shared by the likelihood and the

@@ -13,9 +13,12 @@ gathers (piecewise-table lookups need per-element dynamic gathers, measured
 20x slower than the raw quadrature on TPU; a piecewise-cubic variant was
 implemented, benchmarked, and removed — docs/design.md "Pallas decision").
 
-Static per fit: redshift, cutoff frequency, and any *fixed* E(B-V) are baked
-into the table. Models with a *sampled* E(B-V) (ShockCooling3) keep the full
-quadrature path — extinction does not factorize.
+Static per fit: redshift and cutoff frequency are baked into the table.
+Extinction is NOT: the table carries no E(B-V) input, so any model with
+extinction in-graph — fixed or sampled (ShockCooling3) — must keep the full
+quadrature path (``use_band_table = False``); a fixed E(B-V) could in
+principle be folded into the quadrature weights before table construction,
+but no current model needs it.
 """
 
 import numpy as np

@@ -249,8 +249,12 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
     if fns_key is not None:
         ck_key = (fns_key, K, half, ndim, a,
                   np.asarray(betas_all, float).tobytes(),
+                  # device identity, not just shape: the kernels close over
+                  # the mesh object, so a same-shaped mesh on other devices
+                  # must not reuse them
                   None if mesh is None else (tuple(mesh.shape.items()),
-                                             axis_name))
+                                             axis_name,
+                                             tuple(d.id for d in mesh.devices.flat)))
         kernels = _LADDER_CACHE.get(ck_key)
         if kernels is None:
             kernels = build_kernels()

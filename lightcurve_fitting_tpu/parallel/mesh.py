@@ -95,6 +95,13 @@ class ShardedEnsembleSampler(EnsembleSampler):
         process holds the full host value, device_put distributes shards."""
         return jax.device_put(x, self._state_sharding)
 
+    def _prepare_logp(self, logp):
+        """The per-walker log-prob shares the state's sharding minus the
+        parameter axis (checkpoint resume must re-place it too: a host-local
+        array next to globally-sharded state fails in multi-process runs)."""
+        spec = P(*self._state_sharding.spec[:-1])
+        return jax.device_put(logp, NamedSharding(self.mesh, spec))
+
     def _to_host(self, a):
         if self._multiprocess:
             from jax.experimental import multihost_utils
@@ -118,13 +125,20 @@ class ShardedEnsembleSampler(EnsembleSampler):
                 x = jax.lax.with_sharding_constraint(x, self._state_sharding)
 
                 def thinned_step(carry, key_block):
-                    def inner(c, k):
-                        c, _ = step(c, k)
-                        return c, None
-                    carry, _ = jax.lax.scan(inner, carry, key_block[:-1])
+                    # accept flags summed over the whole thin_by block, as in
+                    # the single-device scan (sampler.py)
+                    def inner(c_acc, k):
+                        c, acc = c_acc
+                        c, out = step(c, k)
+                        return (c, acc + out[2].astype(jnp.int32)), None
+                    acc0 = jnp.zeros(x.shape[:-1], jnp.int32)
+                    (carry, acc), _ = jax.lax.scan(inner, (carry, acc0),
+                                                   key_block[:-1])
                     carry, out = step(carry, key_block[-1])
+                    n_accept = acc + out[2].astype(jnp.int32)
                     if store is not None:
                         out = (out[0].astype(store), out[1].astype(store), out[2])
+                    out = (out[0], out[1], n_accept)
                     return carry, out
 
                 key_blocks = keys.reshape((nsteps, thin_by) + keys.shape[1:])

@@ -39,8 +39,9 @@ def _array_digest(a):
     return (a.shape, str(a.dtype), hashlib.sha1(a.tobytes()).hexdigest()[:16])
 
 
-# per-instance memoization caches that never alter compiled physics
-_FINGERPRINT_SKIP = {"_bank_cache"}
+# per-instance memoization caches (none currently) that must not alter
+# compiled-physics fingerprints
+_FINGERPRINT_SKIP = set()
 
 
 def _model_fingerprint(model):

@@ -201,17 +201,25 @@ class EnsembleSampler:
 
             def run(x, logp, keys):
                 def thinned_step(carry, key_block):
-                    def inner(c, k):
-                        c, _ = step(c, k)
-                        return c, None
-                    carry, _ = jax.lax.scan(inner, carry, key_block[:-1])
+                    # accept flags are SUMMED over the whole thin_by block
+                    # (int32), so acceptance_fraction counts every proposal,
+                    # not just the stored step's
+                    def inner(c_acc, k):
+                        c, acc = c_acc
+                        c, out = step(c, k)
+                        return (c, acc + out[2].astype(jnp.int32)), None
+                    acc0 = jnp.zeros(x.shape[:-1], jnp.int32)
+                    (carry, acc), _ = jax.lax.scan(inner, (carry, acc0),
+                                                   key_block[:-1])
                     carry, out = step(carry, key_block[-1])
+                    n_accept = acc + out[2].astype(jnp.int32)
                     if store is not None:
                         # downcast the *stored* history inside the scan: the
                         # stacked chain is the biggest per-step HBM write
                         # (profiled ~9% of the step at 131k walkers in f64)
                         # and the host transfer halves too
                         out = (out[0].astype(store), out[1].astype(store), out[2])
+                    out = (out[0], out[1], n_accept)
                     return carry, out
 
                 key_blocks = keys.reshape((nsteps, thin_by) + keys.shape[1:])
@@ -232,6 +240,11 @@ class EnsembleSampler:
     # spans processes is not fully addressable, so np.asarray cannot read it)
     def _prepare_state(self, x):
         return x
+
+    def _prepare_logp(self, logp):
+        """Placement hook for the per-walker log-prob array (state shape minus
+        the parameter axis); the sharded sampler distributes it on its mesh."""
+        return logp
 
     def _to_host(self, a):
         return np.asarray(a)
@@ -405,7 +418,7 @@ class EnsembleSampler:
         # distribute the restored walkers onto its (possibly multi-process)
         # mesh, not leave them committed to one local device
         self._pos_internal = self._prepare_state(jnp.asarray(data["pos"]))
-        self._logp_internal = jnp.asarray(data["logp"])
+        self._logp_internal = self._prepare_logp(jnp.asarray(data["logp"]))
         self._base_key = jr.wrap_key_data(jnp.asarray(data["key"]))
         self._draw_count = int(data["draw_count"])
         self._accepted = data["accepted"]
@@ -419,6 +432,12 @@ class EnsembleSampler:
                 # instead of silently promoting back to float64
                 self._store_dtype = np.float32
                 self._run_jit = {}
+        else:
+            # a chain-less checkpoint restores counters that no longer
+            # correspond to any accumulated history: drop whatever this
+            # instance had, or get_chain would prepend an unrelated run
+            self._chain = self._chain[:0]
+            self._logp = self._logp[:0]
         return {k[len("extra_"):]: data[k][()] for k in data.files
                 if k.startswith("extra_")}
 

@@ -55,7 +55,6 @@ def test_shockcooling2_pointwise_vs_numpy_mirror():
     np.testing.assert_allclose(y, y_ref, rtol=5e-5)  # Chebyshev band-table error <1e-5
     # the exact-quadrature path reproduces the native-grid trapezoid bit-for-bit
     m.use_band_table = False
-    m._bank_cache.clear()
     y_exact = m(t, f, *p)
     np.testing.assert_allclose(y_exact, y_ref, rtol=1e-9)
     m.use_band_table = True
@@ -176,6 +175,14 @@ def test_log_likelihood_formula():
     assert ll_a == pytest.approx(exp_a, rel=1e-9)
     with pytest.raises(Exception):
         m.log_likelihood(lc, p, sigma_type="bogus")
+    # vectorized p: trailing dims return an array of per-set likelihoods
+    # (the behavior reference models.py:93-114 documents)
+    grid = np.stack([np.array(p), np.array(p) * 1.1], axis=-1)   # (4, 2)
+    ll_grid = m.log_likelihood(lc, grid)
+    assert ll_grid.shape == (2,)
+    assert ll_grid[0] == pytest.approx(ll, rel=1e-9)
+    assert ll_grid[1] == pytest.approx(m.log_likelihood(lc, np.array(p) * 1.1),
+                                       rel=1e-9)
 
 
 def test_priors():

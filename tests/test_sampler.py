@@ -178,8 +178,16 @@ def test_thin_by():
     p0 = np.random.default_rng(3).normal(size=(16, 2))
     s.run_mcmc(p0, 50, thin_by=4)  # 200 actual steps, 50 stored
     assert s.get_chain().shape == (50, 16, 2)
-    # acceptance accounts for all 200 steps
+    # acceptance accounts for all 200 proposals: both the counter AND the
+    # accept flags (inner thinned steps used to be dropped, capping the
+    # reported fraction at 1/thin_by)
     assert s._nsteps_total == 200
+    af_thin = float(np.mean(s.acceptance_fraction))
+    s2 = EnsembleSampler(16, 2, logp, seed=3)
+    s2.run_mcmc(p0, 200, thin_by=1)  # identical RNG stream, unthinned
+    af_full = float(np.mean(s2.acceptance_fraction))
+    assert af_thin == pytest.approx(af_full, abs=1e-12)
+    assert 0.2 < af_thin < 0.9
 
 
 def test_replicated_ensembles_sample_correctly():
