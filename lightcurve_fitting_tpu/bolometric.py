@@ -721,8 +721,20 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
             mesh = walker_mesh(jax.device_count(), axis_name="epochs")
         elif mesh is False:
             mesh = None
+        # KDE chaining (min_nfilt <= 1): a single-filter epoch replaces the
+        # temperature prior for EVERY later epoch (reference
+        # bolometric.py:753-759), so multi-filter epochs after the first
+        # single-filter one must fit sequentially with the mutated prior —
+        # pre-batching them with the original priors diverged from the
+        # sequential statistics. Only epochs before that point batch.
+        chain_cut = len(groups)
+        if min_nfilt <= 1:
+            for i, ep in enumerate(groups):
+                if len(set(ep.where(nondet=False)["filter"])) == 1:
+                    chain_cut = i
+                    break
         eligible = []
-        for i, ep in enumerate(groups):
+        for i, ep in enumerate(groups[:chain_cut]):
             nfilt_i = len(set(ep.where(nondet=False)["filter"]))
             if nfilt_i >= min_nfilt and nfilt_i > 1:
                 eligible.append(i)

@@ -196,8 +196,12 @@ def _select_sampler(log_posterior, nwalkers, ndim, seed, replicas=1, mesh=None,
             raise ValueError(f"nwalkers/2 = {nwalkers // 2} must divide evenly over "
                              f"{n_dev} devices for sharding; pass shard=False or "
                              "adjust nwalkers")
+        # honor the user mesh's own axis name (a reused epoch/transient mesh
+        # would otherwise hit KeyError('walkers') inside the sharded step)
         return ShardedEnsembleSampler(nwalkers, ndim, log_posterior,
                                       mesh=mesh or walker_mesh(), seed=seed,
+                                      axis_name=(mesh.axis_names[0] if mesh is not None
+                                                 else "walkers"),
                                       store_dtype=store_dtype, **state_kw)
     return EnsembleSampler(nwalkers, ndim, log_posterior, seed=seed,
                            store_dtype=store_dtype, **state_kw)
@@ -397,9 +401,13 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
 
 def _hmc_init_window(priors, p_lo, p_up, ndim):
     """Initialization box for the warm-start ensemble: explicit p_lo/p_up when
-    given, else prior bounds, else mean +/- 2 stddev for Gaussian priors."""
+    given (each side independently — a lone p_up caps the prior-derived
+    window instead of being dropped), else prior bounds, else mean +/- 2
+    stddev for Gaussian priors."""
     if p_lo is not None and p_up is not None:
         return np.array(p_lo, float), np.array(p_up, float)
+    explicit_lo = None if p_lo is None else np.array(p_lo, float)
+    explicit_up = None if p_up is None else np.array(p_up, float)
     lo = np.empty(ndim)
     up = np.empty(ndim)
     for i, prior in enumerate(priors):
@@ -408,6 +416,10 @@ def _hmc_init_window(priors, p_lo, p_up, ndim):
         if isinstance(prior, GaussianPrior):
             bound_lo = max(bound_lo, prior.mean - 2.0 * prior.stddev)
             bound_up = min(bound_up, prior.mean + 2.0 * prior.stddev)
+        if explicit_lo is not None:
+            bound_lo = explicit_lo[i]
+        if explicit_up is not None:
+            bound_up = explicit_up[i]
         if not (np.isfinite(bound_lo) and np.isfinite(bound_up)):
             raise ValueError(f"prior {i} has unbounded support; pass p_lo/p_up "
                              "to initialize the HMC warm start")

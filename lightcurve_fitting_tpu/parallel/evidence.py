@@ -175,6 +175,10 @@ def _run_tempered_ladder(log_prior_fn, log_like_fn, p0, betas_all, nsteps,
         raise ValueError("nwalkers must be even")
     half = nwalkers // 2
     K = len(betas_all)
+    if mesh is not None and axis_name not in mesh.axis_names:
+        # honor the user mesh's own axis name (a reused epoch/transient mesh
+        # would otherwise KeyError on the default 'walkers')
+        axis_name = mesh.axis_names[0]
     if checkpoint_every is not None and not checkpoint_file:
         raise ValueError("checkpoint_every requires checkpoint_file")
 

@@ -246,20 +246,25 @@ class HMCSampler:
         # drawn length are masked to identity (static shapes under jit)
         n_used = jr.randint(k_jit, (), (self.n_leapfrog + 1) // 2, self.n_leapfrog + 1)
 
+        # the entry gradient of each step equals the previous step's exit
+        # gradient: thread it through the scan (n_leapfrog + 1 gradient
+        # evaluations per trajectory instead of 2 n_leapfrog)
+        _, g0 = self._logp_and_grad(x)
+        g0 = jnp.where(jnp.isfinite(g0), g0, 0.0)
+
         def leapfrog(carry, i):
-            q, p = carry
-            _, g = self._logp_and_grad(q)
-            g = jnp.where(jnp.isfinite(g), g, 0.0)
+            q, p, g = carry
             p2 = p + 0.5 * eps * g
             q2 = q + eps * inv_mass * p2
             _, g2 = self._logp_and_grad(q2)
             g2 = jnp.where(jnp.isfinite(g2), g2, 0.0)
             p2 = p2 + 0.5 * eps * g2
             active = i < n_used
-            return (jnp.where(active, q2, q), jnp.where(active, p2, p)), ()
+            return (jnp.where(active, q2, q), jnp.where(active, p2, p),
+                    jnp.where(active, g2, g)), ()
 
-        (q_new, p_new), _ = jax.lax.scan(leapfrog, (x, p0),
-                                         jnp.arange(self.n_leapfrog))
+        (q_new, p_new, _), _ = jax.lax.scan(leapfrog, (x, p0, g0),
+                                            jnp.arange(self.n_leapfrog))
         logp_new = self._log_prob_fn(q_new)
         h0 = logp - 0.5 * jnp.sum(p0 * p0 * inv_mass)
         h1 = logp_new - 0.5 * jnp.sum(p_new * p_new * inv_mass)

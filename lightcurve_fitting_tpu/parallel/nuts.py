@@ -51,17 +51,18 @@ def _validate_chain_mesh(mesh, axis_name, nchains):
     return axis_name
 
 
-def _leapfrog(logp_and_grad, q, p, eps, inv_mass):
-    """One kick-drift-kick step; NaN-safe gradients (out-of-support points
-    carry zero gradient and are killed by their -inf weight instead)."""
-    _, g = logp_and_grad(q)
-    g = jnp.where(jnp.isfinite(g), g, 0.0)
+def _leapfrog(logp_and_grad, q, p, g, eps, inv_mass):
+    """One kick-drift-kick step reusing the entry gradient ``g`` (it equals
+    the previous step's exit gradient, so threading it through the trajectory
+    halves the gradient evaluations — the dominant NUTS cost); NaN-safe
+    gradients (out-of-support points carry zero gradient and are killed by
+    their -inf weight instead). Returns (q, p, logp, exit gradient)."""
     p = p + 0.5 * eps * g
     q = q + eps * inv_mass * p
     logp, g2 = logp_and_grad(q)
     g2 = jnp.where(jnp.isfinite(g2), g2, 0.0)
     p = p + 0.5 * eps * g2
-    return q, p, logp
+    return q, p, logp, g2
 
 
 def _subtree_turns(Q, P, n_new, direction, inv_mass, max_len):
@@ -116,9 +117,16 @@ def make_nuts_transition(log_prob_fn, ndim, max_depth=8):
             logps = jnp.zeros((max_len,), q0.dtype)
             alphas = jnp.zeros((max_len,), q0.dtype)
 
+            # one gradient evaluation seeds the subtree; every later step
+            # reuses its predecessor's exit gradient (n_steps + 1 evals per
+            # subtree instead of 2 n_steps)
+            _, g_e = logp_and_grad(end_q)
+            g_e = jnp.where(jnp.isfinite(g_e), g_e, 0.0)
+
             def body(i, carry):
-                q, p, Q, P, logw, logps, alphas = carry
-                q, p, logp = _leapfrog(logp_and_grad, q, p, direction * eps, inv_mass)
+                q, p, g, Q, P, logw, logps, alphas = carry
+                q, p, logp, g = _leapfrog(logp_and_grad, q, p, g,
+                                          direction * eps, inv_mass)
                 h = -logp + 0.5 * jnp.sum(p * p * inv_mass)
                 h = jnp.where(jnp.isnan(h), jnp.inf, h)
                 Q = Q.at[i].set(q)
@@ -126,10 +134,10 @@ def make_nuts_transition(log_prob_fn, ndim, max_depth=8):
                 logw = logw.at[i].set(h0 - h)
                 logps = logps.at[i].set(logp)
                 alphas = alphas.at[i].set(jnp.minimum(1.0, jnp.exp(h0 - h)))
-                return q, p, Q, P, logw, logps, alphas
+                return q, p, g, Q, P, logw, logps, alphas
 
-            q_e, p_e, Q, P, logw, logps, alphas = jax.lax.fori_loop(
-                0, n_steps, body, (end_q, end_p, Q, P, logw, logps, alphas))
+            q_e, p_e, _g_e, Q, P, logw, logps, alphas = jax.lax.fori_loop(
+                0, n_steps, body, (end_q, end_p, g_e, Q, P, logw, logps, alphas))
 
             in_range = jnp.arange(max_len) < n_steps
             diverged = jnp.any(in_range & (logw < -_DIVERGENCE))
@@ -262,6 +270,9 @@ class NUTSSampler:
                          else np.full(self.ndim, np.nan)),
             "nchains": self.nchains,
             "ndim": self.ndim,
+            # the tree budget is baked into the compiled transition: a resume
+            # with a different max_depth would silently fork the chain
+            "max_depth": self.max_depth,
         }
         for k, v in (extra or {}).items():
             state["extra_" + k] = v
@@ -275,6 +286,11 @@ class NUTSSampler:
             raise ValueError("checkpoint shape mismatch: "
                              f"{int(data['nchains'])}x{int(data['ndim'])} vs "
                              f"{self.nchains}x{self.ndim}")
+        if "max_depth" in data and int(data["max_depth"]) != self.max_depth:
+            raise ValueError(f"checkpoint max_depth mismatch: "
+                             f"{int(data['max_depth'])} vs {self.max_depth}; "
+                             "resume with the original setting for an exact "
+                             "continuation")
         self._base_key = jr.wrap_key_data(jnp.asarray(data["key"]))
         self._draw_count = int(data["draw_count"])
         self._last_pos = np.asarray(data["pos"])

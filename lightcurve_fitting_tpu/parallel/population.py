@@ -27,10 +27,11 @@ __all__ = ["pack_population", "fit_population",
            "population_goodness_of_fit", "population_information_criteria",
            "population_compare_elpd"]
 
-_COMPILED_CACHE = {}
-# the GOF kernels close over a model instance: bound like fitting._GOF_CACHE
-# so sweeping model variants cannot accumulate executables forever
+# both caches are LRU-bounded: entries close over model/prior instances and
+# pin compiled executables, so a survey sweeping model variants or population
+# shapes must not accumulate them forever
 from .evidence import _LRUCache as _EvLRUCache  # noqa: E402
+_COMPILED_CACHE = _EvLRUCache(32)
 _POP_GOF_CACHE = _EvLRUCache(16)
 
 
@@ -44,14 +45,9 @@ def _array_digest(a):
 _FINGERPRINT_SKIP = set()
 
 
-def _model_fingerprint(model):
-    """Hashable digest of the instance constants a jitted closure over
-    ``model._eval_points`` bakes in (ShockCooling n/A/a/alpha/epsilon_*,
-    cutoff_freq, z, ...). The compiled-kernel caches MUST key on this, not
-    just the class name: two same-shape fits with n=1.5 vs n=3.0 compile
-    different physics. Underscore attributes are included too (skipping only
-    known memo caches), and dict attributes digest their scalar/array values
-    — constants are fingerprinted wherever the instance stores them."""
+def _vars_digest(obj, skip=()):
+    """Hashable digest of every instance attribute (scalars, arrays, dicts,
+    sequences; callables/objects reduce to their type name)."""
     def _digest(v):
         if isinstance(v, (int, float, bool, str, type(None))):
             return v
@@ -63,23 +59,27 @@ def _model_fingerprint(model):
             return tuple(_digest(vv) for vv in v)
         return type(v).__name__  # callables/objects: identity-free marker
 
-    items = []
-    for k in sorted(vars(model)):
-        if k in _FINGERPRINT_SKIP:
-            continue
-        items.append((k, _digest(vars(model)[k])))
-    return (type(model).__name__, tuple(items))
+    return tuple((k, _digest(vars(obj)[k])) for k in sorted(vars(obj))
+                 if k not in skip)
+
+
+def _model_fingerprint(model):
+    """Hashable digest of the instance constants a jitted closure over
+    ``model._eval_points`` bakes in (ShockCooling n/A/a/alpha/epsilon_*,
+    cutoff_freq, z, ...). The compiled-kernel caches MUST key on this, not
+    just the class name: two same-shape fits with n=1.5 vs n=3.0 compile
+    different physics. Underscore attributes are included too (skipping only
+    known memo caches), and dict attributes digest their scalar/array values
+    — constants are fingerprinted wherever the instance stores them."""
+    return (type(model).__name__, _vars_digest(model, skip=_FINGERPRINT_SKIP))
 
 
 def _prior_fingerprint(p):
-    """Hashable digest of one prior, including a KDEPrior's baked-in sample
-    array + bandwidth (not just its bounds)."""
-    base = (type(p).__name__, getattr(p, "p_min", None), getattr(p, "p_max", None),
-            getattr(p, "mean", None), getattr(p, "stddev", None))
-    samples = getattr(p, "samples", None)
-    if samples is not None:
-        base = base + (_array_digest(samples), getattr(p, "bandwidth", None))
-    return base
+    """Hashable digest of one prior: type name + EVERY instance attribute
+    (compiled-kernel caches bake the prior density into their closures, so a
+    user-defined Prior subclass whose density depends on any extra attribute
+    must not collide with a same-bounds sibling)."""
+    return (type(p).__name__, _vars_digest(p))
 
 
 def pack_population(models, lcs, use_sigma=False):
@@ -349,7 +349,7 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
         if init == "map":
             map_key = ("mapseed", model_sig, prior_sig,
                        packed["t"].shape, n_map_starts, n_map_iter, use_sigma,
-                       sigma_type)
+                       sigma_type, dt)  # dt: the compute dtype is baked in
             return _map_seeded_guesses(make_logpost, packed, priors, p_lo, p_up,
                                        S, nwalkers, ndim, n_map_starts,
                                        n_map_iter, rng, cache_key=map_key)
@@ -380,9 +380,13 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
             keys = jax.vmap(lambda i: jr.fold_in(key_s, i))(idx)
             (x, logp), (xs, lps, acc) = jax.lax.scan(step, (x_s, logp_s), keys)
             if collect:
-                # float32 chains: posterior summaries are unaffected and the
-                # host transfer halves (it dominates on remote devices)
-                return x, logp, xs.astype(jnp.float32), acc
+                # rescaled (q-space, O(1)) state ships float32 chains: the
+                # summaries are unaffected and the host transfer halves (it
+                # dominates on remote devices). ABSOLUTE f64 state must NOT
+                # downcast — f32 would quantize an MJD-scale t_0 at ~6 min
+                # (the hazard pack_population's time-padding comment guards)
+                xs_out = xs.astype(jnp.float32) if use_f32_state else xs
+                return x, logp, xs_out, acc
             return x, logp
         return seg_one
 
@@ -393,7 +397,8 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
                   packed["quad"]["nodes"].shape if "nodes" in packed["quad"] else None,
                   nwalkers, use_sigma, sigma_type, a, dt, use_f32_state,
                   None if q_off is None else (tuple(q_off), tuple(q_sc)),
-                  None if mesh is None else (tuple(mesh.shape.items()), axis_name))
+                  None if mesh is None else (tuple(mesh.shape.items()), axis_name,
+                                             tuple(d.id for d in mesh.devices.flat)))
 
     spec = P(axis_name) if mesh is not None else None
     quad_spec = (jax.tree.map(lambda _: spec, packed["quad"])
@@ -804,6 +809,20 @@ def population_compare_elpd(ics, labels, quiet=False):
         if len(ic["pointwise"]) != S:
             raise ValueError("families were scored on different numbers of "
                              "transients")
+    # population_information_criteria leaves pointwise[s] = None for a
+    # transient with too few finite draws; a one-sided comparison is
+    # meaningless, so such transients are excluded (and reported) rather
+    # than crashing the whole survey comparison
+    skipped = [s for s in range(S)
+               if any(ic["pointwise"][s] is None for ic in ics)]
+    if skipped and not quiet:
+        print(f"excluding {len(skipped)} transient(s) with no finite scores "
+              f"in at least one family: {skipped}")
+    kept = [s for s in range(S) if s not in set(skipped)]
+    if not kept:
+        raise ValueError("no transient has finite scores in every family")
+    ics = [{"pointwise": [ic["pointwise"][s] for s in kept]} for ic in ics]
+    S = len(kept)
     elpd = np.empty((K, S))
     d_elpd = np.empty((K, S))
     se_d = np.empty((K, S))
@@ -839,7 +858,9 @@ def population_compare_elpd(ics, labels, quiet=False):
            "se_d_elpd": se_d, "stacking_weight": w, "best": best_idx,
            "total_elpd": total, "total_d_elpd": total - total[tbest],
            "total_se_d_elpd": total_se,
-           "n_best": np.bincount(best_idx, minlength=K)}
+           "n_best": np.bincount(best_idx, minlength=K),
+           # original-survey indexing of the compared columns + exclusions
+           "transients": np.asarray(kept), "skipped": np.asarray(skipped)}
     if not quiet:
         order = np.argsort(-total)
         print(f"survey model comparison over {S} transients (best first):")

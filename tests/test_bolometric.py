@@ -497,3 +497,40 @@ def test_calculate_bolometric_summaries_only_matches_chain_path(tmp_path):
         np.testing.assert_allclose(np.asarray(t_fast[col], float),
                                    np.asarray(t_full[col], float), rtol=1e-12)
     plt.close("all")
+
+
+def test_batch_mode_respects_kde_chaining(tmp_path):
+    """batch_mode with min_nfilt=1 and a [multi, single, multi] epoch order:
+    the multi-filter epoch AFTER the chaining event must fit sequentially
+    with the mutated (KDE) prior — pre-batching it with the original priors
+    diverged from the sequential statistics."""
+    from lightcurve_fitting_tpu.models import planck_fast
+    rng = np.random.default_rng(3)
+    rows_t, rows_f, rows_m, rows_dm = [], [], [], []
+    T_true, R_true = 9.0, 8.0
+    for mjd, bands in [(57500.0, ["B", "V", "r", "i"]), (57501.0, ["r"]),
+                       (57502.0, ["B", "V", "r", "i"])]:
+        for b in bands:
+            f = filtdict[b]
+            lum = f.synthesize(planck_fast, T_true, R_true)
+            mag = -2.5 * np.log10(lum) + f.m0 + 90.19 + 30.0
+            rows_t.append(mjd)
+            rows_f.append(b)
+            rows_m.append(mag + rng.normal(scale=0.02))
+            rows_dm.append(0.02)
+    lc = LC([np.array(rows_t), np.array(rows_m), np.array(rows_dm), np.array(rows_f)],
+            names=["MJD", "mag", "dmag", "filter"])
+    lc.meta.update(dm=30.0, redshift=0.0, extinction={})
+    kwargs = dict(res=0.5, nwalkers=10, burnin_steps=80, steps=60,
+                  min_nfilt=1, seed=2, save_corners=False)
+    t_seq = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "s"),
+                                     batch_mode=False, **kwargs)
+    t_bat = bol.calculate_bolometric(lc.copy(), outpath=str(tmp_path / "b"),
+                                     batch_mode=True, mesh=False, **kwargs)
+    temp_s = np.asarray(t_seq["temp_mcmc"], float)
+    temp_b = np.asarray(t_bat["temp_mcmc"], float)
+    assert len(temp_s) == len(temp_b) == 3
+    assert np.isfinite(temp_s).all() and np.isfinite(temp_b).all()
+    # same statistics in both modes, including the post-chaining epoch
+    np.testing.assert_allclose(temp_b, temp_s, rtol=0.25)
+    plt.close("all")
