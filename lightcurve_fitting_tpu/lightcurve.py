@@ -394,7 +394,10 @@ class LC(Table):
                 # loud error, as in the reference (lightcurve.py:497-509)
                 if requested not in fallbacks:
                     raise Exception(f'no columns found for {axis}-axis ("{requested}")')
-                chain = fallbacks[fallbacks.index(requested) + 1:]
+                # the reference falls back in BOTH directions within the
+                # recognized pair (phase <-> MJD, absmag <-> mag,
+                # lightcurve.py:497-509): try the others in chain order
+                chain = [c for c in fallbacks if c != requested]
                 requested = next((c for c in chain if c in self.keys()), None)
                 if requested is None:
                     raise Exception(f"no columns found for {axis}-axis")
@@ -801,7 +804,9 @@ def flux2mag(flux, dflux=np.array(np.nan), zp=0.0, nondet=None, nondetSigmas=3.0
     positive = fdata > 0.0
     with np.errstate(divide="ignore", invalid="ignore"):
         mag = np.where(positive, -2.5 * np.log10(np.where(positive, fdata, 1.0)), -np.inf) + zp
-        dmag = np.asarray(dflux) / (fdata * _LN10_OVER_2P5)
+        # masked uncertainties become NaN, not the fill value (a dmag of 0
+        # would be infinite weight downstream)
+        dmag = np.ma.filled(np.ma.MaskedArray(dflux), np.nan) / (fdata * _LN10_OVER_2P5)
     return mag, dmag
 
 

@@ -84,7 +84,7 @@ _FLAM = "erg / (Angstrom cm2 s)"
 def _parse_flux_unit(bunit):
     """Scale factor and kind ('flam'|'fnu') for a flux-unit string."""
     s = str(bunit).strip()
-    m = re.match(r"^\s*(10[*^]?\(?-?\d+\)?|1e-?\d+|\d+(\.\d+)?[eE]-?\d+)\s*(.*)$", s)
+    m = re.match(r"^\s*(10(?:\*\*|[*^])?\(?-?\d+\)?|1e-?\d+|\d+(\.\d+)?[eE]-?\d+)\s*(.*)$", s)
     scale = 1.0
     if m and m.group(3):
         token = m.group(1).replace("10**", "1e").replace("10^", "1e").replace(
@@ -117,7 +117,7 @@ def convert_spectrum_units(wl, flux, hdr, default_bunit="erg / (Angstrom cm2 s)"
         else default_cunit
     if cunit is None:
         cunit = default_cunit
-    cunit = str(cunit).strip().rstrip("s").lower() or "angstrom"
+    cunit = str(cunit).strip().lower().rstrip("s") or "angstrom"
     wl = np.asarray(wl, float)
     wl_aa = {"angstrom": 1.0, "a": 1.0, "aa": 1.0, "nm": 10.0, "um": 1e4,
              "micron": 1e4, "micrometer": 1e4, "m": 1e10, "pixel": 1.0,
@@ -269,7 +269,15 @@ def _read_raw_spectrum(f):
     if ext == ".fits":
         return readfitsspec(f, header=True)
     if ext == ".json":
-        return readOSCspec(f)
+        # readOSCspec returns per-spectrum LISTS; this helper's contract is
+        # one (x, y, hdr). Take the first spectrum and map its OSC metadata
+        # onto the header cards the downstream date/unit heuristics read.
+        names, times, tel, inst, wl, fx, _ = readOSCspec(f)
+        if not len(times):
+            raise ValueError(f"no spectra found in OSC file {f}")
+        hdr = {"MJD-OBS": times[0].mjd, "TELESCOP": tel[0],
+               "INSTRUME": inst[0], "CUNIT1": "nm"}  # readOSCspec emits nm
+        return np.asarray(wl[0], float), np.asarray(fx[0], float), hdr
     t = Table.read(f, format="ascii")
     hdr = {}
     for line in t.meta.get("comments", []):

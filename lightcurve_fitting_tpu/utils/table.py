@@ -137,8 +137,6 @@ def _coerce_column(data, name=None, dtype=None, length=None):
     if isinstance(data, np.ma.MaskedArray):
         return Column(data, name=name, dtype=dtype)
     arr = np.asarray(data, dtype=dtype)
-    if arr.dtype.kind == "U" and dtype is None:
-        pass
     return Column(np.ma.MaskedArray(arr), name=name)
 
 
@@ -176,8 +174,10 @@ class Table:
         elif isinstance(data, Table):
             for n in data.colnames:
                 self.columns[n] = data[n].copy()
+            # explicit meta= wins over the source table's (astropy semantics)
+            explicit_meta = self.meta
             self.meta = dict(data.meta)
-            self.meta.update(self.meta)
+            self.meta.update(explicit_meta)
         elif isinstance(data, Row):
             for n in data.colnames:
                 self.columns[n] = _coerce_column([data[n]], name=n)
@@ -333,6 +333,9 @@ class Table:
         self[name] = col
 
     def add_row(self, vals, mask=None):
+        if len(vals) != len(self.colnames):
+            raise ValueError(f"row has {len(vals)} values for "
+                             f"{len(self.colnames)} columns")
         if mask is None:
             mask = [False] * len(vals)
         for n, v, m in zip(self.colnames, vals, mask):

@@ -228,3 +228,31 @@ def test_plot_unknown_column_raises(lc):
         lc.plot(ycol="bogus_quantity")
     with pytest.raises(Exception, match="no columns found"):
         lc.plot(xcol="bogus_x")
+
+
+def test_flux2mag_masked_uncertainty_stays_nan():
+    """A masked dflux must become NaN dmag, not the 0 fill value (infinite
+    weight downstream)."""
+    from lightcurve_fitting_tpu.lightcurve import flux2mag
+    flux = np.ma.MaskedArray([10.0, 10.0])
+    dflux = np.ma.MaskedArray([1.0, 1.0], mask=[True, False])
+    mag, dmag = flux2mag(flux, dflux, zp=25.0)
+    assert np.isnan(dmag[0]) and np.isfinite(dmag[1]) and dmag[1] > 0
+
+
+def test_plot_column_fallback_is_bidirectional(tmp_path):
+    """plot(xcol='MJD') on a phase-only table falls back to phase (and
+    mag -> absmag), like the reference's while/remove loop."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from lightcurve_fitting_tpu.filters import filtdict
+    lc = LC([[1.0, 2.0], [18.0, 18.5], [0.1, 0.1],
+             [filtdict["g"], filtdict["r"]]],
+            names=["phase", "absmag", "dmag", "filter"])
+    plt.figure()
+    lc.plot(xcol="MJD", ycol="mag", appmag_axis=False)  # falls back silently
+    plt.close("all")
+    with pytest.raises(Exception):
+        lc.plot(xcol="bogus")
+    plt.close("all")

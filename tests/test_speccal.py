@@ -207,3 +207,42 @@ def test_calibrate_spectra_polynomial_warp(tmp_path):
     mask = (wl > 4000) & (wl < 7800)
     assert np.median(recovered[mask]) == pytest.approx(1.0, abs=0.1)
     assert np.std(recovered[mask]) < 0.1
+
+
+def test_flux_unit_scale_prefixes():
+    """IRAF-style 10**(-15) / 10**-15 / 10^-15 BUNIT prefixes parse."""
+    from lightcurve_fitting_tpu.speccal import _parse_flux_unit
+    for b in ["10**(-15) erg/cm2/s/A", "10**-15 erg/cm2/s/A",
+              "10^-15 erg/cm2/s/A"]:
+        scale, kind = _parse_flux_unit(b)
+        assert scale == pytest.approx(1e-15) and kind == "flam", b
+
+
+def test_cunit_uppercase_plural():
+    """CUNIT1='MICRONS' scales to angstroms (lowercase before de-plural)."""
+    from lightcurve_fitting_tpu.speccal import convert_spectrum_units
+    wl, fx = convert_spectrum_units(np.array([0.5]), np.array([1.0]),
+                                    {"CUNIT1": "MICRONS"})
+    assert wl[0] == pytest.approx(0.5e4)
+
+
+def test_readspec_osc_json(tmp_path):
+    """readspec on an Open-Astronomy-Catalog JSON takes the first spectrum
+    with its own date/telescope metadata (the raw-reader contract used to
+    crash on unpacking)."""
+    import json as _json
+    from lightcurve_fitting_tpu.speccal import readspec
+    data = {"SN2020abc": {"spectra": [
+        {"time": "57500.0", "u_time": "MJD", "telescope": "ExampleScope",
+         "instrument": "Spec1", "filename": "spec1.dat",
+         "data": [["4000.0", "1.0e-15"], ["5000.0", "2.0e-15"],
+                  ["6000.0", "1.5e-15"]]},
+        {"time": "57510.0", "u_time": "MJD", "filename": "spec2.dat",
+         "data": [["4000.0", "9.0e-16"], ["6000.0", "8.0e-16"]]}]}}
+    p = tmp_path / "SN2020abc.json"
+    p.write_text(_json.dumps(data))
+    x, y, date, tel, inst = readspec(str(p))
+    np.testing.assert_allclose(x, [4000.0, 5000.0, 6000.0])
+    np.testing.assert_allclose(y, [1.0e-15, 2.0e-15, 1.5e-15])
+    assert date.mjd == pytest.approx(57500.0)
+    assert tel == "ExampleScope" and inst == "Spec1"

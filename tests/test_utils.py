@@ -134,3 +134,22 @@ def test_device_photometry_twins_match_host():
     m_h, dm_h = flux2mag(f_h.copy(), df_h.copy(), zp, nondet)
     m_d, dm_d = flux2mag_jax(f_d, df_d, jnp.asarray(zp), jnp.asarray(nondet))
     np.testing.assert_allclose(np.asarray(m_d), m_h, rtol=1e-10, equal_nan=True)
+
+
+def test_table_explicit_meta_wins_over_source():
+    """Table(other, meta=...) must honor the explicit meta (astropy
+    semantics), merged over the source table's."""
+    from lightcurve_fitting_tpu.utils.table import Table
+    t = Table([[1.0]], names=["a"])
+    t.meta.update(x=1, y=0)
+    t2 = Table(t, meta={"y": 2})
+    assert t2.meta == {"x": 1, "y": 2}
+
+
+def test_table_add_row_length_checked():
+    from lightcurve_fitting_tpu.utils.table import Table
+    t = Table([[1.0], [2.0]], names=["a", "b"])
+    with pytest.raises(ValueError):
+        t.add_row([3.0])
+    t.add_row([3.0, 4.0])
+    assert len(t) == 2 and len(t["a"]) == len(t["b"]) == 2
