@@ -27,6 +27,7 @@ from scipy.optimize import curve_fit, OptimizeWarning
 
 from .filters import filtdict, extinction_law
 from .models import planck_fast, UniformPrior, LogUniformPrior, GaussianPrior, KDEPrior
+from .models.base import intrinsic_scatter_units
 from .models.blackbody import planck_lnu
 from .lightcurve import LC
 from .parallel.sampler import EnsembleSampler
@@ -112,12 +113,7 @@ def _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, spectrum_kwargs,
         def spec_fn(nu, *p):
             return spectrum(nu, *[pp[..., None] for pp in p], **spectrum_kwargs)
 
-    if sigma_type == "relative":
-        sigma_units = dy
-    elif sigma_type == "absolute":
-        sigma_units = jnp.asarray(float(np.median(dy_np)) / yscale)
-    else:
-        raise Exception('sigma_type must either be "relative" or "absolute"')
+    sigma_units = intrinsic_scatter_units(dy, sigma_type)
 
     def log_posterior(p):
         log_prior = 0.0
@@ -193,7 +189,7 @@ def spectrum_mcmc(spectrum, epoch1, priors, starting_guesses, z=0.0, ebv=0.0,
         filters = list(epoch1["filter"])
         y_np = np.asarray(epoch1["lum"], float)
         dy_np = np.asarray(epoch1["dlum"], float)
-        sigma_units = dy_np if sigma_type == "relative" else np.median(dy_np)
+        sigma_units = intrinsic_scatter_units(dy_np, sigma_type, xp=np)
 
         def log_posterior_host(p):
             log_prior = 0.0

@@ -21,7 +21,27 @@ import jax.numpy as jnp
 from ..ops.filterbank import FilterBank
 from ..utils import units as u
 
-__all__ = ["Model", "format_unit"]
+__all__ = ["Model", "format_unit", "intrinsic_scatter_units"]
+
+
+def intrinsic_scatter_units(dy, sigma_type, mask=None, xp=jnp, dt=None):
+    """Units of the intrinsic-scatter parameter sigma (reference
+    models.py:116-129): the per-point uncertainties for ``'relative'``, their
+    median — over real (unmasked) points only — for ``'absolute'``.
+
+    ONE definition shared by every likelihood kernel (single-LC, batched
+    bolometric, population, population GOF) AND the SBC generative model:
+    simulation-based calibration is only valid if the generator and the
+    likelihood use the exact same convention. ``xp`` selects numpy (host) or
+    jax.numpy (traced); ``dt`` optionally casts to the hot-path dtype."""
+    if sigma_type == "relative":
+        units = dy
+    elif sigma_type == "absolute":
+        units = (xp.median(dy) if mask is None
+                 else xp.nanmedian(xp.where(mask, dy, xp.nan)))
+    else:
+        raise Exception('sigma_type must either be "relative" or "absolute"')
+    return units if dt is None else units.astype(dt)
 
 
 def format_unit(unit):
@@ -226,12 +246,7 @@ class Model:
         y = np.asarray(y, float)
         dy = np.asarray(dy, float)
         yscale = float(np.median(np.abs(y[y != 0]))) if np.any(y != 0) else 1.0
-        if sigma_type == "relative":
-            sigma_units = dy / yscale
-        elif sigma_type == "absolute":
-            sigma_units = float(np.median(dy)) / yscale
-        else:
-            raise Exception('sigma_type must either be "relative" or "absolute"')
+        sigma_units = intrinsic_scatter_units(dy / yscale, sigma_type, xp=np)
         return yscale, y / yscale, dy / yscale, sigma_units
 
     def make_log_likelihood_arrays(self, t, f, y, dy, use_sigma=False, sigma_type="relative"):

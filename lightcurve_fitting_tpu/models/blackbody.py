@@ -63,9 +63,12 @@ def bandflux_pointwise(nodes_emit, weights, T, R, cutoff_freq=np.inf, k_ext=None
         R = R.astype(dt)
     lnu = planck_lnu(nodes_emit, T[..., None], R[..., None], cutoff_freq)
     if k_ext is not None:
+        ebv = jnp.asarray(ebv)
         if dt is not None:
             k_ext = k_ext.astype(dt)
-            ebv = jnp.asarray(ebv).astype(dt)
+            ebv = ebv.astype(dt)
+        if ebv.ndim:                       # per-point E(B-V): (..., N) -> (..., N, 1)
+            ebv = ebv[..., None]
         lnu = lnu * jnp.exp(k_ext * ebv * (-0.4 * jnp.log(10.0)))
     return jnp.sum(weights * lnu, axis=-1).astype(out_dtype)
 

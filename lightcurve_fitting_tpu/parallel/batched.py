@@ -16,6 +16,7 @@ from jax import shard_map
 from jax.sharding import PartitionSpec as P
 
 from ..models.blackbody import planck_lnu
+from ..models.base import intrinsic_scatter_units
 from .sampler import make_stretch_kernel
 
 __all__ = ["pack_epochs", "batched_blackbody_mcmc", "batched_map_centers"]
@@ -60,12 +61,8 @@ def _make_epoch_logpost(priors, cutoff_freq, use_sigma, sigma_type, dt):
         inv_yscale = 1.0 / yscale_e
         y_s = y_e * inv_yscale
         dy_s = dy_e * inv_yscale
-        if sigma_type == "relative":
-            sigma_units = dy_s if dt is None else dy_s.astype(dt)
-        else:
-            # median over real bands only
-            med = jnp.nanmedian(jnp.where(mask_e, dy_s, jnp.nan))
-            sigma_units = med if dt is None else med.astype(dt)
+        sigma_units = intrinsic_scatter_units(dy_s, sigma_type, mask=mask_e,
+                                              dt=dt)
         log_norm = -0.5 * jnp.sum(jnp.where(mask_e, jnp.log(2 * jnp.pi * dy_s ** 2.0), 0.0))
         yn_h = y_s if dt is None else y_s.astype(dt)
         dyn_h = dy_s if dt is None else dy_s.astype(dt)
@@ -211,6 +208,8 @@ def batched_blackbody_mcmc(packed, priors, starting_guesses, nwalkers, burnin_st
         (16th, 50th, 84th percentile). Only present when ``summaries`` is set.
     """
     ndim = len(priors)
+    if nwalkers % 2:
+        raise ValueError("nwalkers must be even")
     half = nwalkers // 2
     E = packed["y"].shape[0]
     if state_dtype == "auto":
@@ -323,11 +322,9 @@ def batched_map_centers(packed, priors, cutoff_freq=np.inf, use_sigma=False,
     from ..core import config
     dt = config.get_compute_dtype()
     logpost_for = _make_epoch_logpost(priors, cutoff_freq, use_sigma, sigma_type, dt)
-    bounds = BoundsTransform([getattr(p, "p_min", -np.inf) for p in priors],
-                             [getattr(p, "p_max", np.inf) for p in priors])
-
     lo = np.array([getattr(p, "p_min", -np.inf) for p in priors])
     up = np.array([getattr(p, "p_max", np.inf) for p in priors])
+    bounds = BoundsTransform(lo, up)
     # candidate box: prior support clipped to a generous physical window;
     # log-uniform sampling covers the decades evenly (T and R priors span
     # 2-5 decades)

@@ -22,6 +22,7 @@ from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
 from .sampler import make_stretch_kernel
+from ..models.base import intrinsic_scatter_units
 
 __all__ = ["pack_population", "fit_population",
            "population_goodness_of_fit", "population_information_criteria",
@@ -307,11 +308,8 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
         inv = 1.0 / yscale_s
         yn = y_s * inv
         dyn = dy_s * inv
-        if sigma_type == "relative":
-            sigma_units = (dyn if dt is None else dyn.astype(dt))
-        else:
-            med = jnp.nanmedian(jnp.where(mask_s, dyn, jnp.nan))
-            sigma_units = med if dt is None else med.astype(dt)
+        sigma_units = intrinsic_scatter_units(dyn, sigma_type, mask=mask_s,
+                                              dt=dt)
         # constant Gaussian normalization: computed once outside the scan
         log_norm = -0.5 * jnp.sum(jnp.where(mask_s, jnp.log(2 * jnp.pi * dyn ** 2.0), 0.0))
         # residual arithmetic in the hot-path dtype (O(1) after normalization)
@@ -619,13 +617,7 @@ def population_goodness_of_fit(models, lcs, flatchains, use_sigma=False,
             inv = 1.0 / yscale_s
             yn = y_s * inv
             dyn = dy_s * inv
-            if sigma_type == "relative":
-                sigma_units = dyn
-            elif sigma_type == "absolute":
-                sigma_units = jnp.nanmedian(jnp.where(mask_s, dyn, jnp.nan))
-            else:
-                raise Exception('sigma_type must either be "relative" or '
-                                '"absolute"')
+            sigma_units = intrinsic_scatter_units(dyn, sigma_type, mask=mask_s)
 
             def one(p):
                 y_fit = model._eval_points(t_s, quad_s,
@@ -718,13 +710,7 @@ def population_information_criteria(models, lcs, flatchains, use_sigma=False,
             inv = 1.0 / yscale_s
             yn = y_s * inv
             dyn = dy_s * inv
-            if sigma_type == "relative":
-                sigma_units = dyn
-            elif sigma_type == "absolute":
-                sigma_units = jnp.nanmedian(jnp.where(mask_s, dyn, jnp.nan))
-            else:
-                raise Exception('sigma_type must either be "relative" or '
-                                '"absolute"')
+            sigma_units = intrinsic_scatter_units(dyn, sigma_type, mask=mask_s)
 
             def one(p):
                 y_fit = model._eval_points(t_s, quad_s,

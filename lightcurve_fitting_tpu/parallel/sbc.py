@@ -17,6 +17,8 @@ cost seconds — SBC as a routine check rather than a cluster job.
 
 import numpy as np
 
+from ..models.base import intrinsic_scatter_units
+
 __all__ = ["simulation_based_calibration", "rank_statistic", "plot_sbc"]
 
 
@@ -148,13 +150,9 @@ def simulation_based_calibration(model, priors, times, filters, p_lo=None,
         dy = frac_err * (np.abs(y_true) + floor)
         scale = dy
         if use_sigma:
-            if sigma_type == "relative":
-                sigma_units = dy
-            elif sigma_type == "absolute":
-                sigma_units = np.median(dy)
-            else:
-                raise Exception('sigma_type must either be "relative" or '
-                                '"absolute"')
+            # the generative convention MUST match the likelihood's — one
+            # shared definition (models.base.intrinsic_scatter_units)
+            sigma_units = intrinsic_scatter_units(dy, sigma_type, xp=np)
             scale = np.sqrt(dy ** 2 + (truths[s, -1] * sigma_units) ** 2)
         y = y_true + rng.normal(scale=scale)
         lc = LC([t_full, f_full, y, dy],
@@ -206,8 +204,11 @@ def plot_sbc(result, model=None, n_bins=None, save_plot_as=""):
     S, D = ranks.shape
     L = result["n_ranks"]
     n_bins = _auto_bins(S, n_bins)
-    labels = (model.axis_labels if model is not None
+    labels = (list(model.axis_labels) if model is not None
               else [f"param {d}" for d in range(D)])
+    if len(labels) < D:
+        # a use_sigma run ranks the intrinsic-scatter parameter too
+        labels += [r"$\sigma$"] + [f"param {d}" for d in range(len(labels) + 1, D)]
     fig, axes = plt.subplots(1, D, figsize=(3 * D, 2.8), squeeze=False)
     lo, hi = binom.ppf([0.005, 0.995], S, 1.0 / n_bins)
     for d, ax in enumerate(axes[0]):

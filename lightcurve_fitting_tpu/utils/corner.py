@@ -18,13 +18,24 @@ _LEVELS = 1.0 - np.exp(-0.5 * np.array([0.5, 1.0, 1.5, 2.0]) ** 2)
 
 
 def corner(xs, labels=None, label_kwargs=None, bins=20, color="k",
-           quantiles=None, fig=None, **kwargs):
-    """Corner plot of ``xs`` (nsamples, ndim)."""
+           quantiles=None, fig=None, truths=None, truth_color="#4682b4",
+           **kwargs):
+    """Corner plot of ``xs`` (nsamples, ndim). ``truths`` draws reference
+    lines/points at the given parameter values (corner-package semantics).
+    Other corner-package options are not implemented: unknown keywords warn
+    loudly instead of silently rendering nothing."""
+    if kwargs:
+        import warnings
+        warnings.warn(f"corner() ignoring unsupported option(s) "
+                      f"{sorted(kwargs)}: this self-contained replacement "
+                      "implements labels/bins/color/quantiles/fig/truths only")
     xs = np.atleast_2d(np.asarray(xs, float))
     if xs.ndim != 2:
         raise ValueError("samples must be 2-D (nsamples, ndim)")
     ndim = xs.shape[1]
     label_kwargs = label_kwargs or {}
+    if truths is not None and len(truths) != ndim:
+        raise ValueError(f"truths must have {ndim} entries")
 
     if fig is None:
         factor = 2.0
@@ -61,10 +72,19 @@ def corner(xs, labels=None, label_kwargs=None, bins=20, color="k",
                 if quantiles:
                     for q in np.percentile(xs[:, i], 100.0 * np.asarray(quantiles)):
                         ax.axvline(q, ls="dashed", color=color)
+                if truths is not None and truths[i] is not None:
+                    ax.axvline(truths[i], color=truth_color)
                 ax.set_xlim(ranges[i])
                 ax.set_yticks([])
             else:
                 _hist2d(ax, xs[:, j], xs[:, i], ranges[j], ranges[i], bins, color)
+                if truths is not None:
+                    if truths[j] is not None:
+                        ax.axvline(truths[j], color=truth_color)
+                    if truths[i] is not None:
+                        ax.axhline(truths[i], color=truth_color)
+                    if truths[j] is not None and truths[i] is not None:
+                        ax.plot(truths[j], truths[i], "s", color=truth_color)
             # tick/label housekeeping (labels only on the outer edge)
             if i < ndim - 1:
                 ax.set_xticklabels([])

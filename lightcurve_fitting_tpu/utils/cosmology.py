@@ -31,18 +31,15 @@ class FlatLambdaCDM:
         """Comoving distance in Mpc (Simpson integration, vectorized over z)."""
         z = np.asarray(z, float)
         scalar = z.ndim == 0
-        zf = np.atleast_1d(z)
+        zf = np.atleast_1d(z).astype(float)
         n = 512  # even number of Simpson panels
-        out = np.empty_like(zf)
-        for i, zi in enumerate(zf):
-            if zi <= 0:
-                out[i] = 0.0
-                continue
-            zz = np.linspace(0.0, zi, n + 1)
-            f = 1.0 / self.efunc(zz)
-            h = zi / n
-            out[i] = h / 3.0 * (f[0] + f[-1] + 4.0 * f[1:-1:2].sum() + 2.0 * f[2:-1:2].sum())
-        out *= self.hubble_distance
+        # one (nz, n+1) evaluation: zz[i] = zf[i] * linspace(0, 1)
+        zz = zf[:, None] * np.linspace(0.0, 1.0, n + 1)
+        f = 1.0 / self.efunc(zz)
+        h = zf / n
+        out = h / 3.0 * (f[:, 0] + f[:, -1] + 4.0 * f[:, 1:-1:2].sum(axis=1)
+                         + 2.0 * f[:, 2:-1:2].sum(axis=1))
+        out = np.where(zf > 0, out, 0.0) * self.hubble_distance
         return out[0] if scalar else out
 
     def luminosity_distance(self, z):

@@ -534,3 +534,25 @@ def test_batch_mode_respects_kde_chaining(tmp_path):
     # same statistics in both modes, including the post-chaining epoch
     np.testing.assert_allclose(temp_b, temp_s, rtol=0.25)
     plt.close("all")
+
+
+def test_batched_mcmc_rejects_odd_nwalkers():
+    """Round-4 review fix: batched_blackbody_mcmc raises the same clean
+    ValueError as every sibling ensemble driver instead of a cryptic
+    reshape error inside jit tracing."""
+    from lightcurve_fitting_tpu.ops.filterbank import FilterBank
+    from lightcurve_fitting_tpu.parallel.batched import (
+        pack_epochs, batched_blackbody_mcmc)
+    from lightcurve_fitting_tpu.models import UniformPrior
+    from lightcurve_fitting_tpu.utils.table import Table
+
+    filters = [filtdict[n] for n in ["g", "r"]]
+    bank = FilterBank(filters)
+    epochs = [Table([filters, np.array([1.0, 1.1]), np.array([0.1, 0.1])],
+                    names=["filter", "lum", "dlum"])]
+    packed = pack_epochs(epochs, bank, 0.0)
+    priors = [UniformPrior(1.0, 20.0), UniformPrior(0.1, 10.0)]
+    guesses = np.full((1, 11, 2), 5.0)
+    with pytest.raises(ValueError, match="even"):
+        batched_blackbody_mcmc(packed, priors, guesses, nwalkers=11,
+                               burnin_steps=10, steps=10)

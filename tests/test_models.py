@@ -375,3 +375,21 @@ def test_shockcooling3_fit_recovers_truth():
     y_fit = model(t, f, *med)
     chi2 = np.mean(((y - y_fit) / dy) ** 2)
     assert chi2 < 3.0
+
+
+def test_blackbody_to_filters_pointwise_per_point_ebv():
+    """Round-4 review fix: the pointwise branch must accept a per-point ebv
+    array (the docstring promises ebv broadcastable to T/R, reference
+    models.py:1131-1165) and agree with per-element scalar-ebv calls."""
+    from lightcurve_fitting_tpu.models.blackbody import blackbody_to_filters
+    from lightcurve_fitting_tpu.filters import filtdict
+    filters = [filtdict[n] for n in ["g", "r", "i"]]
+    T = np.array([8.0, 10.0, 12.0])
+    R = np.array([1.0, 2.0, 3.0])
+    ebv = np.array([0.05, 0.1, 0.2])
+    y = blackbody_to_filters(filters, T, R, ebv=ebv)
+    assert y.shape == (3,)
+    for k in range(3):
+        yk = blackbody_to_filters([filters[k]], np.array([T[k]]),
+                                  np.array([R[k]]), ebv=float(ebv[k]))
+        np.testing.assert_allclose(y[k], yk[0], rtol=1e-12)

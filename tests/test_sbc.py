@@ -163,3 +163,16 @@ def test_sbc_end_to_end_shockcooling2(tmp_path):
     assert np.all(res["p_values"] > 1e-3)
     fig = plot_sbc(res, model, save_plot_as=str(tmp_path / "sbc.png"))
     assert (tmp_path / "sbc.png").exists()
+
+
+def test_plot_sbc_use_sigma_pads_labels(tmp_path):
+    """Round-4 review fix: a use_sigma SBC run ranks n_model+1 parameters;
+    plot_sbc(model=...) must pad the model's axis labels with sigma instead
+    of raising IndexError on the last subplot."""
+    import types
+    rng = np.random.default_rng(3)
+    res = {"ranks": rng.integers(0, 64, size=(40, 3)), "n_ranks": 63}
+    model = types.SimpleNamespace(axis_labels=["$T$", "$R$"])
+    fig = plot_sbc(res, model, save_plot_as=str(tmp_path / "s.png"))
+    xlabels = [ax.get_xlabel() for ax in fig.axes]
+    assert xlabels[:2] == ["$T$", "$R$"] and "sigma" in xlabels[2]

@@ -153,3 +153,37 @@ def test_table_add_row_length_checked():
         t.add_row([3.0])
     t.add_row([3.0, 4.0])
     assert len(t) == 2 and len(t["a"]) == len(t["b"]) == 2
+
+
+def test_corner_truths_and_unknown_kwarg_warning():
+    """Round-4 review fixes: corner() draws truth lines (corner-package
+    semantics) and warns loudly on unimplemented corner-package options
+    instead of silently rendering nothing."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from lightcurve_fitting_tpu.utils.corner import corner
+
+    rng = np.random.default_rng(0)
+    xs = rng.normal(size=(200, 3))
+    fig = corner(xs, labels=["a", "b", "c"], truths=[0.0, None, 1.0])
+    # diagonal panel 0 gets an axvline at 0; off-diagonal (2,0) gets both
+    assert any(ln.get_xdata()[0] == 0.0 for ln in fig.axes[0].lines)
+    plt.close(fig)
+    with pytest.warns(UserWarning, match="unsupported"):
+        fig = corner(xs, show_titles=True)
+    plt.close(fig)
+    with pytest.raises(ValueError):
+        corner(xs, truths=[0.0])
+
+
+def test_comoving_distance_vectorized_matches_scalar():
+    """The one-shot (nz, n+1) Simpson evaluation must agree with per-element
+    integration, return 0 at z<=0, and preserve scalar-in/scalar-out."""
+    z = np.array([0.0, 0.01, 0.1, 0.5, 1.0, 3.0])
+    vec = Planck18.comoving_distance(z)
+    scl = np.array([Planck18.comoving_distance(float(zi)) for zi in z])
+    np.testing.assert_allclose(vec, scl, rtol=1e-12)
+    assert vec[0] == 0.0
+    assert np.isscalar(Planck18.comoving_distance(0.5)) or \
+        np.ndim(Planck18.comoving_distance(0.5)) == 0
