@@ -803,7 +803,10 @@ def flux2mag(flux, dflux=np.array(np.nan), zp=0.0, nondet=None, nondetSigmas=3.0
     fdata = np.ma.filled(np.ma.MaskedArray(flux), np.nan)
     positive = fdata > 0.0
     with np.errstate(divide="ignore", invalid="ignore"):
-        mag = np.where(positive, -2.5 * np.log10(np.where(positive, fdata, 1.0)), -np.inf) + zp
+        # the reference's log10 out=-inf fallback sits INSIDE the -2.5
+        # multiply (reference lightcurve.py:908): nonpositive flux maps to
+        # mag = +inf (infinitely faint)
+        mag = np.where(positive, -2.5 * np.log10(np.where(positive, fdata, 1.0)), np.inf) + zp
         # masked uncertainties become NaN, not the fill value (a dmag of 0
         # would be infinite weight downstream)
         dmag = np.ma.filled(np.ma.MaskedArray(dflux), np.nan) / (fdata * _LN10_OVER_2P5)

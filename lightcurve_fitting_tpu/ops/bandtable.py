@@ -107,15 +107,19 @@ class ChebyshevBandTable:
         cheb = np.polynomial.chebyshev
         per_band = []
         self.fit_err = np.empty(B)
+        n_fit = max(4 * self.DEGREES[-1], 512)
         for b in range(B):
             sg = np.linspace(-1.0, 1.0, 2001)           # dense verification grid
             y_true = ln_g(np.exp(log_lo[b] + (sg + 1) / 2 * (log_hi - log_lo[b])), b)
+            # ONE quadrature evaluation of ln g on the fit nodes serves every
+            # degree attempt (the escalation 24->...->48 re-fits, it does not
+            # need to re-integrate; n_fit is degree-independent below 128)
+            u = (log_lo[b] + log_hi) / 2 \
+                + (log_hi - log_lo[b]) / 2 * np.cos(np.pi * np.arange(n_fit + 1) / n_fit)
+            s = 2 * (u - log_lo[b]) / (log_hi - log_lo[b]) - 1
+            y_fit = ln_g(np.exp(u), b)
             for deg in self.DEGREES:
-                n_fit = max(4 * deg, 512)
-                u = (log_lo[b] + log_hi) / 2 \
-                    + (log_hi - log_lo[b]) / 2 * np.cos(np.pi * np.arange(n_fit + 1) / n_fit)
-                s = 2 * (u - log_lo[b]) / (log_hi - log_lo[b]) - 1
-                c = cheb.chebfit(s, ln_g(np.exp(u), b), deg)
+                c = cheb.chebfit(s, y_fit, deg)
                 err = np.max(np.abs(cheb.chebval(sg, c) - y_true))
                 if err < self.tol or deg == self.DEGREES[-1]:
                     break

@@ -24,6 +24,9 @@ def flux2mag_jax(flux, dflux=jnp.nan, zp=0.0, nondet=None, nondetSigmas=3.0):
         flux = jnp.where(nondet, nondetSigmas * dflux, flux)
         dflux = jnp.where(nondet, jnp.nan, dflux)
     pos = flux > 0.0
-    mag = jnp.where(pos, -2.5 * jnp.log10(jnp.where(pos, flux, 1.0)), -jnp.inf) + zp
+    # the reference's log10 out=-inf fallback sits INSIDE the -2.5 multiply
+    # (lightcurve.py:908), so nonpositive flux maps to mag = +inf
+    # (infinitely faint), not -inf
+    mag = jnp.where(pos, -2.5 * jnp.log10(jnp.where(pos, flux, 1.0)), jnp.inf) + zp
     dmag = 2.5 * dflux / (flux * jnp.log(10.0))
     return mag, dmag

@@ -83,7 +83,15 @@ def effective_sample_size(chain, max_lag=None):
             nfft <<= 1
         f = np.fft.rfft(x, n=nfft, axis=0)
         acf = np.fft.irfft(f * np.conjugate(f), n=nfft, axis=0)[:n].real
-        acf = (acf / acf[0]).mean(axis=1)
+        alive = acf[0] > 0.0
+        if not np.any(alive):
+            # zero-variance (pinned/degenerate) parameter: no autocorrelation
+            # to estimate — every draw is "independent", ESS = n*m
+            ess[k] = n * m
+            continue
+        # pinned chains (zero variance) carry no autocorrelation information;
+        # average the normalized ACF over the varying chains only
+        acf = (acf[:, alive] / acf[0][alive]).mean(axis=1)
         # Geyer initial monotone positive sequence
         rho_sum = 0.0
         prev = np.inf

@@ -108,8 +108,22 @@ def fit_population_local_shard(models, lcs, priors, p_lo, p_up, process_id=None,
 
     mine = local_shard(len(lcs), process_id, process_count)
     if len(mine) == 0:
+        # the placeholder must be shape- and type-compatible with non-empty
+        # shards' results (gathers concatenate along axis 0): chains carry
+        # the real nsteps*nwalkers second axis, and return_chains=False
+        # yields None exactly like fit_population does
+        import inspect
+        defaults = {k: v.default for k, v in
+                    inspect.signature(fit_population).parameters.items()
+                    if v.default is not inspect.Parameter.empty}
+        nsteps = fit_kwargs.get("nsteps", defaults["nsteps"])
+        nwalkers = fit_kwargs.get("nwalkers", defaults["nwalkers"])
+        return_chains = fit_kwargs.get("return_chains",
+                                       defaults["return_chains"])
         ndim = len(priors)
-        empty = (np.empty((0, 0, ndim)), np.empty((0,)))
+        flat = (np.empty((0, nsteps * nwalkers, ndim)) if return_chains
+                else None)
+        empty = (flat, np.empty((0,)))
         if fit_kwargs.get("summaries"):
             empty = empty + (np.empty((0, ndim, 3)),)
         return mine, empty

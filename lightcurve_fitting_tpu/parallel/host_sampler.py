@@ -27,6 +27,9 @@ class HostEnsembleSampler:
 
     def run_mcmc(self, initial_state, nsteps, skip_initial_state_check=False, **kwargs):
         if initial_state is None:
+            if not hasattr(self, "_pos"):
+                # same error contract as the jitted EnsembleSampler
+                raise ValueError("no previous state; provide initial_state")
             x = self._pos
             logp = self._pos_logp
         else:

@@ -115,7 +115,10 @@ def psis_smooth(lw):
     S = len(lw)
     lw = lw - lw.max()
     M = int(min(np.ceil(S / 5.0), np.ceil(3.0 * np.sqrt(S))))
-    khat = -np.inf
+    # NaN = "tail too small to estimate" (arviz semantics): it must NOT
+    # read as reliable in `k > 0.7` checks, but a -inf sentinel would read
+    # as CONFIDENTLY reliable, which is the opposite of the truth
+    khat = np.nan
     if M >= 5:
         order = np.argsort(lw)
         cutoff = lw[order[-M - 1]]  # largest non-tail log-weight
@@ -146,7 +149,8 @@ def psis_loo(ll):
     weights w derived from lw_si = -ll_si. Returns a dict with
     ``elpd_loo``, ``p_loo`` (= lppd - elpd_loo), ``looic`` (= -2 elpd),
     ``se_elpd_loo``, ``pareto_k`` (per-point tail shapes; > 0.7 means the
-    importance estimate for that point is unreliable), and ``pointwise``.
+    importance estimate for that point is unreliable, NaN means the chain
+    was too short for a tail fit), and ``pointwise``.
     """
     ll = np.asarray(ll, float)
     S, N = ll.shape

@@ -114,37 +114,8 @@ class ShardedEnsembleSampler(EnsembleSampler):
         result = super().run_mcmc(initial_state, nsteps, **kwargs)
         return result
 
-    def _compiled_run(self, nsteps, thin_by):
-        key = (nsteps, thin_by)
-        if key not in self._run_jit:
-            # rebuild the scan around the sharded step
-            step = self._step
-            store = None if self._store_dtype is None else jnp.dtype(self._store_dtype)
-
-            def run(x, logp, keys):
-                x = jax.lax.with_sharding_constraint(x, self._state_sharding)
-
-                def thinned_step(carry, key_block):
-                    # accept flags summed over the whole thin_by block, as in
-                    # the single-device scan (sampler.py)
-                    def inner(c_acc, k):
-                        c, acc = c_acc
-                        c, out = step(c, k)
-                        return (c, acc + out[2].astype(jnp.int32)), None
-                    acc0 = jnp.zeros(x.shape[:-1], jnp.int32)
-                    (carry, acc), _ = jax.lax.scan(inner, (carry, acc0),
-                                                   key_block[:-1])
-                    carry, out = step(carry, key_block[-1])
-                    n_accept = acc + out[2].astype(jnp.int32)
-                    if store is not None:
-                        out = (out[0].astype(store), out[1].astype(store), out[2])
-                    out = (out[0], out[1], n_accept)
-                    return carry, out
-
-                key_blocks = keys.reshape((nsteps, thin_by) + keys.shape[1:])
-                (x, logp), (xs, logps, accepts) = jax.lax.scan(
-                    thinned_step, (x, logp), key_blocks)
-                return x, logp, xs, logps, accepts
-
-            self._run_jit[key] = jax.jit(run)
-        return self._run_jit[key]
+    def _wrap_run_state(self, x):
+        """The base _compiled_run scan runs unchanged; this hook pins the
+        walker state to the mesh so XLA shards the whole scan (the replicas
+        vmap never applies here — the sharded sampler is replicas=1)."""
+        return jax.lax.with_sharding_constraint(x, self._state_sharding)

@@ -200,6 +200,8 @@ class EnsembleSampler:
             store = None if self._store_dtype is None else jnp.dtype(self._store_dtype)
 
             def run(x, logp, keys):
+                x = self._wrap_run_state(x)
+
                 def thinned_step(carry, key_block):
                     # accept flags are SUMMED over the whole thin_by block
                     # (int32), so acceptance_fraction counts every proposal,
@@ -239,6 +241,13 @@ class EnsembleSampler:
     # state placement, and device output -> host numpy (a global array that
     # spans processes is not fully addressable, so np.asarray cannot read it)
     def _prepare_state(self, x):
+        return x
+
+    def _wrap_run_state(self, x):
+        """In-jit hook on the walker state at the top of the compiled scan;
+        the sharded sampler overrides it with a mesh sharding constraint so
+        ONE _compiled_run serves both (the scan body must never fork again:
+        it drifted once, see the thin_by acceptance-undercount fix)."""
         return x
 
     def _prepare_logp(self, logp):

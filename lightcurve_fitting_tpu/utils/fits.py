@@ -72,10 +72,24 @@ def _read_header(fh):
             if card[8:10] != "= ":
                 continue
             rest = card[10:]
-            if "'" in rest:
-                end = rest.find("'", rest.find("'") + 1)
-                valstr = rest[:end + 1]
-                comment = rest[end + 1:].partition("/")[2]
+            if rest.lstrip().startswith("'"):
+                # string value: the closing quote is the first UNPAIRED
+                # quote — FITS 4.0 escapes a literal quote as '' (an
+                # apostrophe in a numeric card's comment is NOT a string
+                # marker, hence the startswith gate)
+                j = rest.find("'") + 1
+                while True:
+                    k = rest.find("'", j)
+                    if k == -1:           # unterminated: take the whole card
+                        j = len(rest)
+                        break
+                    if rest[k + 1:k + 2] == "'":
+                        j = k + 2         # escaped '' -> keep scanning
+                        continue
+                    j = k + 1
+                    break
+                valstr = rest[:j]
+                comment = rest[j:].partition("/")[2]
             else:
                 valstr, _, comment = rest.partition("/")
             val = _parse_value(valstr)

@@ -61,6 +61,11 @@ def _canon(name):
 class Unit:
     """A product of named unit atoms raised to rational powers, with a scale."""
 
+    # ndarray <op> Unit must dispatch to OUR reflected ops (one array-valued
+    # Quantity), not numpy's elementwise broadcasting over an object scalar
+    # (which yields an object ndarray of per-element Quantities)
+    __array_priority__ = 10000
+
     def __init__(self, powers=None, scale=1.0, latex=None, name=None):
         self.powers = dict(powers or {})
         self.scale = float(scale)
@@ -95,12 +100,18 @@ class Unit:
     def __truediv__(self, other):
         if isinstance(other, Quantity):
             return Quantity(1.0 / other.value, self / other.unit)
+        if isinstance(other, (int, float, np.floating, np.ndarray)):
+            return Quantity(1.0 / np.asarray(other, float), self)
         return self._combine(other, -1)
 
     def __rtruediv__(self, other):
-        if isinstance(other, (int, float, np.floating)):
+        if isinstance(other, (int, float, np.floating, np.ndarray)):
             inv = Unit({a: -p for a, p in self.powers.items()}, 1.0 / self.scale)
-            return Quantity(other, inv) if other != 1 else inv
+            # bare 1/unit is the astropy idiom for the inverse UNIT;
+            # anything else (incl. arrays) is a Quantity
+            if np.ndim(other) == 0 and other == 1:
+                return inv
+            return Quantity(other, inv)
         return Unit.parse(other)._combine(self, -1)
 
     def __pow__(self, n):
@@ -227,6 +238,10 @@ def _parse_atom(tok):
 class Quantity:
     """A value with a unit. Only what the host layer needs."""
 
+    # see Unit.__array_priority__: ndarray <op> Quantity must come here,
+    # not decay to a plain ndarray via __array__
+    __array_priority__ = 10000
+
     def __init__(self, value, unit=None):
         if isinstance(value, Quantity):
             unit = value.unit if unit is None else unit
@@ -253,6 +268,9 @@ class Quantity:
         if isinstance(other, Quantity):
             return Quantity(self.value / other.value, self.unit / other.unit)
         return Quantity(self.value / other, self.unit)
+
+    def __rtruediv__(self, other):
+        return Quantity(other / self.value, self.unit ** -1)
 
     def __pow__(self, n):
         return Quantity(self.value ** n, self.unit ** n)

@@ -255,3 +255,27 @@ def test_two_process_global_mesh_tempered_ladder(tmp_path):
     assert str(d0["digest"]) == str(d1["digest"])
     assert float(d0["log_z"]) == float(d1["log_z"])
     assert d0["medians"][0] == pytest.approx(14.0, rel=0.25)
+
+
+def test_empty_shard_placeholder_is_shape_compatible():
+    """Round-5 review fix: the empty-shard placeholder mirrors
+    fit_population's real return shapes — chains carry the true
+    nsteps*nwalkers second axis (so gathers can concatenate along axis 0)
+    and return_chains=False yields None exactly like a non-empty shard."""
+    from lightcurve_fitting_tpu.parallel import distributed
+    from lightcurve_fitting_tpu.models import UniformPrior
+
+    priors = [UniformPrior(0.0, 1.0)] * 3
+    mine, (flat, acc) = distributed.fit_population_local_shard(
+        [None], [None], priors, [0.0] * 3, [1.0] * 3, process_id=1,
+        process_count=2, nwalkers=8, nsteps=5)
+    assert len(mine) == 0
+    assert flat.shape == (0, 40, 3) and acc.shape == (0,)
+    # concatenates against a plausible non-empty shard result
+    other = np.zeros((1, 40, 3))
+    assert np.concatenate([other, flat]).shape == (1, 40, 3)
+    mine, (flat2, acc2, summ) = distributed.fit_population_local_shard(
+        [None], [None], priors, [0.0] * 3, [1.0] * 3, process_id=1,
+        process_count=2, nwalkers=8, nsteps=5, summaries=True,
+        return_chains=False)
+    assert flat2 is None and summ.shape == (0, 3, 3) and acc2.shape == (0,)

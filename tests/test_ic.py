@@ -307,3 +307,12 @@ def test_information_criteria_group_by_filter():
     for g, elpd_g in zip(lg["groups"], lg["pointwise"]):
         pointwise_sum = ic["pointwise"][labels == g].sum()
         assert elpd_g <= pointwise_sum + 1e-6
+
+
+def test_psis_smooth_short_chain_khat_is_nan():
+    """Round-5 review fix: a tail too small to fit reports khat = NaN
+    ("not estimated", arviz semantics), never -inf (which would read as
+    confidently reliable in k > 0.7 checks)."""
+    lw, k = psis_smooth(np.random.default_rng(0).normal(size=12))
+    assert np.isnan(k)
+    assert np.isclose(np.exp(lw).sum(), 1.0)

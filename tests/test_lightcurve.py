@@ -256,3 +256,19 @@ def test_plot_column_fallback_is_bidirectional(tmp_path):
     with pytest.raises(Exception):
         lc.plot(xcol="bogus")
     plt.close("all")
+
+
+def test_flux2mag_nonpositive_flux_is_plus_inf():
+    """Reference parity (lightcurve.py:908): the log10 out=-inf fallback sits
+    INSIDE the -2.5 multiply, so nonpositive flux maps to mag = +inf
+    (infinitely faint), never -inf (round-5 review fix; host + device twin)."""
+    import jax.numpy as jnp
+    from lightcurve_fitting_tpu.ops.photometry import flux2mag_jax
+
+    mag, _ = flux2mag(np.array([0.0, -1.0, 100.0]),
+                      np.array([1.0, 1.0, 1.0]), zp=25.0)
+    assert np.isposinf(mag[0]) and np.isposinf(mag[1])
+    assert mag[2] == pytest.approx(20.0)
+    magj, _ = flux2mag_jax(jnp.array([0.0, -1.0, 100.0]),
+                           jnp.array([1.0, 1.0, 1.0]), zp=25.0)
+    np.testing.assert_allclose(np.asarray(magj), mag)

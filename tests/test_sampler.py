@@ -391,3 +391,30 @@ def test_rank_normalized_split_rhat():
                              rng.normal(0, 20, (1000, 4, 1))], axis=1)
     assert split_rhat(scales)[0] < 1.05
     assert rank_normalized_split_rhat(scales)[0] > 1.1
+
+
+def test_ess_constant_parameter_is_finite():
+    """Round-5 review fix: a zero-variance (pinned) parameter gets
+    ESS = n*m, not NaN from 0/0; a single pinned chain among varying ones
+    is excluded from the ACF average instead of poisoning it."""
+    from lightcurve_fitting_tpu.parallel.diagnostics import effective_sample_size
+
+    rng = np.random.default_rng(0)
+    chain = rng.normal(size=(200, 4, 2))
+    chain[:, :, 1] = 3.0                     # fully pinned parameter
+    ess = effective_sample_size(chain)
+    assert np.all(np.isfinite(ess))
+    assert ess[1] == 200 * 4
+    chain[:, 0, 0] = -1.0                    # one pinned chain, others vary
+    ess = effective_sample_size(chain)
+    assert np.all(np.isfinite(ess)) and ess[0] > 0
+
+
+def test_host_sampler_requires_initial_state():
+    """Round-5 review fix: HostEnsembleSampler.run_mcmc(None) before any run
+    raises the jitted sampler's clear ValueError, not AttributeError."""
+    from lightcurve_fitting_tpu.parallel.host_sampler import HostEnsembleSampler
+
+    s = HostEnsembleSampler(4, 2, lambda p: -float(np.sum(p ** 2)))
+    with pytest.raises(ValueError, match="initial_state"):
+        s.run_mcmc(None, 5)

@@ -246,3 +246,24 @@ def test_readspec_osc_json(tmp_path):
     np.testing.assert_allclose(y, [1.0e-15, 2.0e-15, 1.5e-15])
     assert date.mjd == pytest.approx(57500.0)
     assert tel == "ExampleScope" and inst == "Spec1"
+
+
+def test_fits_header_escaped_quotes_and_comment_apostrophes():
+    """Round-5 review fix: FITS 4.0 escaped quotes ('') inside string values
+    decode to literal quotes, and an apostrophe in a NUMERIC card's comment
+    must not trigger string parsing (both previously corrupted the value)."""
+    import io
+    from lightcurve_fitting_tpu.utils import fits as lcf_fits
+
+    def card(s):
+        return s.ljust(80)
+
+    text = (card("SIMPLE  =                    T")
+            + card("OBJECT  = 'SN 2023''s spec'    / note")
+            + card("EXPTIME =                 30.0 / King's exposure")
+            + card("END"))
+    hdr = lcf_fits._read_header(io.BytesIO(text.ljust(2880).encode("latin-1")))
+    assert hdr["OBJECT"] == "SN 2023's spec"
+    assert hdr.comments["OBJECT"] == "note"
+    assert hdr["EXPTIME"] == 30.0
+    assert hdr.comments["EXPTIME"] == "King's exposure"

@@ -187,3 +187,20 @@ def test_comoving_distance_vectorized_matches_scalar():
     assert vec[0] == 0.0
     assert np.isscalar(Planck18.comoving_distance(0.5)) or \
         np.ndim(Planck18.comoving_distance(0.5)) == 0
+
+
+def test_unit_ndarray_arithmetic_yields_array_quantity():
+    """Round-5 review fix: ndarray <op> Unit/Quantity must produce ONE
+    array-valued Quantity (__array_priority__), never an object ndarray of
+    per-element Quantities, and 1/unit stays a Unit (astropy idiom)."""
+    from lightcurve_fitting_tpu.utils import units as u
+
+    a = np.array([1.0, 2.0])
+    for q in [a * u.s, a / u.s, u.s * a, u.s / a, a / u.Quantity(2.0, u.s),
+              a * u.Quantity(2.0, u.s)]:
+        assert isinstance(q, u.Quantity), type(q)
+        assert isinstance(q.value, np.ndarray) and q.value.dtype != object
+    assert isinstance(1 / u.s, u.Unit)
+    np.testing.assert_allclose((a / u.s).value, a)
+    np.testing.assert_allclose((u.s / a).value, 1.0 / a)
+    np.testing.assert_allclose((a * u.m).to(u.cm).value, [100.0, 200.0])
