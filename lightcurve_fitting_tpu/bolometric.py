@@ -31,7 +31,7 @@ from .models.base import intrinsic_scatter_units
 from .models.blackbody import planck_lnu
 from .lightcurve import LC
 from .parallel.sampler import EnsembleSampler
-from .ops.filterbank import FilterBank
+from .ops.filterbank import FilterBank, bank_for, band_table_for
 from .utils.table import vstack
 from .utils import units as u
 from .core.constants import sigma_sb
@@ -92,7 +92,7 @@ def _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, spectrum_kwargs,
     y = jnp.asarray(y_np / yscale)
     dy = jnp.asarray(dy_np / yscale)
     filters = list(epoch1["filter"])
-    bank = FilterBank(sorted(set(filters)))
+    bank = bank_for(sorted(set(filters)))
     ids = bank.band_ids(filters)
     nodes, weights, k_ext = bank.gather(ids, z=z)
     ext = jnp.asarray(extinction_law(np.asarray(bank.emitted_nodes(z)[ids]).ravel(), ebv)
@@ -101,9 +101,8 @@ def _make_sed_log_posterior(spectrum, epoch1, priors, z, ebv, spectrum_kwargs,
     table = None
     if spectrum is planck_fast and not np.any(ebv):
         # blackbody: band integral factorizes -> per-band Chebyshev of ln g(ln T)
-        from .ops.bandtable import ChebyshevBandTable
-        table = ChebyshevBandTable(bank, z=z,
-                                   cutoff_freq=spectrum_kwargs.get("cutoff_freq", np.inf))
+        table = band_table_for(bank, z=z,
+                               cutoff_freq=spectrum_kwargs.get("cutoff_freq", np.inf))
         table_gathered = table.gather(ids)
 
     if spectrum is planck_fast:
@@ -699,6 +698,12 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
         priors = [UniformPrior(1.0, 100.0), LogUniformPrior(0.01, 1000.0)]
         if use_sigma:
             priors.append(GaussianPrior(0.0, 10.0))
+    else:
+        # copy: KDE chaining rebinds priors[0] below, which must not leak into
+        # a caller-owned list reused across calls (the reference mutates the
+        # caller's list too, but its chaining path crashes before a second
+        # call could observe it — here it works, so the copy matters)
+        priors = list(priors)
 
     sampler = None
     finite = np.isfinite(np.ma.filled(np.ma.MaskedArray(lc["dmag"]).astype(float), np.nan))
@@ -737,7 +742,7 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
         if eligible:
             from .parallel.batched import batched_map_centers
             all_filts = sorted({f for i in eligible for f in groups[i]["filter"]})
-            bank = FilterBank(all_filts)
+            bank = bank_for(all_filts)
             packed = pack_epochs([groups[i] for i in eligible], bank, z)
             ndim = len(priors)
             # center each epoch's walkers on its MAP, all epochs in one
@@ -749,7 +754,10 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
                                           use_sigma, sigma_type,
                                           seed=seed if seed is not None else 0,
                                           mesh=mesh)
-            guesses = rng.normal(size=(len(eligible), nwalkers, ndim)) + centers[:, None, :]
+            # the stretch move needs an even walker count; pad like the
+            # sequential path does inside spectrum_mcmc (bolometric.py:158)
+            nw_batch = nwalkers + (nwalkers % 2)
+            guesses = rng.normal(size=(len(eligible), nw_batch, ndim)) + centers[:, None, :]
             guesses[guesses <= 0.0] = 1.0
             # posterior summaries are computed on device; the full chains only
             # cross the tunnel when something downstream actually needs them
@@ -758,7 +766,7 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
             # of this stage's wall time otherwise
             need_chains = bool(save_chains or save_corners or min_nfilt < 2)
             flat, _acc, summ = batched_blackbody_mcmc(
-                packed, priors, guesses, nwalkers, burnin_steps, steps,
+                packed, priors, guesses, nw_batch, burnin_steps, steps,
                 cutoff_freq, use_sigma, sigma_type,
                 seed=seed if seed is not None else 0, mesh=mesh,
                 summaries={"z": z, "pseudo_nu": _pseudo_grid()},
@@ -779,7 +787,10 @@ def calculate_bolometric(lc, z=0.0, outpath=".", res=1.0, nwalkers=10, burnin_st
             # single-filter epoch: previous posterior's temperature becomes
             # the prior (KDE chaining, reference bolometric.py:753-759)
             priors[0] = KDEPrior(sampler.flatchain[:, 0])
-            p0 = np.median(sampler.flatchain, axis=0)
+            # (T, R) columns only: with use_sigma the flatchain carries the
+            # intrinsic-scatter column, which the 2-parameter lstsq stage and
+            # the (nwalkers, 2) guess recentering below must not see
+            p0 = np.median(sampler.flatchain[:, :2], axis=0)
         else:
             continue
 

@@ -118,17 +118,13 @@ class Model:
 
     # ------------------------------------------------------------ device side
     # banks/tables are pure functions of (filters, n_nodes[, z, cutoff]) and
-    # are shared process-wide: population fits create one model per transient,
-    # and rebuilding identical quadrature per instance dominated host time
-    # (profiled: 64 transients -> 12 s packing vs 0.02 s device compute)
-    _global_bank_cache = {}
-
+    # are shared process-wide via ops.filterbank's cache: population fits
+    # create one model per transient, and rebuilding identical quadrature per
+    # instance dominated host time (profiled: 64 transients -> 12 s packing
+    # vs 0.02 s device compute)
     def bank_for(self, filters):
-        key = (tuple(filters), self.n_nodes)
-        cache = Model._global_bank_cache
-        if key not in cache:
-            cache[key] = FilterBank(key[0], n_nodes=self.n_nodes)
-        return cache[key]
+        from ..ops.filterbank import bank_for
+        return bank_for(filters, n_nodes=self.n_nodes)
 
     def prepare_quad(self, filters, bank=None):
         """Build the static per-point quadrature pytree for an array of Filter
@@ -149,13 +145,8 @@ class Model:
         return quad
 
     def table_for(self, bank):
-        from ..ops.bandtable import ChebyshevBandTable
-        key = ("table", tuple(bank.filters), bank.n_nodes, self.z, self.cutoff_freq)
-        cache = Model._global_bank_cache
-        if key not in cache:
-            cache[key] = ChebyshevBandTable(bank, z=self.z,
-                                            cutoff_freq=self.cutoff_freq)
-        return cache[key]
+        from ..ops.filterbank import band_table_for
+        return band_table_for(bank, z=self.z, cutoff_freq=self.cutoff_freq)
 
     prepare_quad_host = prepare_quad
 

@@ -16,7 +16,7 @@ import jax.numpy as jnp
 
 from ..core.constants import c1, c2
 from ..ops.mathx import planck_denom_inv
-from ..ops.filterbank import FilterBank
+from ..ops.filterbank import FilterBank, bank_for
 
 __all__ = ["planck_fast", "planck", "blackbody_to_filters",
            "planck_lnu", "bandflux_pointwise", "bandflux_outer"]
@@ -118,16 +118,6 @@ def planck(nu, T, R, dT=0.0, dR=0.0, cov=0.0):
     return Lnu, dLnu
 
 
-_BANK_CACHE = {}
-
-
-def _bank_for(filters, n_nodes=None):
-    key = (tuple(filters), n_nodes)
-    if key not in _BANK_CACHE:
-        _BANK_CACHE[key] = FilterBank(filters, n_nodes=n_nodes)
-    return _BANK_CACHE[key]
-
-
 def blackbody_to_filters(filters, T, R, z=0.0, cutoff_freq=np.inf, ebv=0.0, n_nodes=None):
     """Band-averaged blackbody L_nu through one or more filters (reference
     models.py:1131-1165): pointwise mode when ``len(T) == len(filters)`` and T
@@ -138,7 +128,7 @@ def blackbody_to_filters(filters, T, R, z=0.0, cutoff_freq=np.inf, ebv=0.0, n_no
         raise Exception("T & R must have the same shape")
     np.broadcast(T, ebv)  # raises if not broadcastable, as in the reference
     filters = np.atleast_1d(filters)
-    bank = _bank_for(tuple(filters), n_nodes)
+    bank = bank_for(tuple(filters), n_nodes)
     ebv_arr = np.broadcast_to(np.asarray(ebv, float), T.shape) if np.ndim(ebv) else ebv
     if T.ndim == 1 and len(T) == len(filters):  # pointwise
         ids = bank.band_ids(filters)

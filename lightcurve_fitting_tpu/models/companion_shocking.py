@@ -66,7 +66,7 @@ class BaseCompanionShocking(Model):
     def __init__(self, lc, redshift=0.0, kappa=1.0):
         super().__init__(lc, redshift=redshift)
         self._init_options = {"kappa": kappa}
-        #: electron-scattering opacity in units of 0.2 cm^2/g, threaded
+        #: opacity in units of the electron-scattering 0.34 cm^2/g, threaded
         #: through the device Kasen component (the reference only accepts
         #: kappa per evaluate() call, models.py:731-784)
         self.kappa = float(kappa)
@@ -94,7 +94,10 @@ class BaseCompanionShocking(Model):
                 raise Exception("No SiFTO template for filter " + filt.name)
             lc_filt = lc.where(filter=scale_filt)
             template = np.asarray(sifto[sifto_filt], float)
-            scaled = template * np.max(np.asarray(lc_filt["lum"], float)) / np.max(template)
+            # mask-respecting max (reference models.py:706): np.asarray would
+            # expose fill values under masked rows (e.g. nondetections)
+            lum_max = np.ma.max(np.ma.MaskedArray(lc_filt["lum"]).astype(float))
+            scaled = template * float(lum_max) / np.max(template)
             coeffs = notaknot_cubic_coeffs(self._epochs, scaled)
             self._sifto_coeffs[filt] = coeffs
             self.sifto[filt] = _HostSpline(self._epochs, coeffs)
@@ -148,8 +151,9 @@ class BaseCompanionShocking(Model):
         def ev(filt, arg):
             return ppoly_eval_np(self._epochs, self._sifto_coeffs[filt], arg, extrapolate="nan")
 
-        if t_wrt_peak.ndim <= 1 and t_wrt_peak.shape == (len(f),) and np.ndim(stretch) == 0:
-            # pointwise
+        if t_wrt_peak.ndim <= 1 and t_wrt_peak.shape == (len(f),):
+            # pointwise (per reference mode 1: vector stretch broadcasts each
+            # point's epoch over the stretch draws, returning (N, W))
             Lnu_sifto = np.array([ev(filt, (t - dt_peak.get(filt, 0.0)) / stretch)
                                   for t, filt in zip(np.atleast_1d(t_wrt_peak), f)])
         elif t_wrt_peak.ndim <= 1:

@@ -291,7 +291,8 @@ class ShockCooling4(Model):
         """t_max = min(t_0.7eV, t_tr/2) + t_exp (MSW23 Eq. A3, A8, A9)."""
         if kappa is None:
             kappa = self.kappa
-        v_s, M_env, f_rho_M, R, t_exp, *_ = p
+        v_s, M_env, f_rho_M, R = p[0], p[1], p[2], p[3]
+        t_exp = p[4] if len(p) > 4 else 0.0  # optional, like t_min above
         t_07eV = self.t_07eV_0 * R ** 0.56 * v_s ** 0.16 * kappa ** -0.61 * f_rho_M ** -0.06
         t_tr = self.t_tr_0 * np.sqrt(kappa * M_env / v_s)
         return np.minimum(t_07eV, t_tr / self.a) + t_exp

@@ -556,3 +556,49 @@ def test_batched_mcmc_rejects_odd_nwalkers():
     with pytest.raises(ValueError, match="even"):
         batched_blackbody_mcmc(packed, priors, guesses, nwalkers=11,
                                burnin_steps=10, steps=10)
+
+
+def test_kde_chaining_use_sigma_and_no_prior_mutation(tmp_path):
+    """Round-4 review fixes: (a) with use_sigma=True the chained p0 must use
+    only the (T, R) flatchain columns — the intrinsic-scatter column crashed
+    the 2-parameter lstsq stage; (b) the caller's priors list must not be
+    mutated by the KDE rebinding (a second call reusing the list would
+    silently inherit the previous run's KDE temperature prior)."""
+    from lightcurve_fitting_tpu.models import planck_fast
+    from lightcurve_fitting_tpu.models import UniformPrior, LogUniformPrior, GaussianPrior
+    rng = np.random.default_rng(5)
+    rows_t, rows_f, rows_m, rows_dm = [], [], [], []
+    for mjd, bands in [(57500.0, ["B", "V", "r", "i"]), (57501.0, ["r"])]:
+        for b in bands:
+            f = filtdict[b]
+            lum = f.synthesize(planck_fast, 9.0, 8.0)
+            mag = -2.5 * np.log10(lum) + f.m0 + 90.19 + 30.0
+            rows_t.append(mjd)
+            rows_f.append(b)
+            rows_m.append(mag + rng.normal(scale=0.02))
+            rows_dm.append(0.02)
+    lc = LC([np.array(rows_t), np.array(rows_m), np.array(rows_dm), np.array(rows_f)],
+            names=["MJD", "mag", "dmag", "filter"])
+    lc.meta.update(dm=30.0, redshift=0.0, extinction={})
+    priors = [UniformPrior(1.0, 100.0), LogUniformPrior(0.01, 1000.0),
+              GaussianPrior(0.0, 10.0)]
+    t_prior = priors[0]
+    t0 = bol.calculate_bolometric(lc, outpath=str(tmp_path), res=0.5, nwalkers=10,
+                                  burnin_steps=40, steps=30, min_nfilt=1, seed=2,
+                                  priors=priors, use_sigma=True, save_corners=False)
+    assert len(t0) == 2
+    assert np.isfinite(np.asarray(t0["temp_mcmc"], float)).all()
+    assert priors[0] is t_prior  # caller's list untouched
+    plt.close("all")
+
+
+def test_batch_mode_pads_odd_nwalkers(tmp_path):
+    """Round-4 review fix: batch_mode pads odd nwalkers to even exactly like
+    the sequential path does inside spectrum_mcmc, instead of crashing."""
+    lc = load_lc().where(MJD_min=57468.0, MJD_max=57474.0)
+    t0 = bol.calculate_bolometric(lc, outpath=str(tmp_path), nwalkers=11,
+                                  burnin_steps=20, steps=20, seed=1,
+                                  batch_mode=True, mesh=False, save_corners=False)
+    assert len(t0) >= 1
+    assert np.isfinite(np.asarray(t0["temp_mcmc"], float)).any()
+    plt.close("all")

@@ -144,3 +144,38 @@ def test_evaluate_keyword_args_and_kappa():
     m3 = CompanionShocking3(lc)
     y3 = m3(t, f, 57820.0, 0.5, 30.0, 57840.0, 1.0, dtU=0.5, dti=-0.5, kappa=0.7)
     assert y3.shape == (2,) and np.all(np.isfinite(y3))
+
+
+def test_stretched_sifto_pointwise_vector_stretch():
+    """Reference mode 1 (models.py:817-819) broadcasts a vector stretch over
+    each point's epoch: len(t) == len(f) with scalar t_peak and stretch of
+    length W returns (N, W). A round-4 review found an extra scalar-stretch
+    condition had diverted this case to the outer mode (broadcast error)."""
+    lc, _, m = make_ia_lc()
+    filters = np.array([filtdict[n] for n in ["U", "B", "r"]], dtype=object)
+    t = np.array([57835.0, 57840.0, 57845.0])
+    stretch = np.array([0.9, 1.0])
+    out = m.stretched_sifto(t, filters, 57840.0, stretch)
+    assert out.shape == (3, 2)
+    # each column equals the scalar-stretch pointwise evaluation
+    for j, s in enumerate(stretch):
+        col = m.stretched_sifto(t, filters, 57840.0, float(s))
+        np.testing.assert_allclose(out[:, j], col, rtol=1e-12)
+
+
+def test_sifto_scaling_respects_lum_mask():
+    """Round-4 review fix: the per-filter template scale must take the
+    mask-respecting max of lum (reference models.py:706) — np.asarray
+    exposed fill values under masked rows."""
+    lc, _, _ = make_ia_lc(with_noise=False)
+    m_clean = CompanionShocking2(lc)
+    lc2, _, _ = make_ia_lc(with_noise=False)
+    lum = np.ma.MaskedArray(np.asarray(lc2["lum"], float))
+    lum.mask = np.zeros(len(lum), bool)
+    lum[0] = float(lum.max()) * 1e6   # garbage...
+    lum.mask[0] = True                # ...hidden under the mask
+    lc2["lum"] = lum
+    m_masked = CompanionShocking2(lc2)
+    for filt, coeffs in m_clean._sifto_coeffs.items():
+        np.testing.assert_allclose(m_masked._sifto_coeffs[filt], coeffs,
+                                   rtol=1e-12)

@@ -393,3 +393,27 @@ def test_blackbody_to_filters_pointwise_per_point_ebv():
         yk = blackbody_to_filters([filters[k]], np.array([T[k]]),
                                   np.array([R[k]]), ebv=float(ebv[k]))
         np.testing.assert_allclose(y[k], yk[0], rtol=1e-12)
+
+
+def test_shockcooling4_t_max_tolerates_short_p():
+    """Round-4 review fix: t_max accepts a 4-element p (t_exp omitted, as
+    evaluate's t_exp=0.0 default and t_min already allow)."""
+    m = ShockCooling4()
+    p5 = [1.0, 1.0, 10.0, 1.0, 0.5]
+    assert m.t_max(p5[:4]) == pytest.approx(m.t_max(p5) - 0.5)
+    assert m.t_min(p5[:4]) == pytest.approx(m.t_min(p5) - 0.5)
+
+
+def test_shared_bank_and_table_cache():
+    """Round-4 review fix: Model.bank_for, blackbody_to_filters, and the
+    bolometric SED posteriors all share ONE process-wide bank/table cache —
+    the same filter set never builds its quadrature twice."""
+    from lightcurve_fitting_tpu.ops.filterbank import bank_for, band_table_for
+    from lightcurve_fitting_tpu.filters import filtdict
+    filters = tuple(sorted({filtdict[n] for n in ["g", "r", "i"]}))
+    b1 = bank_for(filters)
+    assert bank_for(filters) is b1
+    m = ShockCooling()
+    assert m.bank_for(filters) is b1            # Model path hits the same cache
+    t1 = band_table_for(b1, z=0.0, cutoff_freq=np.inf)
+    assert m.table_for(b1) is t1                # table cache shared too
