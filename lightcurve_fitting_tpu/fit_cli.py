@@ -104,15 +104,33 @@ def _run_population(cfg, config_dir):
     models = [model_cls(lc) for lc in lcs]
 
     from .parallel.population import fit_population
-    flat, acc = fit_population(models, lcs, priors, cfg["p_lo"], cfg["p_up"],
-                               **cfg.get("driver_kwargs", {}))
+    kw = dict(cfg.get("driver_kwargs", {}))
+    want_summaries = bool(kw.get("summaries", False))
+    return_chains = bool(kw.get("return_chains", True))
+    out = fit_population(models, lcs, priors, cfg["p_lo"], cfg["p_up"], **kw)
+    # fit_population returns (flat, acc) or, with summaries=True, a 3-tuple
+    # (flat, acc, (S, ndim, 3) 16/50/84 percentiles); with return_chains=False
+    # flat is None and the percentiles are the only posterior record (the
+    # tunnel-resilient fast path — chains never reach the host).
+    if want_summaries:
+        flat, acc, summ = out
+    else:
+        flat, acc = out
+        summ = None
 
     summary = {"driver": "population", "model": cfg["model"],
                "n_transients": len(lcs), "transients": {}}
     for s, name in enumerate(names):
-        summary["transients"][name] = dict(
-            _summarize_chain(flat[s], models[s]),
-            acceptance=float(acc[s]))
+        if flat is not None:
+            per = _summarize_chain(flat[s], models[s])
+        else:
+            # on-device 16/50/84 percentiles (vs _summarize_chain's
+            # 15.87/84.13) — the documented summaries=True convention
+            per = {pname: {"median": float(q[1]),
+                           "minus": float(q[1] - q[0]),
+                           "plus": float(q[2] - q[1])}
+                   for pname, q in zip(models[s].input_names, summ[s])}
+        summary["transients"][name] = dict(per, acceptance=float(acc[s]))
 
     outputs = cfg.get("outputs", {})
 
@@ -123,7 +141,11 @@ def _run_population(cfg, config_dir):
         return p
 
     if outpath("flatchains"):
-        np.save(outpath("flatchains"), flat)
+        if flat is None:
+            print("note: outputs.flatchains skipped (return_chains=false — "
+                  "chains were never transferred off device)")
+        else:
+            np.save(outpath("flatchains"), flat)
     if outpath("summary"):
         with open(outpath("summary"), "w") as f:
             json.dump(summary, f, indent=2)
@@ -442,8 +464,16 @@ def main(argv=None):
         if outpath("corner"):
             import matplotlib
             matplotlib.use("Agg")
-            fitting.lightcurve_corner(lc, model, flatchain,
-                                      save_plot_as=outpath("corner"))
+            # forward use_sigma so the inset's model curves don't consume the
+            # sigma column as a physics parameter (same kw the GOF/IC calls use)
+            try:
+                fitting.lightcurve_corner(lc, model, flatchain,
+                                          use_sigma=kw.get("use_sigma", False),
+                                          save_plot_as=outpath("corner"))
+            except Exception as exc:
+                # plot failures must never discard a finished fit's summary
+                # (same contract as the GOF/IC blocks above)
+                summary["corner_error"] = str(exc)
 
     if outpath("summary"):
         with open(outpath("summary"), "w") as f:

@@ -357,7 +357,13 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
             sampler.save_checkpoint(checkpoint_file, extra={
                 "phase": "production", "steps_done": 0,
                 "nsteps_burnin": nsteps_burnin, "nsteps": nsteps})
-        _advance("production", nsteps, 0, None, "Sampling", skip_check=True)
+        # nsteps_burnin=0 skips the burn-in loop entirely, so the starting
+        # guesses were never delivered to the sampler — seed production with
+        # them directly (and keep the initial-state check, since these are
+        # raw guesses, not an already-validated walker state)
+        prod_initial = starting_guesses if nsteps_burnin <= 0 else None
+        _advance("production", nsteps, 0, prod_initial, "Sampling",
+                 skip_check=prod_initial is None)
     else:
         if (show or save_plot_as) and not quiet:
             print("resuming mid-production: burn-in chain history is not in the "
@@ -365,13 +371,13 @@ def lightcurve_mcmc(lc, model, priors=None, p_min=None, p_max=None, p_lo=None, p
         _advance("production", nsteps, phase_done, None, "Sampling", skip_check=True)
         if show or save_plot_as:
             fig, ax = plt.subplots(ndim, 2, figsize=(12.0, 2.0 * ndim), squeeze=False)
+    # flatchain is a property that re-materializes the absolute-space f64
+    # chain on every access — take it at most once for the save + diagnostics
+    flat = sampler.flatchain if (save_sampler_as or not quiet) else None
     if save_sampler_as:
-        np.save(save_sampler_as, sampler.flatchain)
+        np.save(save_sampler_as, flat)
         print("saving sampler.flatchain as " + save_sampler_as)
     if not quiet:
-        # flatchain is a property that re-materializes the absolute-space
-        # f64 chain on every access — take it once for both diagnostics
-        flat = sampler.flatchain
         _report_convergence(sampler, model, flat.shape[0])
         try:
             goodness_of_fit(lc, model, flat,
@@ -1241,6 +1247,18 @@ def _compare_args(models, priors, p_lo, p_up, labels):
     return models, priors, p_lo, p_up, labels
 
 
+def _per_model_checkpoint_path(path, label):
+    """Insert the model label before the extension (``ck.npz`` ->
+    ``ck.SW17.npz``) so compared models never share a checkpoint file: the
+    resume validation (shape/seed/steps) cannot tell same-shaped models
+    apart."""
+    if path is None:
+        return None
+    root, ext = os.path.splitext(path)
+    safe = re.sub(r"[^\w.-]", "_", label)
+    return f"{root}.{safe}{ext or '.npz'}"
+
+
 def compare_models_loo(lc, models, priors, p_lo=None, p_up=None, labels=None,
                        nwalkers=100, nsteps=1000, nsteps_burnin=1000,
                        use_sigma=False, sigma_type="relative", seed=None,
@@ -1261,6 +1279,9 @@ def compare_models_loo(lc, models, priors, p_lo=None, p_up=None, labels=None,
     Arguments shape-match ``compare_models`` (shared or per-model priors /
     windows / labels); ``mcmc_kwargs`` forward to every
     :func:`lightcurve_mcmc` call (replicas, mesh, init, ...).
+    ``checkpoint_file`` / ``resume_from`` are per-model-ized as in
+    ``compare_models`` (label inserted before the extension; resume only
+    applies to models whose file exists).
 
     Returns the :func:`compare_information_criteria` Table (columns
     ``model``, ``elpd_loo``, ``d_elpd``, ``se_d_elpd``);
@@ -1270,13 +1291,25 @@ def compare_models_loo(lc, models, priors, p_lo=None, p_up=None, labels=None,
     """
     models, priors, p_lo, p_up, labels = _compare_args(models, priors, p_lo,
                                                        p_up, labels)
+    # checkpoint_file/resume_from are per-model-ized exactly as in
+    # compare_models: the resume validation (shape/seed/nsteps_burnin) cannot
+    # tell same-ndim models apart, so a shared file would silently resume
+    # model 2 from model 1's walker state
+    ck_base = mcmc_kwargs.pop("checkpoint_file", None)
+    resume_base = mcmc_kwargs.pop("resume_from", None)
     ics, samplers = {}, {}
     for label, model, pri, lo, up in zip(labels, models, priors, p_lo, p_up):
+        resume = _per_model_checkpoint_path(resume_base, label)
+        if resume is not None and not os.path.exists(resume):
+            resume = None                       # this model starts fresh
         sampler = lightcurve_mcmc(lc, model, priors=pri, p_lo=lo, p_up=up,
                                   nwalkers=nwalkers, nsteps=nsteps,
                                   nsteps_burnin=nsteps_burnin,
                                   use_sigma=use_sigma, sigma_type=sigma_type,
-                                  seed=seed, quiet=True, **mcmc_kwargs)
+                                  seed=seed, quiet=True,
+                                  checkpoint_file=_per_model_checkpoint_path(
+                                      ck_base, label),
+                                  resume_from=resume, **mcmc_kwargs)
         ics[label] = information_criteria(lc, model, sampler.flatchain,
                                           use_sigma=use_sigma,
                                           sigma_type=sigma_type,
@@ -1340,15 +1373,7 @@ def compare_models(lc, models, priors, p_lo=None, p_up=None, labels=None,
     models, priors, p_lo, p_up, labels = _compare_args(models, priors, p_lo,
                                                        p_up, labels)
 
-    def per_model_path(path, label):
-        # compared models must never share a checkpoint file: the resume
-        # validation (shape/seed/ladder) cannot tell same-shaped models apart
-        if path is None:
-            return None
-        root, ext = os.path.splitext(path)
-        safe = re.sub(r"[^\w.-]", "_", label)
-        return f"{root}.{safe}{ext or '.npz'}"
-
+    per_model_path = _per_model_checkpoint_path
     ck_base = evidence_kwargs.pop("checkpoint_file", None)
     resume_base = evidence_kwargs.pop("resume_from", None)
 

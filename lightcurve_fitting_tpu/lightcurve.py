@@ -540,12 +540,18 @@ class LC(Table):
         if marker not in self.colnames:
             print(f'cannot create marker legend: column "{marker}" does not exist')
             return
-        labels = sorted(set(np.asarray(self[marker]).astype(str)), key=str.lower)
+        # colors/markers are keyed by the RAW column values (_StyleBook.resolve
+        # stores group[spec][0] as-is); str-cast only for the display labels,
+        # so non-string group values (e.g. integer source IDs) still resolve
+        keys = sorted(set(np.asarray(self[marker]).tolist()),
+                      key=lambda k: str(k).lower())
+        labels = [str(k) for k in keys]
         lines = []
-        for label in labels:
-            mec, mfc = (self.colors[label],) * 2 if marker == color else ("k", "none")
+        for key in keys:
+            mec, mfc = ((self.colors.get(key, "k"),) * 2 if marker == color
+                        else ("k", "none"))
             lines.append(plt.Line2D([], [], mec=mec, mfc=mfc, ms=ms,
-                                    marker=self.markers.get(label, "o"), linestyle="none"))
+                                    marker=self.markers.get(key, "o"), linestyle="none"))
         custom_legend(axes.pop(), lines, labels, ncol=ncol_mark, loc=loc_mark,
                       title=lgd_title, frameon=frameon)
 

@@ -117,6 +117,46 @@ def test_cli_population(tmp_path, synth_csv):
     assert chains.shape == (2, 150 * 16, 3)
 
 
+def test_cli_population_summaries(tmp_path, synth_csv):
+    """driver_kwargs summaries/return_chains pass through (regression: the
+    CLI unpacked fit_population as a 2-tuple, so the documented
+    tunnel-resilient fast path crashed after the fit finished)."""
+    cfg = {"data": [synth_csv], "model": "ShockCooling2",
+           "priors": [["Uniform", 1, 50], ["Uniform", 0.1, 20],
+                      ["Uniform", 5, 100]],
+           "p_lo": [5, 0.5, 20], "p_up": [25, 5, 60],
+           "driver": "population",
+           "driver_kwargs": {"nwalkers": 16, "nsteps": 150,
+                             "nsteps_burnin": 60, "seed": 4, "init": "map",
+                             "summaries": True, "return_chains": False},
+           "outputs": {"flatchains": "chains.npy", "summary": "summary.json"}}
+    summary = _run(tmp_path, cfg)
+    per = summary["transients"]["synth.csv"]
+    assert per["T_1"]["median"] == pytest.approx(12.0, rel=0.3)
+    assert per["T_1"]["minus"] > 0 and per["T_1"]["plus"] > 0
+    # chains never reached the host: the flatchains output is skipped, not fatal
+    assert not os.path.exists(str(tmp_path / "chains.npy"))
+
+
+def test_cli_corner_use_sigma(tmp_path, synth_csv):
+    """outputs.corner forwards use_sigma so the inset's model curves don't
+    consume the sigma column as a physics parameter (regression)."""
+    cfg = {"data": synth_csv, "model": "ShockCooling2",
+           "priors": [["Uniform", 1, 50], ["Uniform", 0.1, 20],
+                      ["Uniform", 5, 100], ["Uniform", -0.5, 0.5],
+                      ["Uniform", 0, 5]],
+           "p_lo": [5, 0.5, 20, -0.4, 0.1], "p_up": [25, 5, 60, 0.4, 2.0],
+           "driver": "mcmc",
+           "driver_kwargs": {"nwalkers": 16, "nsteps": 60,
+                             "nsteps_burnin": 60, "seed": 1, "quiet": True,
+                             "shard": False, "use_sigma": True},
+           "outputs": {"corner": "corner.png", "summary": "summary.json"}}
+    summary = _run(tmp_path, cfg)
+    assert "corner_error" not in summary, summary.get("corner_error")
+    assert os.path.exists(str(tmp_path / "corner.png"))
+    assert "\\sigma" in summary["posterior"]
+
+
 def test_cli_bolometric(tmp_path):
     data = os.path.join(os.path.dirname(__file__), "..",
                         "lightcurve_fitting_tpu", "data", "SN2016bkv.csv")

@@ -152,6 +152,25 @@ def test_use_sigma_appends_parameter():
     assert sampler.flatchain.shape[1] == 5
 
 
+def test_zero_burnin_seeds_production_with_guesses():
+    """nsteps_burnin=0 must deliver the starting guesses straight to the
+    production phase (regression: the burn-in loop was the only delivery
+    point, so zero burn-in crashed with 'no previous state')."""
+    lc_early = load_early_lc()
+    model = ShockCooling2(lc_early)
+    sampler = lightcurve_mcmc(lc_early, model, priors=PRIORS,
+                              p_lo=P_LO, p_up=P_UP,
+                              nwalkers=12, nsteps=25, nsteps_burnin=0,
+                              seed=3, quiet=True)
+    flat = sampler.flatchain
+    assert flat.shape == (25 * 12, 4)
+    # chain stays inside the priors (production really started from the
+    # delivered guesses; the first stored step is one stretch move past them)
+    assert np.all(np.isfinite(flat))
+    assert np.all(flat >= [0.0, 0.0, 0.0, 57468.0])
+    assert np.all(flat <= [100.0, 100.0, 100.0, 57468.7])
+
+
 def test_format_credible_interval_values():
     rng = np.random.default_rng(0)
     x = rng.normal(5.0, 0.1, size=(10000, 1))

@@ -4,6 +4,8 @@ results, and the device pointwise-likelihood path on a well-specified
 synthetic fit. Beyond-reference capability (the reference has no model
 selection at all, reference fitting.py:16-168)."""
 
+import os
+
 import numpy as np
 import pytest
 
@@ -212,6 +214,44 @@ def test_compare_models_loo_one_call():
 
     with pytest.raises(ValueError):
         compare_models_loo(lc, [ShockCooling2(lc)], [good], quiet=True)
+
+
+def test_compare_models_loo_per_model_checkpoints(tmp_path):
+    """checkpoint_file/resume_from are per-model-ized (regression: a shared
+    file made model 2 overwrite — and on resume, inherit — model 1's walker
+    state; same contract as compare_models)."""
+    from lightcurve_fitting_tpu.lightcurve import LC
+    from lightcurve_fitting_tpu.filters import filtdict
+    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
+    from lightcurve_fitting_tpu.fitting import compare_models_loo
+
+    rng = np.random.default_rng(7)
+    filters = [filtdict[n] for n in ["g", "r", "i"]]
+    t = np.repeat(np.linspace(1.0, 8.0, 5), len(filters))
+    f = np.array(filters * 5)
+    y = ShockCooling2()(t, f, 12.0, 2.0, 35.0, 0.0)
+    dy = 0.05 * y
+    lc = LC([t, f, y + rng.normal(scale=dy), dy],
+            names=["MJD", "filter", "lum", "dlum"])
+    pri = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0),
+           UniformPrior(5.0, 100.0), UniformPrior(-1.0, 1.0)]
+    ck = str(tmp_path / "ck.npz")
+    tab = compare_models_loo(
+        lc, [ShockCooling2(lc), ShockCooling2(lc)], [pri, pri],
+        p_lo=[[10.0, 1.5, 25.0, -0.3]] * 2, p_up=[[14.0, 2.5, 45.0, 0.3]] * 2,
+        labels=["a", "b"], nwalkers=16, nsteps=40, nsteps_burnin=40,
+        seed=1, quiet=True, checkpoint_every=40, checkpoint_file=ck)
+    assert os.path.exists(str(tmp_path / "ck.a.npz"))
+    assert os.path.exists(str(tmp_path / "ck.b.npz"))
+    assert not os.path.exists(ck)  # never written unlabeled
+    # identical configs + per-model files: resume reproduces each fit
+    tab2 = compare_models_loo(
+        lc, [ShockCooling2(lc), ShockCooling2(lc)], [pri, pri],
+        p_lo=[[10.0, 1.5, 25.0, -0.3]] * 2, p_up=[[14.0, 2.5, 45.0, 0.3]] * 2,
+        labels=["a", "b"], nwalkers=16, nsteps=40, nsteps_burnin=40,
+        seed=1, quiet=True, resume_from=ck)
+    np.testing.assert_allclose(np.asarray(tab["elpd_loo"], float),
+                               np.asarray(tab2["elpd_loo"], float))
 
 
 def test_stacking_weights():

@@ -195,6 +195,31 @@ def test_custom_legend_above_variants(lc, tmp_path):
     plt.close("all")
 
 
+def test_marker_legend_nonstring_groups():
+    """Marker/color legends resolve non-string group values (e.g. integer
+    source IDs): the style dicts are keyed by the RAW column values, and the
+    legend must look them up by those keys, str-casting only the labels
+    (regression: a str-cast key raised KeyError / silently lost markers)."""
+    import matplotlib.pyplot as plt
+    lc = LC([np.array([1.0, 2.0, 3.0, 4.0]),
+             np.array(["g", "g", "r", "r"]),
+             np.array([18.0, 18.5, 18.2, 18.7]),
+             np.array([0.1, 0.1, 0.1, 0.1]),
+             np.array([1, 1, 2, 2])],
+            names=["MJD", "filter", "mag", "dmag", "source"])
+    lc.plot(xcol="MJD", ycol="mag", marker="source", color="source",
+            loc_mark="above")
+    # both integer source IDs got a marker assignment, keyed by raw value
+    assert 1 in lc.markers and 2 in lc.markers
+    fig = plt.gcf()
+    legend_markers = {line.get_marker()
+                      for lgd in [c for ax in fig.axes for c in ax.get_children()
+                                  if isinstance(c, matplotlib.legend.Legend)]
+                      for line in lgd.legend_handles}
+    assert legend_markers == {lc.markers[1], lc.markers[2]}
+    plt.close("all")
+
+
 def test_binflux_numpy_fallback_matches_native(monkeypatch):
     """The numpy fallback (seeded-group labeling + bin combiner) must agree
     exactly with the native kernel on the same data."""
