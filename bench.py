@@ -377,7 +377,7 @@ def main():
     # replica-batched (the production small-fit path)
     value, elapsed, accept = measure(131072, 300)
     value_32k, _, _ = measure(32768, 300)
-    value_1k, elapsed_1k, _ = measure(1024, 300, replicas=32)
+    value_1k, _, _ = measure(1024, 300, replicas=32)
     value_1k_single, _, _ = measure(1024, 300)
     binning = _bench_host_binning()
     bolometric = _bench_bolometric()

@@ -269,7 +269,12 @@ def compare_elpd(pointwise_list, labels):
     out = []
     for j in np.argsort(-elpds):
         diff = pw[j] - pw[best]
-        se = float(np.sqrt(N * np.var(diff, ddof=1))) if j != best and N > 1 else 0.0
+        if j == best:
+            se = 0.0                        # d_elpd is identically 0
+        elif N > 1:
+            se = float(np.sqrt(N * np.var(diff, ddof=1)))
+        else:
+            se = float("nan")               # undefined variance, as in waic/psis_loo
         out.append({"label": labels[j], "elpd": float(elpds[j]),
                     "d_elpd": float(elpds[j] - elpds[best]), "se_d_elpd": se})
     return out

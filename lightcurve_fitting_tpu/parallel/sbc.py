@@ -34,7 +34,13 @@ def rank_statistic(flatchains, truths, n_ranks=127, seed=0):
     flatchains = np.asarray(flatchains)
     truths = np.asarray(truths, float)
     S, M, D = flatchains.shape
-    n_ranks = min(int(n_ranks), M)
+    n_ranks = int(n_ranks)
+    if n_ranks > M:
+        # a silent cap would desynchronize the ranks' support from the
+        # n_ranks the caller then hands to uniformity_pvalues, leaving the
+        # top histogram bins structurally empty (reported as NON-UNIFORM)
+        raise ValueError(f"n_ranks = {n_ranks} exceeds the {M} posterior "
+                         f"draws per simulation; pass n_ranks <= {M}")
     rng = np.random.default_rng(seed)
     ranks = np.empty((S, D), dtype=int)
     for s in range(S):
@@ -121,6 +127,13 @@ def simulation_based_calibration(model, priors, times, filters, p_lo=None,
 
     ndim = len(priors)
     n_model = ndim - (1 if use_sigma else 0)
+    for k in ("summaries", "return_chains"):
+        if k in pop_kwargs:
+            # the rank statistic needs the full per-simulation chains; the
+            # percentile-summaries fast path cannot feed it
+            raise TypeError(f"simulation_based_calibration does not support "
+                            f"fit_population's {k!r} option (SBC ranks "
+                            "require the full chains)")
     # fail BEFORE the expensive fits: the rank count the chain can support
     # must bin evenly for the chi-square (see uniformity_pvalues)
     n_ranks_eff = min(int(n_ranks), nsteps * nwalkers)

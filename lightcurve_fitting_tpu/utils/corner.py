@@ -29,7 +29,11 @@ def corner(xs, labels=None, label_kwargs=None, bins=20, color="k",
         warnings.warn(f"corner() ignoring unsupported option(s) "
                       f"{sorted(kwargs)}: this self-contained replacement "
                       "implements labels/bins/color/quantiles/fig/truths only")
-    xs = np.atleast_2d(np.asarray(xs, float))
+    xs = np.asarray(xs, float)
+    if xs.ndim == 1:
+        # (N,) means N samples of ONE parameter (corner-package semantics:
+        # a single histogram), not a 1 x N chain
+        xs = xs[:, None]
     if xs.ndim != 2:
         raise ValueError("samples must be 2-D (nsamples, ndim)")
     ndim = xs.shape[1]

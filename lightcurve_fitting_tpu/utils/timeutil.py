@@ -42,7 +42,7 @@ class Time:
             start = _dt.datetime(year, 1, 1)
             length = (_dt.datetime(year + 1, 1, 1) - start).total_seconds()
             self._mjd = _datetime_to_mjd(start + _dt.timedelta(seconds=frac * length))
-        elif isinstance(value, (int, float, np.floating)) and format is None:
+        elif isinstance(value, (int, float, np.floating, np.integer)) and format is None:
             raise ValueError("numeric Time requires an explicit format ('mjd' or 'jd')")
         elif isinstance(value, _dt.datetime):
             self._mjd = _datetime_to_mjd(value)
@@ -81,7 +81,16 @@ class Time:
         return Time(self._mjd - _as_days(other), format="mjd")
 
     def __lt__(self, other):
-        return self._mjd < Time(other)._mjd if isinstance(other, Time) else NotImplemented
+        return self._mjd < other._mjd if isinstance(other, Time) else NotImplemented
+
+    def __le__(self, other):
+        return self._mjd <= other._mjd if isinstance(other, Time) else NotImplemented
+
+    def __gt__(self, other):
+        return self._mjd > other._mjd if isinstance(other, Time) else NotImplemented
+
+    def __ge__(self, other):
+        return self._mjd >= other._mjd if isinstance(other, Time) else NotImplemented
 
     def __eq__(self, other):
         return isinstance(other, Time) and self._mjd == other._mjd

@@ -110,6 +110,15 @@ def test_compare_elpd_paired_se():
         compare_elpd([pw_a, pw_b[:50]], ["A", "B"])
 
 
+def test_compare_elpd_single_point_se_is_nan():
+    """N=1 has no defined paired variance: se_d_elpd must be NaN (matching
+    waic/psis_loo), never 0.0 (which would claim perfect certainty)."""
+    from lightcurve_fitting_tpu.parallel.ic import compare_elpd
+    out = compare_elpd([np.array([-1.0]), np.array([-2.0])], ["a", "b"])
+    assert out[0]["label"] == "a" and out[0]["se_d_elpd"] == 0.0
+    assert np.isnan(out[1]["se_d_elpd"])
+
+
 def test_information_criteria_device_path_well_specified():
     """End-to-end on a well-specified synthetic ShockCooling2 fit: data
     generated from the model itself, so LOO and WAIC must agree, the

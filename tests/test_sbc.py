@@ -120,6 +120,36 @@ def test_sbc_validates_before_fitting_and_separates_streams():
                                      nsteps_burnin=2, seed=0, quiet=True)
 
 
+def test_rank_statistic_rejects_oversized_n_ranks():
+    """A silent cap would desynchronize the ranks' support from the n_ranks
+    handed to uniformity_pvalues (top bins structurally empty -> calibrated
+    pipelines flagged NON-UNIFORM); the helper must refuse instead."""
+    rng = np.random.default_rng(0)
+    post = rng.normal(size=(8, 100, 2))
+    truths = rng.normal(size=(8, 2))
+    with pytest.raises(ValueError, match="exceeds the 100"):
+        rank_statistic(post, truths, n_ranks=127)
+
+
+def test_sbc_rejects_summaries_fast_path():
+    """fit_population's summaries/return_chains options cannot feed the rank
+    statistic; they must fail fast with a clear message, not crash on tuple
+    unpacking after the fits."""
+    from lightcurve_fitting_tpu.models import ShockCooling2
+
+    model = ShockCooling2()
+    priors = [UniformPrior(8.0, 20.0), UniformPrior(1.0, 4.0),
+              UniformPrior(25.0, 50.0)]
+    for kw in ({"summaries": True}, {"return_chains": False}):
+        with pytest.raises(TypeError, match="full chains"):
+            simulation_based_calibration(model, priors,
+                                         times=np.linspace(1.0, 8.0, 4),
+                                         filters=["g", "r"], n_sims=4,
+                                         n_ranks=63, nwalkers=16, nsteps=4,
+                                         nsteps_burnin=2, seed=0, quiet=True,
+                                         **kw)
+
+
 def test_sbc_use_sigma_generative_model():
     """With use_sigma=True the last prior is the intrinsic-scatter
     parameter: the simulation noise includes it and the fit samples it.

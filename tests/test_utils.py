@@ -177,6 +177,36 @@ def test_corner_truths_and_unknown_kwarg_warning():
         corner(xs, truths=[0.0])
 
 
+def test_corner_1d_samples_mean_one_parameter():
+    """(N,) input is N samples of ONE parameter (corner-package semantics:
+    a single histogram), not a 1 x N chain that would try to build an
+    N x N subplot grid."""
+    import matplotlib
+    matplotlib.use("Agg")
+    import matplotlib.pyplot as plt
+    from lightcurve_fitting_tpu.utils.corner import corner
+
+    xs = np.random.default_rng(0).normal(size=500)
+    fig = corner(xs, labels=["a"])
+    assert len(fig.get_axes()) == 1
+    plt.close(fig)
+
+
+def test_time_ordering_and_numeric_guard():
+    """Time supports the full comparison set (it replaces astropy.time.Time,
+    whose users filter spectra with t <= t_max), and numpy integers hit the
+    explicit-format error, not the ISO parser."""
+    from lightcurve_fitting_tpu.utils.timeutil import Time
+
+    a, b = Time("2016-01-01"), Time("2016-01-02")
+    assert a < b and a <= b and b > a and b >= a and a <= Time("2016-01-01")
+    assert not (a >= b) and a != b and a == Time("2016-01-01")
+    with pytest.raises(ValueError, match="explicit format"):
+        Time(np.int64(57468))
+    with pytest.raises(ValueError, match="explicit format"):
+        Time(57468.0)
+
+
 def test_comoving_distance_vectorized_matches_scalar():
     """The one-shot (nz, n+1) Simpson evaluation must agree with per-element
     integration, return 0 at z<=0, and preserve scalar-in/scalar-out."""
