@@ -279,6 +279,12 @@ def main():
 
     from lightcurve_fitting_tpu.core import config
     config.set_compute_dtype(jnp.float32)
+    # the axon backend serializes executables (verified round 4,
+    # tools/onchip_probes_r4.py): repeat bench runs reuse every kernel
+    # instead of re-doing the minutes-long remote compiles — headroom
+    # against the driver timeout. Timed regions all follow a warmup call,
+    # so the cache cannot affect the measured numbers.
+    config.enable_compilation_cache()
 
     from __graft_entry__ import _build_logposterior
     from lightcurve_fitting_tpu.parallel.sampler import EnsembleSampler
