@@ -73,8 +73,13 @@ def gpd_fit(x):
     m = 30 + int(np.sqrt(n))
     j = np.arange(1, m + 1, dtype=float)
     x_quart = x[int(n / 4.0 + 0.5) - 1]
-    b = 1.0 / x[-1] + (1.0 - np.sqrt(m / (j - 0.5))) / (3.0 * x_quart)
-    k_b = np.mean(np.log1p(-b[:, None] * x[None, :]), axis=1)
+    # a denormal-tiny quartile (quartile exceedance ~0 relative to the max,
+    # an extreme-contrast tail) overflows the 1/(3 x_quart) grid terms to
+    # -inf; those grid points get log_lik = -inf below and drop out, so
+    # silence the transient overflow/invalid warnings rather than leak them
+    with np.errstate(over="ignore", divide="ignore", invalid="ignore"):
+        b = 1.0 / x[-1] + (1.0 - np.sqrt(m / (j - 0.5))) / (3.0 * x_quart)
+        k_b = np.mean(np.log1p(-b[:, None] * x[None, :]), axis=1)
     # profile log-likelihood n [log(-b/k) - k - 1]; -b/k > 0 on the grid
     # except the measure-zero b == 0 point (k == 0 there) — mask it out
     with np.errstate(divide="ignore", invalid="ignore"):
@@ -85,7 +90,10 @@ def gpd_fit(x):
     # posterior-mean b under the implicit flat prior (normalized weights)
     w = np.exp(log_lik - log_lik.max())
     w /= w.sum()
-    b_hat = float(np.sum(b * w))
+    # restrict the mean to grid points with mass: a -inf b times its zero
+    # weight would otherwise contribute nan, not 0
+    live = w > 0.0
+    b_hat = float(np.sum(b[live] * w[live]))
     k = float(np.mean(np.log1p(-b_hat * x)))
     sigma = float(-k / b_hat) * xmax
     # regularize k towards 0.5 with 10 pseudo-observations (VGG17 App. C)
@@ -99,7 +107,11 @@ def _gpd_quantiles(p, k, sigma):
     p = np.asarray(p, float)
     if np.abs(k) < 1e-12:
         return sigma * (-np.log1p(-p))
-    return (sigma / k) * (np.power(1.0 - p, -k) - 1.0)
+    # very heavy fitted tails (large k) overflow the top quantile to inf;
+    # psis_smooth truncates every smoothed weight at the raw maximum, so
+    # the overflow is harmless — keep the warning from reaching users
+    with np.errstate(over="ignore"):
+        return (sigma / k) * (np.power(1.0 - p, -k) - 1.0)
 
 
 def psis_smooth(lw):

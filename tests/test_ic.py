@@ -94,6 +94,28 @@ def test_psis_smooth_normalizes_and_flags_heavy_tails():
     assert k > 0.6
 
 
+def test_psis_extreme_tails_warning_free():
+    """Extreme-contrast tails (denormal quartile exceedances, huge fitted k)
+    must neither emit RuntimeWarnings nor produce non-finite smoothed
+    weights — the ZS09 grid's -inf points drop out with zero mass and the
+    overflowing top quantile is truncated at the raw max (regression: these
+    leaked overflow/invalid warnings to users on badly misspecified fits)."""
+    import warnings
+    from lightcurve_fitting_tpu.parallel.ic import gpd_fit
+
+    rng = np.random.default_rng(0)
+    with warnings.catch_warnings():
+        warnings.simplefilter("error")
+        lw = np.concatenate([rng.normal(size=95),
+                             [500.0, 499.0, 498.0, 497.0, 496.0]])
+        out, k = psis_smooth(lw)
+        assert np.isfinite(out).all()
+        assert np.exp(out).sum() == pytest.approx(1.0, rel=1e-10)
+        x = np.concatenate([np.full(20, 1e-310), [1e-3, 1e-2, 0.1, 1.0]])
+        k2, sigma2 = gpd_fit(rng.permutation(x))
+        assert np.isfinite(k2) and np.isfinite(sigma2)
+
+
 def test_compare_elpd_paired_se():
     rng = np.random.default_rng(5)
     base = rng.normal(-2.0, 1.0, size=100)
