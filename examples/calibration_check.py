@@ -23,6 +23,10 @@ if os.environ.get("LCF_CPU"):
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+# LCF_EXAMPLE_FAST=1: smoke-run sizes so the test suite can execute this
+# script end-to-end (tests/test_examples.py); results are NOT converged there
+FAST = bool(os.environ.get("LCF_EXAMPLE_FAST"))
+
 import time
 
 import numpy as np
@@ -34,7 +38,7 @@ from lightcurve_fitting_tpu.parallel.sbc import (simulation_based_calibration,
                                                  plot_sbc)
 from lightcurve_fitting_tpu.fitting import compare_models_loo
 
-n_sims = int(sys.argv[1]) if len(sys.argv) > 1 else 128
+n_sims = int(sys.argv[1]) if len(sys.argv) > 1 else (8 if FAST else 128)
 
 # ------------------------------------------------------------- 1. SBC
 model = ShockCooling2()
@@ -44,7 +48,8 @@ start = time.time()
 res = simulation_based_calibration(
     model, priors, times=np.linspace(1.0, 8.0, 5),
     filters=["g", "r", "i", "B"], n_sims=n_sims, n_ranks=63,
-    nwalkers=32, nsteps=600, nsteps_burnin=400, seed=3)
+    nwalkers=16 if FAST else 32, nsteps=60 if FAST else 600,
+    nsteps_burnin=40 if FAST else 400, seed=3)
 print(f"  ({n_sims} prior-predictive fits in {time.time() - start:.1f} s)")
 import matplotlib
 matplotlib.use("Agg")
@@ -69,4 +74,5 @@ compare_models_loo(lc, [ShockCooling2(lc), ShockCooling2(lc)],
                    p_lo=[[10.0, 1.5, 10.0, -0.3], [10.0, 1.5, 1.2, -0.3]],
                    p_up=[[14.0, 2.5, 25.0, 0.3], [14.0, 2.5, 2.8, 0.3]],
                    labels=["free t_tr", "pinned t_tr"],
-                   nwalkers=32, nsteps=300, nsteps_burnin=300, seed=6)
+                   nwalkers=16 if FAST else 32, nsteps=30 if FAST else 300,
+                   nsteps_burnin=30 if FAST else 300, seed=6)

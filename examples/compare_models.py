@@ -27,6 +27,10 @@ if os.environ.get("LCF_CPU"):
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+# LCF_EXAMPLE_FAST=1: smoke-run sizes so the test suite can execute this
+# script end-to-end (tests/test_examples.py); results are NOT converged there
+FAST = bool(os.environ.get("LCF_EXAMPLE_FAST"))
+
 import matplotlib
 
 matplotlib.use("Agg")
@@ -60,7 +64,8 @@ comparison = compare_models_loo(
     lc_early, [ShockCooling(lc_early), ShockCooling4(lc_early)],
     phys_priors, p_lo=p_lo, p_up=p_up,
     labels=["SW17 (ShockCooling)", "MSW23 (ShockCooling4)"],
-    nwalkers=64, nsteps=500, nsteps_burnin=500, seed=7)
+    nwalkers=16 if FAST else 64, nsteps=40 if FAST else 500,
+    nsteps_burnin=40 if FAST else 500, seed=7)
 
 print()
 print(comparison)  # model | elpd_loo | d_elpd | se_d_elpd | stacking_weight

@@ -28,6 +28,10 @@ if os.environ.get("LCF_CPU"):
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+# LCF_EXAMPLE_FAST=1: smoke-run sizes so the test suite can execute this
+# script end-to-end (tests/test_examples.py); results are NOT converged there
+FAST = bool(os.environ.get("LCF_EXAMPLE_FAST"))
+
 
 import numpy as np
 
@@ -51,7 +55,9 @@ priors = [GaussianPrior(0.0, 100.0, 30.0, 15.0),
           GaussianPrior(0.0, 100.0, 30.0, 15.0),
           GaussianPrior(57468.0, 57468.7, 57468.5, 0.2)]
 
-result = lightcurve_hmc(lc_early, model, priors, nchains=16, nsamples=1000,
-                        n_warmup=800, seed=1)
+result = lightcurve_hmc(lc_early, model, priors,
+                        nchains=4 if FAST else 16,
+                        nsamples=50 if FAST else 1000,
+                        n_warmup=100 if FAST else 800, seed=1)
 print(summarize_chain(result._chain, names=["T_1", "L_1", "t_tr", "t_0"]))
 print("medians:", np.round(np.median(result.flatchain, axis=0), 4))

@@ -26,6 +26,10 @@ if os.environ.get("LCF_CPU"):
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+# LCF_EXAMPLE_FAST=1: smoke-run sizes so the test suite can execute this
+# script end-to-end (tests/test_examples.py); results are NOT converged there
+FAST = bool(os.environ.get("LCF_EXAMPLE_FAST"))
+
 
 import numpy as np
 
@@ -48,12 +52,16 @@ priors = [GaussianPrior(0.0, 100.0, 30.0, 15.0),
           GaussianPrior(0.0, 100.0, 30.0, 15.0),
           GaussianPrior(57468.0, 57468.7, 57468.5, 0.2)]
 
-result = lightcurve_map(lc_early, model, priors, seed=0)
+result = lightcurve_map(lc_early, model, priors, seed=0,
+                        n_starts=8 if FAST else 64,
+                        n_iter=200 if FAST else 1000)
 
 # full sampling from the Laplace start: short burn-in is enough
 sampler = lightcurve_mcmc(lc_early, model, priors=priors,
                           p_lo=[20, 2, 20, 57468.4], p_up=[50, 5, 50, 57468.69],
-                          nwalkers=64, nsteps=500, nsteps_burnin=100,
+                          nwalkers=16 if FAST else 64,
+                          nsteps=40 if FAST else 500,
+                          nsteps_burnin=20 if FAST else 100,
                           init="map", seed=0)
 print("MCMC medians:", np.round(np.median(sampler.flatchain, axis=0), 4))
 print("MAP         :", np.round(result.parameters, 4))

@@ -20,6 +20,10 @@ if os.environ.get("LCF_CPU"):
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+# LCF_EXAMPLE_FAST=1: smoke-run sizes so the test suite can execute this
+# script end-to-end (tests/test_examples.py); results are NOT converged there
+FAST = bool(os.environ.get("LCF_EXAMPLE_FAST"))
+
 import time
 
 import numpy as np
@@ -29,7 +33,7 @@ from lightcurve_fitting_tpu.filters import filtdict
 from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
 from lightcurve_fitting_tpu.parallel import fit_population
 
-S = int(sys.argv[1]) if len(sys.argv) > 1 else 64
+S = int(sys.argv[1]) if len(sys.argv) > 1 else (8 if FAST else 64)
 rng = np.random.default_rng(0)
 
 # ------------------------------------------------------- synthetic population
@@ -60,7 +64,9 @@ priors = [UniformPrior(1.0, 50.0), UniformPrior(0.1, 20.0), UniformPrior(5.0, 10
 t0 = time.time()
 flat, acc, summ = fit_population(models, lcs, priors,
                                  p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
-                                 nwalkers=64, nsteps=500, nsteps_burnin=100,
+                                 nwalkers=16 if FAST else 64,
+                                 nsteps=40 if FAST else 500,
+                                 nsteps_burnin=20 if FAST else 100,
                                  seed=1, init="map",
                                  summaries=True, return_chains=False)
 print(f"fit {S} transients in {time.time() - t0:.1f}s "

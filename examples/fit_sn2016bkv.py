@@ -19,6 +19,10 @@ if os.environ.get("LCF_CPU"):
     import jax
     jax.config.update("jax_platforms", "cpu")
 
+# LCF_EXAMPLE_FAST=1: smoke-run sizes so the test suite can execute this
+# script end-to-end (tests/test_examples.py); results are NOT converged there
+FAST = bool(os.environ.get("LCF_EXAMPLE_FAST"))
+
 
 import matplotlib
 matplotlib.use("Agg")
@@ -56,7 +60,9 @@ priors = [UniformPrior(0.0, 100.0), UniformPrior(0.0, 100.0),
 sampler = lightcurve_mcmc(lc_early, model, priors=priors,
                           p_lo=[20.0, 2.0, 20.0, 57468.5],
                           p_up=[50.0, 5.0, 50.0, 57468.7],
-                          nwalkers=100, nsteps=1000, nsteps_burnin=1000,
+                          nwalkers=16 if FAST else 100,
+                          nsteps=50 if FAST else 1000,
+                          nsteps_burnin=50 if FAST else 1000,
                           save_plot_as=os.path.join(outdir, "chains.png"),
                           save_sampler_as=os.path.join(outdir, "flatchain.npy"),
                           seed=0)
@@ -76,8 +82,11 @@ fig, corner_axes, ax = lightcurve_corner(
 plt.close("all")
 
 # --------------------------------------------------------- bolometric pipeline
-t0 = calculate_bolometric(lc, outpath=os.path.join(outdir, "bolometric"),
-                          res=1.0, nwalkers=10, burnin_steps=200, steps=100,
+lc_bolo = lc.where(MJD_max=57500.0) if FAST else lc
+t0 = calculate_bolometric(lc_bolo, outpath=os.path.join(outdir, "bolometric"),
+                          res=1.0, nwalkers=10,
+                          burnin_steps=20 if FAST else 200,
+                          steps=20 if FAST else 100,
                           colors=["B-V", "g-r", "r-i"], batch_mode=True, seed=0,
                           save_table_as=os.path.join(outdir, "bolometric.txt"))
 fig = plot_bolometric_results(t0, xcol="MJD",

@@ -14,7 +14,9 @@ Layout (mirrors the reference's layer map, SURVEY.md §1):
   utils       — host substrate (table, units, cosmology, time, FITS, corner)
 """
 
-__version__ = "0.1.0"
+# git-derived (versioneer-style, reference setup.cfg parity): BASE+g<sha>
+# from a checkout, the plain base from an installed distribution
+from ._version import __version__  # noqa: E402,F401
 
 import os as _os
 

@@ -449,14 +449,40 @@ def main(argv=None):
         except Exception as exc:
             summary["goodness_of_fit"] = {"error": str(exc)}
         try:
+            # config keys: "ic_group_by" (an LC column, e.g. "filter") adds
+            # leave-one-group-out scores; "ic_refit" (true or a pareto_k
+            # threshold) repairs flagged PSIS terms by exact refit CV using
+            # this fit's priors; "ic_refit_options" forwards sampler sizes
+            ic_kw = {}
+            if cfg.get("ic_group_by"):
+                ic_kw["group_by"] = cfg["ic_group_by"]
+            if cfg.get("ic_refit"):
+                ic_kw.update(refit=cfg["ic_refit"], priors=priors,
+                             refit_options=cfg.get("ic_refit_options"))
             ic = fitting.information_criteria(
                 lc, model, flatchain, use_sigma=kw.get("use_sigma", False),
-                sigma_type=kw.get("sigma_type", "relative"), quiet=True)
+                sigma_type=kw.get("sigma_type", "relative"), quiet=True,
+                **ic_kw)
             summary["information_criteria"] = {
                 k: (float(v) if np.isfinite(v) else None)
-                for k, v in ic.items() if np.ndim(v) == 0}
+                for k, v in ic.items()
+                if isinstance(v, (int, float, np.floating))}
             summary["information_criteria"]["n_pareto_k_above_0.7"] = int(
                 np.sum(ic["pareto_k"] > 0.7))
+            if "refit" in ic:
+                summary["information_criteria"]["refit_backed_points"] = \
+                    [int(i) for i in ic["refit"]["labels"]]
+            if "logo" in ic:
+                lg = ic["logo"]
+                summary["information_criteria"]["logo"] = {
+                    "elpd_logo": float(lg["elpd_logo"]),
+                    "se_elpd_logo": float(lg["se_elpd_logo"]),
+                    "groups": [str(g) for g in lg["groups"]],
+                    "pareto_k": [float(k) for k in lg["pareto_k"]],
+                    "pointwise": [float(e) for e in lg["pointwise"]],
+                    "refit_backed": ([str(g) for g in lg["refit"]["labels"]]
+                                     if "refit" in lg else []),
+                }
         except Exception as exc:
             summary["information_criteria"] = {"error": str(exc)}
         if outpath("flatchain"):

@@ -1070,9 +1070,109 @@ def goodness_of_fit(lc, model, flatchain, use_sigma=False,
     return out
 
 
+def _exact_cv_elpd(lc, model, priors, masks, use_sigma, sigma_type,
+                   flatchain, n_draws, seed, refit_options):
+    """Exact leave-out cross-validation for importance-sampling failures.
+
+    PSIS-LOO/LOGO terms whose Pareto tail shape exceeds 0.7 are unreliable
+    (Vehtari+17 §3) — the full-data posterior is too far from the held-out
+    posterior for reweighting. The repair is the definition itself: REFIT
+    the model without each flagged subset and score the held-out points
+    under the refit posterior,
+
+        elpd_g = log mean_s exp( sum_{i in g} ll(y_i | theta_s^{(-g)}) ).
+
+    All flagged refits run as ONE batched device call (``fit_population``
+    masks the ragged per-refit data; the per-transient ensembles share one
+    compiled kernel), windowed by the full-data posterior: the refit box is
+    the chain's [2, 98] percentile box, which lies inside the prior support
+    by construction and is close to every leave-out posterior (dropping one
+    band barely moves a 149-point fit). Within that box the default
+    ``init="map"`` runs the batched multi-start MAP stage — on thin curved
+    ridges (the flagship) walkers started uniformly in the box are still
+    contracting after thousands of steps, which would make the exact elpd
+    as unreliable as the PSIS term it replaces. The held-out scores then
+    reuse the SAME cached pointwise-log-likelihood kernel the PSIS stage
+    compiled (``_posterior_discrepancy``).
+
+    ``masks``: boolean (N,) arrays, one per refit, True on the held-out
+    points. Returns (elpd (G,), refit acceptance (G,)); an elpd entry is
+    NaN if fewer than 8 refit draws evaluated finitely on the held-out set.
+    """
+    from .parallel.population import fit_population
+    from .parallel.ic import _logsumexp
+
+    chain = np.asarray(flatchain, float)
+    p_lo = np.percentile(chain, 2.0, axis=0)
+    p_up = np.percentile(chain, 98.0, axis=0)
+    degenerate = ~(p_up > p_lo)  # chain pinned to one value in a dimension
+    if np.any(degenerate):
+        eps = np.maximum(1e-8, 1e-6 * np.abs(p_lo))
+        p_lo = np.where(degenerate, p_lo - eps, p_lo)
+        p_up = np.where(degenerate, p_up + eps, p_up)
+
+    lcs = [lc[~m] for m in masks]
+    models = [model.clone_for(sub) for sub in lcs]
+    opts = dict(nwalkers=64, nsteps=500, nsteps_burnin=500, init="map")
+    opts.update(refit_options or {})
+    flat, acc = fit_population(models, lcs, priors, p_lo=p_lo, p_up=p_up,
+                               use_sigma=use_sigma, sigma_type=sigma_type,
+                               seed=seed, **opts)
+    flat = np.asarray(flat, float)
+    G = len(masks)
+    rng = np.random.default_rng(seed)
+    nd = min(int(n_draws), flat.shape[1])
+    idx = rng.choice(flat.shape[1], nd, replace=False)
+    # one cached-kernel call scores every refit's draws on the FULL curve;
+    # each refit then reads off its own held-out columns
+    draws = flat[:, idx, :].reshape(G * nd, flat.shape[2])
+    ll, _, _ = _posterior_discrepancy(lc, model, draws, use_sigma, sigma_type,
+                                      kind="pointwise_ll")
+    ll = ll.reshape(G, nd, -1)
+    elpd = np.full(G, np.nan)
+    for g, m in enumerate(masks):
+        llg = ll[g][:, m].sum(axis=1)
+        llg = llg[np.isfinite(llg)]
+        if len(llg) >= 8:
+            elpd[g] = float(_logsumexp(llg) - np.log(len(llg)))
+    return elpd, np.asarray(acc)
+
+
+def _apply_refit(res, pointwise_key, elpd_key, se_key, masks, bad_idx,
+                 group_names, lc, model, priors, use_sigma, sigma_type,
+                 flatchain, n_draws, seed, refit_options):
+    """Patch a waic/psis result dict in place with exact-refit CV values for
+    the flagged entries; records the provenance under ``res['refit']``."""
+    if priors is None:
+        raise ValueError("refit of unreliable PSIS terms needs the fit's "
+                         "priors: pass priors=[...] (including the "
+                         "intrinsic-scatter prior when use_sigma=True)")
+    elpd_exact, acc = _exact_cv_elpd(lc, model, priors, masks, use_sigma,
+                                     sigma_type, flatchain, n_draws, seed,
+                                     refit_options)
+    ok = np.isfinite(elpd_exact)
+    pw = np.asarray(res[pointwise_key], float).copy()
+    elpd_psis = pw[bad_idx].copy()
+    pw[bad_idx[ok]] = elpd_exact[ok]
+    n = len(pw)
+    res[pointwise_key] = pw
+    res[elpd_key] = float(np.sum(pw))
+    res[se_key] = float(np.sqrt(n * np.var(pw, ddof=1))) if n > 1 else np.nan
+    res["refit"] = {
+        "method": "exact_refit_cv",
+        "labels": np.asarray(group_names),
+        "elpd_psis": elpd_psis,
+        "elpd_exact": elpd_exact,
+        "acceptance": acc,
+        "n_failed": int(np.sum(~ok)),
+    }
+    return res
+
+
 def information_criteria(lc, model, flatchain, use_sigma=False,
                          sigma_type="relative", n_draws=1024, seed=0,
-                         group_by=None, quiet=False):
+                         group_by=None, refit=False, priors=None,
+                         refit_options=None, quiet=False):
     """WAIC and PSIS-LOO predictive scores of a completed fit.
 
     Beyond-reference capability (the reference has no model-selection
@@ -1099,8 +1199,24 @@ def information_criteria(lc, model, flatchain, use_sigma=False,
     explicit length-N label array) adds leave-one-GROUP-out scores under
     ``out["logo"]`` (:func:`parallel.ic.psis_logo`): can the model predict
     a whole held-out band/epoch, not just one point given its bandmates.
+
+    ``refit``: repair unreliable PSIS terms by EXACT cross-validation
+    instead of only flagging them. Any point (and, with ``group_by``, any
+    group) whose ``pareto_k`` exceeds the threshold (``refit=True`` uses
+    the standard 0.7; pass a float for a custom threshold, e.g. ``-np.inf``
+    to refit everything) is re-scored by refitting the model without it —
+    all flagged refits in one batched device call seeded from this chain —
+    and evaluating the held-out log density under the refit posterior (see
+    :func:`_exact_cv_elpd`). Requires ``priors`` (the fit's prior list,
+    including the intrinsic-scatter prior when ``use_sigma=True``);
+    ``refit_options`` forwards sampler settings (``nwalkers``, ``nsteps``,
+    ``nsteps_burnin``, ``init``) to :func:`parallel.population.fit_population`.
+    Patched results carry the provenance under ``out["refit"]`` /
+    ``out["logo"]["refit"]`` (PSIS vs exact values per flagged entry);
+    ``pareto_k`` keeps the original diagnostics.
     """
-    from .parallel.ic import waic as _waic, psis_loo as _psis_loo, psis_logo
+    from .parallel.ic import (waic as _waic, psis_loo as _psis_loo, psis_logo,
+                              _logsumexp as _ic_logsumexp)
 
     flatchain = np.asarray(flatchain, float)
 
@@ -1127,23 +1243,59 @@ def information_criteria(lc, model, flatchain, use_sigma=False,
            "p_waic": wa["p_waic"], "waic": wa["waic"],
            "pointwise": loo["pointwise"], "pointwise_waic": wa["pointwise"],
            "n_points": ll.shape[1], "n_invalid_draws": n_bad}
+
+    threshold = 0.7 if refit is True else refit
+    N = ll.shape[1]
+    if refit is not False:
+        # NaN k-hat ("tail too small to estimate") counts as unreliable
+        bad_pts = np.flatnonzero(~(out["pareto_k"] <= threshold))
+        if len(bad_pts):
+            masks = [np.arange(N) == i for i in bad_pts]
+            _apply_refit(out, "pointwise", "elpd_loo", "se_elpd_loo",
+                         masks, bad_pts, bad_pts, lc, model, priors,
+                         use_sigma, sigma_type, flatchain, n_draws, seed,
+                         refit_options)
+            out["looic"] = -2.0 * out["elpd_loo"]
+            lppd = float(np.sum(_ic_logsumexp(ll, axis=0) - np.log(len(ll))))
+            out["p_loo"] = lppd - out["elpd_loo"]
+
     if group_by is not None:
         labels = (np.asarray(lc[group_by]) if isinstance(group_by, str)
                   else np.asarray(group_by))
-        out["logo"] = psis_logo(ll, labels)
+        lg = out["logo"] = psis_logo(ll, labels)
+        if refit is not False:
+            bad_g = np.flatnonzero(~(lg["pareto_k"] <= threshold))
+            if len(bad_g):
+                masks = [labels == lg["groups"][j] for j in bad_g]
+                _apply_refit(lg, "pointwise", "elpd_logo", "se_elpd_logo",
+                             masks, bad_g, lg["groups"][bad_g], lc, model,
+                             priors, use_sigma, sigma_type, flatchain,
+                             n_draws, seed, refit_options)
     if not quiet:
         n_hi = int(np.sum(loo["pareto_k"] > 0.7))
+        refit_note = ""
+        if "refit" in out:
+            nf = out["refit"]["n_failed"]
+            refit_note = (f" — {len(out['refit']['labels'])} repaired by "
+                          f"exact refit CV"
+                          + (f" ({nf} refits failed)" if nf else ""))
         k_note = (f"; {n_hi}/{ll.shape[1]} points have pareto_k > 0.7 "
-                  "(unreliable LOO terms)" if n_hi else "")
-        print(f"elpd_loo = {loo['elpd_loo']:.1f} +/- {loo['se_elpd_loo']:.1f} "
-              f"(p_loo = {loo['p_loo']:.1f}); "
+                  f"(unreliable LOO terms){refit_note}" if n_hi else "")
+        print(f"elpd_loo = {out['elpd_loo']:.1f} +/- {out['se_elpd_loo']:.1f} "
+              f"(p_loo = {out['p_loo']:.1f}); "
               f"elpd_waic = {wa['elpd_waic']:.1f} +/- {wa['se_elpd_waic']:.1f}"
               f"{k_note}")
         if group_by is not None:
             lg = out["logo"]
             n_hi_g = int(np.sum(lg["pareto_k"] > 0.7))
+            g_refit_note = ""
+            if "refit" in lg:
+                nf = lg["refit"]["n_failed"]
+                g_refit_note = (f" — {len(lg['refit']['labels'])} repaired "
+                                f"by exact refit CV"
+                                + (f" ({nf} refits failed)" if nf else ""))
             g_note = (f"; {n_hi_g}/{len(lg['groups'])} groups have "
-                      "pareto_k > 0.7" if n_hi_g else "")
+                      f"pareto_k > 0.7{g_refit_note}" if n_hi_g else "")
             print(f"leave-one-group-out ({len(lg['groups'])} groups): "
                   f"elpd_logo = {lg['elpd_logo']:.1f} "
                   f"+/- {lg['se_elpd_logo']:.1f}{g_note}")

@@ -93,6 +93,9 @@ def gpd_fit(x):
     # restrict the mean to grid points with mass: a -inf b times its zero
     # weight would otherwise contribute nan, not 0
     live = w > 0.0
+    # tripwire (the errstate blocks above silence transient overflow on the
+    # dead grid points only): every live grid point must have a finite b
+    assert np.isfinite(b[live]).all(), "non-finite b at a live grid point"
     b_hat = float(np.sum(b[live] * w[live]))
     k = float(np.mean(np.log1p(-b_hat * x)))
     sigma = float(-k / b_hat) * xmax

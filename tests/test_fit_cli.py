@@ -360,3 +360,29 @@ def test_cli_compile_cache(tmp_path, synth_csv):
             compilation_cache.reset_cache()
         except Exception:
             pass
+
+
+def test_cli_ic_group_by_and_refit(tmp_path, synth_csv):
+    """Config keys ic_group_by / ic_refit: the summary carries the LOGO block
+    and, with refit forced (threshold -inf), marks every band refit-backed."""
+    cfg = {"data": synth_csv, "model": "ShockCooling2",
+           "priors": [["Uniform", 1, 50], ["Uniform", 0.1, 20],
+                      ["Uniform", 5, 100], ["Uniform", -0.5, 0.5]],
+           "p_lo": [5, 0.5, 20, -0.4], "p_up": [25, 5, 60, 0.4],
+           "driver": "mcmc",
+           "ic_group_by": "filter",
+           "ic_refit": -1e30,
+           "ic_refit_options": {"nwalkers": 16, "nsteps": 100,
+                                "nsteps_burnin": 100},
+           "driver_kwargs": {"nwalkers": 16, "nsteps": 150,
+                             "nsteps_burnin": 150, "seed": 1, "quiet": True,
+                             "shard": False},
+           "outputs": {"summary": "summary.json"}}
+    summary = _run(tmp_path, cfg)
+    ic = summary["information_criteria"]
+    assert "error" not in ic, ic
+    lg = ic["logo"]
+    assert lg["groups"] == ["g", "r", "i"]
+    assert set(lg["refit_backed"]) == {"g", "r", "i"}
+    assert len(ic["refit_backed_points"]) == 15
+    assert np.isfinite(lg["elpd_logo"])

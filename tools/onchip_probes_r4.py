@@ -24,12 +24,19 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def probe_kappa_onchip():
+    # ADVICE r4 (medium): the original probe used ShockCooling2, whose scaled
+    # (T_1, L_1, t_tr) parameterization never uses kappa — it validated
+    # nothing. Probe the SW17 ShockCooling model, where kappa enters the
+    # temperature/luminosity scalings (models/shock_cooling.py:82-87), and
+    # REQUIRE the kappa=0.2 log-posterior to differ from the kappa=1.0 one
+    # at the same parameters before the finite-fit smoke.
     import jax
     assert jax.devices()[0].platform.lower() != "cpu", "needs the TPU tunnel"
     jax.config.update("jax_enable_x64", True)
+    import jax.numpy as jnp
     from lightcurve_fitting_tpu.lightcurve import LC
-    from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
-    from lightcurve_fitting_tpu.fitting import lightcurve_mcmc
+    from lightcurve_fitting_tpu.models import ShockCooling, UniformPrior
+    from lightcurve_fitting_tpu.fitting import lightcurve_mcmc, make_log_posterior
 
     here = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     lc = LC.read(os.path.join(here, "lightcurve_fitting_tpu", "data",
@@ -40,17 +47,26 @@ def probe_kappa_onchip():
     lc.calcAbsMag()
     lc.calcLum()
     early = lc.where(MJD_min=57468.0, MJD_max=57485.0)
-    model = ShockCooling2(early, kappa=0.2)   # nonstandard opacity, device path
-    priors = [UniformPrior(0.0, 100.0)] * 3 + [UniformPrior(57468.0, 57468.7)]
+    priors = [UniformPrior(0.1, 20.0), UniformPrior(0.1, 30.0),
+              UniformPrior(0.01, 100.0), UniformPrior(0.01, 50.0),
+              UniformPrior(57468.0, 57468.7)]
+    model = ShockCooling(early, kappa=0.2)    # nonstandard opacity, device path
+    p = jnp.asarray([5.0, 10.0, 1.0, 5.0, 57468.4])
+    lp_02 = float(jax.jit(make_log_posterior(model, early, priors))(p))
+    lp_10 = float(jax.jit(make_log_posterior(ShockCooling(early), early,
+                                             priors))(p))
+    kappa_live = np.isfinite(lp_02) and abs(lp_02 - lp_10) > 1.0
     s = lightcurve_mcmc(early, model, priors=priors,
-                        p_lo=[20.0, 2.0, 20.0, 57468.5],
-                        p_up=[50.0, 5.0, 50.0, 57468.7],
+                        p_lo=[0.5, 0.5, 0.1, 0.1, 57468.3],
+                        p_up=[10.0, 20.0, 10.0, 20.0, 57468.7],
                         nwalkers=64, nsteps=20, nsteps_burnin=20,
                         seed=0, quiet=True)
     logp = np.asarray(s.get_log_prob(flat=True))
-    ok = np.isfinite(logp).all()
-    print(f"[probe] kappa=0.2 on-chip fit: logp range [{logp.min():.1f}, "
-          f"{logp.max():.1f}] finite={ok} device={jax.devices()[0]}")
+    ok = np.isfinite(logp).all() and kappa_live
+    print(f"[probe] SW17 kappa device path on-chip: logp(kappa=0.2)={lp_02:.1f} "
+          f"vs logp(kappa=1.0)={lp_10:.1f} (differ={kappa_live}); fit logp "
+          f"range [{logp.min():.1f}, {logp.max():.1f}] finite="
+          f"{np.isfinite(logp).all()} device={jax.devices()[0]}")
     return bool(ok)
 
 
