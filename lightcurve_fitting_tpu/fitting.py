@@ -1414,7 +1414,8 @@ def _per_model_checkpoint_path(path, label):
 def compare_models_loo(lc, models, priors, p_lo=None, p_up=None, labels=None,
                        nwalkers=100, nsteps=1000, nsteps_burnin=1000,
                        use_sigma=False, sigma_type="relative", seed=None,
-                       n_draws=1024, quiet=False, **mcmc_kwargs):
+                       n_draws=1024, refit=False, refit_options=None,
+                       group_by=None, quiet=False, **mcmc_kwargs):
     """One-call chain-based model comparison: fit every candidate with
     :func:`lightcurve_mcmc`, score PSIS-LOO, and rank with paired
     standard errors.
@@ -1431,6 +1432,11 @@ def compare_models_loo(lc, models, priors, p_lo=None, p_up=None, labels=None,
     Arguments shape-match ``compare_models`` (shared or per-model priors /
     windows / labels); ``mcmc_kwargs`` forward to every
     :func:`lightcurve_mcmc` call (replicas, mesh, init, ...).
+    ``refit`` / ``refit_options`` / ``group_by`` forward to each model's
+    :func:`information_criteria` (each candidate's priors back its own
+    refits), so the ranking can be made robust to flagged PSIS terms —
+    comparisons between misspecified candidates are exactly where heavy
+    importance tails appear.
     ``checkpoint_file`` / ``resume_from`` are per-model-ized as in
     ``compare_models`` (label inserted before the extension; resume only
     applies to models whose file exists).
@@ -1467,7 +1473,9 @@ def compare_models_loo(lc, models, priors, p_lo=None, p_up=None, labels=None,
                                           sigma_type=sigma_type,
                                           n_draws=n_draws,
                                           seed=0 if seed is None else seed,
-                                          quiet=True)
+                                          refit=refit, priors=pri,
+                                          refit_options=refit_options,
+                                          group_by=group_by, quiet=True)
         samplers[label] = sampler
     tab = compare_information_criteria([ics[lb] for lb in labels],
                                        labels=labels, quiet=quiet)
