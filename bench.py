@@ -196,7 +196,6 @@ def _bench_evidence(nwalkers=4096, n_rungs=16, nsteps=150, nsteps_burnin=150):
     beta=1, and every rung evaluates the likelihood each step); repeat calls
     hit the compiled-kernel cache."""
     import numpy as np
-    import numpy as np
     from lightcurve_fitting_tpu.models import ShockCooling2, UniformPrior
     from lightcurve_fitting_tpu.fitting import lightcurve_evidence
 
@@ -348,6 +347,7 @@ def _roofline(evals_per_sec):
     VPU-bound elementwise work — no matmuls — so the MXU peak is not the
     relevant roofline (docs/design.md 'Adaptive per-band Chebyshev
     tables')."""
+    import numpy as np
     from lightcurve_fitting_tpu.models import ShockCooling2
     early = _flagship_early_lc()
     model = ShockCooling2(early)
@@ -392,16 +392,21 @@ def _section_headline(nwalkers, nsteps=300, replicas=1, with_roofline=False):
 
 
 SECTIONS = {
-    # name -> (runner, wall-clock cap in seconds at full scale)
+    # name -> (runner, wall-clock cap in seconds at full scale). Caps cover
+    # a COLD tunnel compile (measured round 5: a section = ~60 s import +
+    # backend init, plus a one-off ~2-6 min remote compile that the
+    # persistent cache then amortizes across sections, reruns, and driver
+    # rounds; warm sections run in ~1-3 min). The budget logic shrinks
+    # these near the deadline, so generous caps cost nothing when warm.
     "headline131k": (lambda: _section_headline(131072, with_roofline=True), 900),
-    "headline32k": (lambda: _section_headline(32768), 300),
-    "headline1k_rep": (lambda: _section_headline(1024, replicas=32), 300),
-    "headline1k": (lambda: _section_headline(1024), 240),
+    "headline32k": (lambda: _section_headline(32768), 420),
+    "headline1k_rep": (lambda: _section_headline(1024, replicas=32), 420),
+    "headline1k": (lambda: _section_headline(1024), 300),
     "binning": (_bench_host_binning, 120),
-    "bolometric": (_bench_bolometric, 360),
-    "population": (_bench_population, 360),
-    "population512": (lambda: _bench_population(S=512), 480),
-    "evidence": (_bench_evidence, 360),
+    "bolometric": (_bench_bolometric, 420),
+    "population": (_bench_population, 420),
+    "population512": (lambda: _bench_population(S=512), 540),
+    "evidence": (_bench_evidence, 420),
 }
 
 
@@ -493,18 +498,28 @@ def _probe_backend(emitter, max_wait_s, probe_timeout_s=300):
     while True:
         attempt += 1
         budget_left = deadline - time.time()
+        # Popen tracked on the emitter (not subprocess.run): a SIGTERM
+        # landing mid-probe must kill the probe child too, or it would
+        # keep a backend-init against the single chip alive for up to its
+        # probe timeout after bench exits
+        child = subprocess.Popen([sys.executable, "-c", code],
+                                 stdout=subprocess.DEVNULL,
+                                 stderr=subprocess.PIPE)
+        emitter.child = child
         try:
-            r = subprocess.run([sys.executable, "-c", code],
-                               timeout=max(10.0, min(probe_timeout_s,
-                                                     budget_left + 10.0)),
-                               capture_output=True)
-            if r.returncode == 0:
+            _, err = child.communicate(
+                timeout=max(10.0, min(probe_timeout_s, budget_left + 10.0)))
+            if child.returncode == 0:
                 _log(f"backend probe OK (attempt {attempt})")
                 return True
-            _log(f"backend probe rc={r.returncode}: "
-                 f"{r.stderr.decode(errors='replace')[-200:]!r}")
+            _log(f"backend probe rc={child.returncode}: "
+                 f"{err.decode(errors='replace')[-200:]!r}")
         except subprocess.TimeoutExpired:
+            child.kill()
+            child.communicate()
             _log(f"backend probe timed out (attempt {attempt})")
+        finally:
+            emitter.child = None
         if time.time() > deadline:
             return False
         time.sleep(5 if SMOKE else 30)

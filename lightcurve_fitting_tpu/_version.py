@@ -41,18 +41,24 @@ def get_version():
     dirty = described.endswith("-dirty")
     if dirty:
         described = described[: -len("-dirty")]
+    # PEP 440: extra commits and the sha go in the LOCAL segment
+    # ("0.1.0+3.g<sha>"), which sorts AFTER the 0.1.0 release — a
+    # ".devN" public segment would sort BEFORE it, inverting upgrades
+    local = []
     if described.startswith("v"):
         # tagged: "v0.1.0" (release) or "v0.1.0-3-g<sha>" (3 commits past)
         parts = described[1:].split("-")
-        if len(parts) == 1:
-            version = parts[0]
-        else:
-            version = f"{parts[0]}.dev{parts[1]}+{parts[2]}"
+        version = parts[0]
+        if len(parts) > 1:
+            local += [parts[1], parts[2]]
     else:
         # no tag anywhere: describe --always gives the bare abbreviated sha
-        version = f"{BASE}+g{described}"
+        version = BASE
+        local.append(f"g{described}")
     if dirty:
-        version += ".dirty"
+        local.append("dirty")
+    if local:
+        version += "+" + ".".join(local)
     return version
 
 

@@ -456,8 +456,12 @@ def main(argv=None):
             ic_kw = {}
             if cfg.get("ic_group_by"):
                 ic_kw["group_by"] = cfg["ic_group_by"]
-            if cfg.get("ic_refit"):
-                ic_kw.update(refit=cfg["ic_refit"], priors=priors,
+            # identity checks, not truthiness: "ic_refit": 0.0 is a valid
+            # pareto_k threshold (refit every k > 0 term), only absent/false
+            # disables
+            ic_refit = cfg.get("ic_refit")
+            if ic_refit is not None and ic_refit is not False:
+                ic_kw.update(refit=ic_refit, priors=priors,
                              refit_options=cfg.get("ic_refit_options"))
             ic = fitting.information_criteria(
                 lc, model, flatchain, use_sigma=kw.get("use_sigma", False),
@@ -472,6 +476,8 @@ def main(argv=None):
             if "refit" in ic:
                 summary["information_criteria"]["refit_backed_points"] = \
                     [int(i) for i in ic["refit"]["labels"]]
+                summary["information_criteria"]["refit_failed_points"] = \
+                    [int(i) for i in ic["refit"]["failed_labels"]]
             if "logo" in ic:
                 lg = ic["logo"]
                 summary["information_criteria"]["logo"] = {
@@ -481,6 +487,9 @@ def main(argv=None):
                     "pareto_k": [float(k) for k in lg["pareto_k"]],
                     "pointwise": [float(e) for e in lg["pointwise"]],
                     "refit_backed": ([str(g) for g in lg["refit"]["labels"]]
+                                     if "refit" in lg else []),
+                    "refit_failed": ([str(g) for g in
+                                      lg["refit"]["failed_labels"]]
                                      if "refit" in lg else []),
                 }
         except Exception as exc:

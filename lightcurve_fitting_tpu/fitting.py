@@ -1107,9 +1107,23 @@ def _exact_cv_elpd(lc, model, priors, masks, use_sigma, sigma_type,
     p_up = np.percentile(chain, 98.0, axis=0)
     degenerate = ~(p_up > p_lo)  # chain pinned to one value in a dimension
     if np.any(degenerate):
-        eps = np.maximum(1e-8, 1e-6 * np.abs(p_lo))
+        eps = np.maximum(1e-8, 1e-8 * np.abs(p_lo))
         p_lo = np.where(degenerate, p_lo - eps, p_lo)
         p_up = np.where(degenerate, p_up + eps, p_up)
+    # keep the box inside the prior support: a chain pinned AT a bound
+    # (flagship t_0) would otherwise widen past it and seed walkers/MAP
+    # starts in zero-density territory, silently failing every refit
+    lo_b = np.array([getattr(p, "p_min", -np.inf) for p in priors], float)
+    up_b = np.array([getattr(p, "p_max", np.inf) for p in priors], float)
+    p_lo = np.clip(p_lo, lo_b, up_b)
+    p_up = np.clip(p_up, lo_b, up_b)
+    collapsed = ~(p_up > p_lo)  # clip collapsed a bound-pinned dimension
+    if np.any(collapsed):
+        width = np.minimum(np.maximum(1e-8, 1e-8 * np.abs(p_up)),
+                           up_b - lo_b)
+        grow_down = collapsed & (p_up - width >= lo_b)
+        p_lo = np.where(grow_down, p_up - width, p_lo)
+        p_up = np.where(collapsed & ~grow_down, p_lo + width, p_up)
 
     lcs = [lc[~m] for m in masks]
     models = [model.clone_for(sub) for sub in lcs]
@@ -1142,11 +1156,11 @@ def _apply_refit(res, pointwise_key, elpd_key, se_key, masks, bad_idx,
                  group_names, lc, model, priors, use_sigma, sigma_type,
                  flatchain, n_draws, seed, refit_options):
     """Patch a waic/psis result dict in place with exact-refit CV values for
-    the flagged entries; records the provenance under ``res['refit']``."""
-    if priors is None:
-        raise ValueError("refit of unreliable PSIS terms needs the fit's "
-                         "priors: pass priors=[...] (including the "
-                         "intrinsic-scatter prior when use_sigma=True)")
+    the flagged entries; records the provenance under ``res['refit']``.
+    ``labels`` lists ONLY the entries actually repaired (exact-backed) —
+    a refit that produced no finite held-out score leaves its entry on the
+    PSIS estimate and lands in ``failed_labels`` instead, so downstream
+    consumers never report a repair that did not happen."""
     elpd_exact, acc = _exact_cv_elpd(lc, model, priors, masks, use_sigma,
                                      sigma_type, flatchain, n_draws, seed,
                                      refit_options)
@@ -1158,11 +1172,13 @@ def _apply_refit(res, pointwise_key, elpd_key, se_key, masks, bad_idx,
     res[pointwise_key] = pw
     res[elpd_key] = float(np.sum(pw))
     res[se_key] = float(np.sqrt(n * np.var(pw, ddof=1))) if n > 1 else np.nan
+    group_names = np.asarray(group_names)
     res["refit"] = {
         "method": "exact_refit_cv",
-        "labels": np.asarray(group_names),
-        "elpd_psis": elpd_psis,
-        "elpd_exact": elpd_exact,
+        "labels": group_names[ok],
+        "elpd_psis": elpd_psis[ok],
+        "elpd_exact": elpd_exact[ok],
+        "failed_labels": group_names[~ok],
         "acceptance": acc,
         "n_failed": int(np.sum(~ok)),
     }
@@ -1218,6 +1234,13 @@ def information_criteria(lc, model, flatchain, use_sigma=False,
     from .parallel.ic import (waic as _waic, psis_loo as _psis_loo, psis_logo,
                               _logsumexp as _ic_logsumexp)
 
+    if refit is not False and priors is None:
+        # validate at ENTRY: failing only when something happens to be
+        # flagged would destroy an already-computed result data-dependently
+        raise ValueError("refit of unreliable PSIS terms needs the fit's "
+                         "priors: pass priors=[...] (including the "
+                         "intrinsic-scatter prior when use_sigma=True)")
+
     flatchain = np.asarray(flatchain, float)
 
     rng = np.random.default_rng(seed)
@@ -1272,33 +1295,32 @@ def information_criteria(lc, model, flatchain, use_sigma=False,
                              priors, use_sigma, sigma_type, flatchain,
                              n_draws, seed, refit_options)
     if not quiet:
-        n_hi = int(np.sum(loo["pareto_k"] > 0.7))
-        refit_note = ""
-        if "refit" in out:
-            nf = out["refit"]["n_failed"]
-            refit_note = (f" — {len(out['refit']['labels'])} repaired by "
-                          f"exact refit CV"
-                          + (f" ({nf} refits failed)" if nf else ""))
-        k_note = (f"; {n_hi}/{ll.shape[1]} points have pareto_k > 0.7 "
-                  f"(unreliable LOO terms){refit_note}" if n_hi else "")
+        def _notes(res, n_total, kind):
+            # refit provenance prints whenever a repair ran, independent of
+            # the 0.7 count (custom thresholds can repair below-0.7 terms)
+            parts = []
+            n_hi = int(np.sum(res["pareto_k"] > 0.7))
+            if n_hi:
+                parts.append(f"{n_hi}/{n_total} {kind} have pareto_k > 0.7"
+                             + (" (unreliable LOO terms)"
+                                if kind == "points" else ""))
+            if "refit" in res:
+                nf = res["refit"]["n_failed"]
+                parts.append(f"{len(res['refit']['labels'])} repaired by "
+                             f"exact refit CV"
+                             + (f" ({nf} refits failed)" if nf else ""))
+            return "; " + "; ".join(parts) if parts else ""
+
         print(f"elpd_loo = {out['elpd_loo']:.1f} +/- {out['se_elpd_loo']:.1f} "
               f"(p_loo = {out['p_loo']:.1f}); "
               f"elpd_waic = {wa['elpd_waic']:.1f} +/- {wa['se_elpd_waic']:.1f}"
-              f"{k_note}")
+              f"{_notes(out, ll.shape[1], 'points')}")
         if group_by is not None:
             lg = out["logo"]
-            n_hi_g = int(np.sum(lg["pareto_k"] > 0.7))
-            g_refit_note = ""
-            if "refit" in lg:
-                nf = lg["refit"]["n_failed"]
-                g_refit_note = (f" — {len(lg['refit']['labels'])} repaired "
-                                f"by exact refit CV"
-                                + (f" ({nf} refits failed)" if nf else ""))
-            g_note = (f"; {n_hi_g}/{len(lg['groups'])} groups have "
-                      f"pareto_k > 0.7{g_refit_note}" if n_hi_g else "")
             print(f"leave-one-group-out ({len(lg['groups'])} groups): "
                   f"elpd_logo = {lg['elpd_logo']:.1f} "
-                  f"+/- {lg['se_elpd_logo']:.1f}{g_note}")
+                  f"+/- {lg['se_elpd_logo']:.1f}"
+                  f"{_notes(lg, len(lg['groups']), 'groups')}")
     return out
 
 

@@ -52,6 +52,12 @@ def test_smoke_run_emits_one_json_line():
     assert out["value"] > 0.0
     assert out["vs_baseline"] == pytest.approx(out["value"] / 1e7)
     assert out["detail"]["acceptance_check"] >= 0.0
+    # the headline must come from the FULL-scale section, not a silent
+    # degradation (regression: a NameError in the roofline arithmetic made
+    # headline131k fail while the 32k fallback kept value > 0)
+    assert "headline_note" not in out["detail"], out
+    assert "roofline" in out["detail"], out
+    assert not any(t.startswith("headline131k") for t in out.get("truncated", [])), out
 
 
 def test_sigterm_mid_run_still_emits_json():

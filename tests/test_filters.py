@@ -129,3 +129,37 @@ def test_planck_error_propagation():
         nu, 8.0, 4.0, dT=0.1, dR=0.05, cov=0.001)
     assert np.allclose(L2, Lnu)
     assert np.all(dL2 > 0)
+
+
+def test_json2txt_converter(tmp_path):
+    """Reference-parity curve converter (reference filters/json2txt.py): a
+    JSON [[name,...],[wl,trans],...] export becomes the two-column %.1f %.9f
+    text file the registry ingests; malformed inputs raise instead of
+    writing garbage."""
+    import importlib.util
+    import json
+    import os
+
+    import pytest
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "json2txt", os.path.join(root, "tools", "json2txt.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    src = tmp_path / "curve.json"
+    src.write_text(json.dumps([["Test_X", "meta"], [4000.0, 0.1],
+                               [5000.0, 0.523456789], [6000.0, 0.0]]))
+    out = mod.convert(str(src), str(tmp_path))
+    assert out.endswith("Test_X.txt")
+    wl, tr = np.loadtxt(out, unpack=True)
+    np.testing.assert_allclose(wl, [4000.0, 5000.0, 6000.0])
+    np.testing.assert_allclose(tr, [0.1, 0.523456789, 0.0], atol=5e-10)
+    lines = open(out).read().splitlines()
+    assert lines[1] == "5000.0 0.523456789"  # reference %.1f %.9f format
+
+    bad = tmp_path / "bad.json"
+    bad.write_text(json.dumps({"not": "a curve"}))
+    with pytest.raises(ValueError):
+        mod.convert(str(bad), str(tmp_path))

@@ -452,14 +452,20 @@ def test_information_criteria_refit_requires_priors():
     from lightcurve_fitting_tpu.fitting import information_criteria
 
     lc, model, priors, s = _synthetic_fit(seed=5)
+    # validated at ENTRY (before any scoring), not data-dependently when
+    # something happens to be flagged
     with pytest.raises(ValueError, match="priors"):
-        information_criteria(lc, model, s.flatchain, refit=-np.inf,
+        information_criteria(lc, model, s.flatchain, refit=np.inf,
                              seed=0, quiet=True)
-    # nothing flagged at a huge threshold: refit machinery never engages,
-    # so priors aren't needed and results equal the plain PSIS ones
+    # at threshold +inf only NaN k-hat ("tail too small to estimate", which
+    # is unreliable at ANY threshold) may engage the refit machinery
     ic = information_criteria(lc, model, s.flatchain, refit=np.inf,
-                              seed=0, quiet=True)
-    assert "refit" not in ic
+                              priors=priors, seed=0, quiet=True)
+    if "refit" in ic:
+        flagged = list(ic["refit"]["labels"]) + list(ic["refit"]["failed_labels"])
+        assert all(np.isnan(ic["pareto_k"][int(i)]) for i in flagged)
+    else:
+        assert np.all(ic["pareto_k"] <= np.inf)  # no NaNs on this seed
 
 
 def test_psis_smooth_short_chain_khat_is_nan():
