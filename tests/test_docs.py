@@ -67,13 +67,17 @@ def test_version_is_git_derived():
     from lightcurve_fitting_tpu import _version
 
     assert pkg.__version__.startswith(_version.BASE.split("+")[0][:3])
+    # Re-derive at test time rather than comparing the import-time
+    # pkg.__version__ against the current HEAD: a commit landing while the
+    # suite runs would otherwise fail this test spuriously (seen round 5).
+    version_now = _version.get_version()
     full_sha = subprocess.run(["git", "rev-parse", "HEAD"],
                               cwd=os.path.dirname(pkg.__file__),
                               capture_output=True, text=True).stdout.strip()
     if full_sha:  # running from the git checkout
-        m = re.search(r"\+g([0-9a-f]+)", pkg.__version__)
-        assert m, pkg.__version__  # untagged checkout: +g<sha> must appear
-        assert full_sha.startswith(m.group(1)), (pkg.__version__, full_sha)
+        m = re.search(r"\+g([0-9a-f]+)", version_now)
+        assert m, version_now  # untagged checkout: +g<sha> must appear
+        assert full_sha.startswith(m.group(1)), (version_now, full_sha)
 
 
 def test_golden_manifest_verify():
