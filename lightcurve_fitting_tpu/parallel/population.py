@@ -433,14 +433,25 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
         raise ValueError("checkpoint_every requires checkpoint_file")
 
     state_repr = str(np.dtype(np.float32 if use_f32_state else np.float64))
+
     # data identity: a checkpoint must only resume against the SAME packed
     # photometry — shapes, seed, and state repr all match across different
     # shards of a distributed population (fit_population_local_shard forwards
     # identical kwargs to every process), so without this a shared
-    # checkpoint_file would silently restore another shard's walkers
-    data_digest = hashlib.sha1(
-        np.ascontiguousarray(np.asarray(packed["t"])).tobytes()
-        + np.ascontiguousarray(np.asarray(packed["y"])).tobytes()).hexdigest()
+    # checkpoint_file would silently restore another shard's walkers.
+    # Computed LAZILY: np.asarray(packed[...]) forces a device->host readback
+    # that costs ~1 s through the TPU tunnel at S=512 — a pure waste on the
+    # (default) un-checkpointed fast path, which never uses the digest
+    # (measured round 5, tools/perf_population_probe_r5.py).
+    _digest_cache = []
+
+    def data_digest():
+        if not _digest_cache:
+            _digest_cache.append(hashlib.sha1(
+                np.ascontiguousarray(np.asarray(packed["t"])).tobytes()
+                + np.ascontiguousarray(np.asarray(packed["y"])).tobytes()
+            ).hexdigest())
+        return _digest_cache[0]
     if resume_from is not None:
         ck = np.load(resume_from)
         if ck["x"].shape != (S, 2, half, ndim):
@@ -455,7 +466,7 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
             raise ValueError(f"checkpoint state representation "
                              f"{ck['state_repr'][()]} != {state_repr}: resume "
                              "with the original state_dtype/backend")
-        if "data_digest" in ck and str(ck["data_digest"][()]) != data_digest:
+        if "data_digest" in ck and str(ck["data_digest"][()]) != data_digest():
             raise ValueError("checkpoint was written for different photometry "
                              "(data digest mismatch) — e.g. another shard of a "
                              "distributed population sharing the same "
@@ -484,7 +495,7 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
                      x=np.asarray(x), logp=np.asarray(logp),
                      steps_done=steps_done, seed=seed,
                      nsteps_burnin=nsteps_burnin, state_repr=state_repr,
-                     data_digest=data_digest,
+                     data_digest=data_digest(),
                      prod_xs=(np.concatenate(blocks["xs"], axis=1)
                               if blocks["xs"]
                               else np.empty((S, 0, 2, half, ndim), np.float32)),
