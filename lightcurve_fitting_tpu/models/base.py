@@ -136,13 +136,19 @@ class Model:
         remote devices."""
         bank = bank or self.bank_for(sorted(set(filters)))
         ids = bank.band_ids(filters)
-        nodes, weights, k_ext = bank.gather(ids, z=self.z, device=False)
-        quad = {"nodes": nodes, "weights": weights, "k_ext": k_ext, "band_ids": ids}
         if self.use_band_table:
-            table = self.table_for(bank)
+            # Table path: ``_bandflux`` evaluates the Clenshaw recurrence and
+            # never reads the raw quadrature, so nodes/weights/k_ext would be
+            # dead weight — at population scale they dominated the payload
+            # (3 x (n, 89) f64 per transient = 163 MB at S=512, ~60% of
+            # pack_population host time; tools/perf_population_probe_r5.py).
+            quad = {"band_ids": ids}
             quad["bb_coeffs"], quad["bb_s_a"], quad["bb_s_b"] = \
-                table.gather(ids, device=False)
-        return quad
+                self.table_for(bank).gather(ids, device=False)
+            return quad
+        nodes, weights, k_ext = bank.gather(ids, z=self.z, device=False)
+        return {"nodes": nodes, "weights": weights, "k_ext": k_ext,
+                "band_ids": ids}
 
     def table_for(self, bank):
         from ..ops.filterbank import band_table_for
