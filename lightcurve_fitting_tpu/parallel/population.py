@@ -135,7 +135,23 @@ def pack_population(models, lcs, use_sigma=False):
             d = q["bb_coeffs"].shape[-1]
             if d < D:
                 q["bb_coeffs"] = np.pad(q["bb_coeffs"], [(0, 0), (0, D - d)])
-    stacked_quad = {k: jnp.asarray(np.stack([q[k] for q in quads])) for k in quads[0]}
+    # ship blackbody quadrature/table entries pre-cast to the device compute
+    # dtype: chebyshev_bandflux / bandflux_pointwise cast them on device
+    # anyway (identical rounding), and the float64 bb_coeffs stack was the
+    # bulk of the per-call transfer (25 MB at S=512 — ~half the fixed
+    # per-call overhead through the tunnel). Entries other models consume
+    # without a device-side cast (e.g. SiFTO splines) keep their dtype.
+    from ..core import config
+    _dt = config.get_compute_dtype()
+    _castable = {"bb_coeffs", "bb_s_a", "bb_s_b", "nodes", "weights", "k_ext"}
+
+    def _ship(k, arrs):
+        out = np.stack(arrs)
+        if _dt is not None and k in _castable and out.dtype.kind == "f":
+            out = out.astype(_dt)
+        return jnp.asarray(out)
+
+    stacked_quad = {k: _ship(k, [q[k] for q in quads]) for k in quads[0]}
     yscale = np.array([np.median(np.abs(yy[mm])) if mm.any() else 1.0
                        for yy, mm in zip(y, mask)])
     return {"t": jnp.asarray(t), "y": jnp.asarray(y), "dy": jnp.asarray(dy),
@@ -545,13 +561,16 @@ def fit_population(models, lcs, priors, p_lo, p_up, nwalkers=64, nsteps=500,
                                       axis=(1, 2, 3)), np.float64)[:S_out]
         summ = None
         if summaries:
-            q = jnp.asarray([16.0, 50.0, 84.0])
             fl = xs_dev.reshape(S, -1, ndim)
             # percentiles in the (possibly rescaled-f32) state representation;
             # the affine map to absolute parameters commutes with linear
-            # percentile interpolation and is applied host-side in float64
-            qs = jnp.moveaxis(jnp.percentile(fl.astype(packed["t"].dtype), q,
-                                             axis=1), 0, -1)   # (S, ndim, 3)
+            # percentile interpolation and is applied host-side in float64.
+            # f32 chains take the sort-free counting-bisection path — the
+            # f64-upcast jnp.percentile sort was ~35% of survey-scale
+            # marginal cost (280 -> 66 ms at S=512 x 1100 steps; ops/quantile)
+            from ..ops.quantile import percentile_f32
+            qs = jnp.moveaxis(percentile_f32(fl, [16.0, 50.0, 84.0], axis=1),
+                              0, -1)                           # (S, ndim, 3)
             summ = np.asarray(qs, np.float64)[:S_out]
             if q_off is not None:
                 summ = summ * q_sc[None, :, None] + q_off[None, :, None]

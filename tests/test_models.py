@@ -417,3 +417,16 @@ def test_shared_bank_and_table_cache():
     assert m.bank_for(filters) is b1            # Model path hits the same cache
     t1 = band_table_for(b1, z=0.0, cutoff_freq=np.inf)
     assert m.table_for(b1) is t1                # table cache shared too
+
+
+def test_prepare_quad_table_path_is_lean():
+    """Round-5 perf fix: on the Chebyshev-table path (use_band_table=True)
+    prepare_quad must not build/ship the raw quadrature — nodes/weights/k_ext
+    were 163 MB of dead payload per pack_population(S=512) call. SC3
+    (sampled E(B-V), use_band_table=False) still needs them."""
+    f = np.array([ft.filtdict[n] for n in ["g", "r", "i", "g"]])
+    quad = ShockCooling2().prepare_quad(f)
+    assert set(quad) == {"band_ids", "bb_coeffs", "bb_s_a", "bb_s_b"}
+    q3 = ShockCooling3().prepare_quad(f)
+    assert {"nodes", "weights", "k_ext", "band_ids"} <= set(q3)
+    assert "bb_coeffs" not in q3

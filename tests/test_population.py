@@ -311,6 +311,30 @@ def test_fit_population_device_summaries(population):
         fit_population(models, lcs2, priors, return_chains=False, **kw)
 
 
+def test_fit_population_f32_state_summaries_use_bisection_path(population):
+    """With the accelerator-default float32 rescaled state, the device
+    summaries run ops/quantile.py's sort-free counting bisection (round-5:
+    the f64-upcast sort was ~35% of survey-scale marginal cost). They must
+    still match host float64 percentiles of the returned absolute chains —
+    the affine q->absolute map commutes with linear percentile
+    interpolation."""
+    lcs, models, priors = population
+    lcs2 = []
+    for lc, truth in zip(lcs, TRUTHS):
+        lc2 = lc.copy()
+        lc2["MJD"] = np.asarray(lc2["MJD"], float) - truth[3]
+        lcs2.append(LC(lc2))
+    kw = dict(p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
+              nwalkers=16, nsteps=80, nsteps_burnin=60, seed=3,
+              state_dtype=np.float32)
+    flat, acc, summ = fit_population(models, lcs2, priors, summaries=True, **kw)
+    host = np.moveaxis(np.percentile(flat, [16.0, 50.0, 84.0], axis=1), 0, -1)
+    # q-space f32 order stats map to absolute f64 exactly; only the f64
+    # affine/interpolation arithmetic differs between the two sides
+    np.testing.assert_allclose(summ, host, rtol=1e-6, atol=1e-9)
+    assert np.all(summ[..., 0] <= summ[..., 1]) and np.all(summ[..., 1] <= summ[..., 2])
+
+
 def test_fit_population_summaries_checkpointed_path(population, tmp_path):
     """Checkpointed runs compute the same summaries host-side (the chains
     already crossed to the host for the checkpoint)."""

@@ -60,16 +60,18 @@ def main():
         float(np.asarray(summ).mean())
         return time.perf_counter() - t0
 
-    # compile both step counts
-    run(1000, 0)
+    # compile both step counts. 100 vs 2100 production steps: the 20x lever
+    # arm keeps the marginal-cost signal above the ~±0.3 s per-call tunnel
+    # jitter that made a 1000-vs-2100 comparison go negative.
+    run(100, 0)
     run(2100, 0)
     # interleave to ride out tunnel drift; compare minima
     t_1k, t_2k = [], []
     for i in range(3):
-        t_1k.append(run(1000, 1 + i))
+        t_1k.append(run(100, 1 + i))
         t_2k.append(run(2100, 1 + i))
     e1, e2 = min(t_1k), min(t_2k)
-    steps1, steps2 = 1100, 2200
+    steps1, steps2 = 200, 2200
     per_step = (e2 - e1) / (steps2 - steps1)
     fixed = e1 - per_step * steps1
     evals_marginal = S * 64 / per_step

@@ -70,7 +70,7 @@ def main():
         s = lightcurve_mcmc(early, ShockCooling2(early), priors=priors,
                             p_lo=[20, 2, 20, 57468.5], p_up=[50, 5, 50, 57468.7],
                             nwalkers=32768, nsteps=NSTEPS, nsteps_burnin=0,
-                            seed=seed, show_progress=False)
+                            seed=seed)
         return float(np.asarray(s.flatchain[-1]).sum())
 
     rng = np.random.default_rng(0)
