@@ -28,6 +28,8 @@ SECTIONS = [
      ["Filter", "filtdict", "extinction_law"]),
     ("Device photometry kernels", "lightcurve_fitting_tpu.ops.filterbank",
      ["FilterBank"]),
+    ("Device quantiles", "lightcurve_fitting_tpu.ops.quantile",
+     ["percentile_f32"]),
     ("Models (L2)", "lightcurve_fitting_tpu.models.base", ["Model"]),
     ("Shock-cooling models", "lightcurve_fitting_tpu.models.shock_cooling",
      ["ShockCooling", "ShockCooling2", "ShockCooling3", "ShockCooling4"]),
