@@ -157,8 +157,16 @@ def _epoch_summary(flat, ambient_dtype, dt, nu_emit, trap_w, cutoff_freq, nwalke
         s_chunk, 0.0, (flat[:, 0].reshape(steps_ax, nwalkers),
                        flat[:, 1].reshape(steps_ax, nwalkers)))
     s = s_steps.reshape(-1).astype(ambient_dtype)
-    q = jnp.asarray([16.0, 50.0, 84.0], ambient_dtype)
     samples = jnp.stack([T, R, u, s])
+    if dt is not None and jnp.dtype(dt) == jnp.float32:
+        # accelerator compute dtype: sort-free counting-bisection percentiles
+        # (ops/quantile.py; XLA sort is the slow tool on TPU). T/R are exact
+        # f32 values already; u/s round at ~6e-8 relative — well inside the
+        # 1e-5 host-record parity budget (test_bolometric.py:432).
+        from ..ops.quantile import percentile_f32
+        return percentile_f32(samples.astype(jnp.float32),
+                              [16.0, 50.0, 84.0], axis=1).T.astype(ambient_dtype)
+    q = jnp.asarray([16.0, 50.0, 84.0], ambient_dtype)
     return jnp.percentile(samples, q, axis=1).T  # (4, 3)
 
 

@@ -479,6 +479,35 @@ def test_batched_device_summaries_match_host_record():
     np.testing.assert_allclose(summ2, summ, rtol=1e-12)
 
 
+def test_epoch_summary_f32_compute_dtype_matches_f64():
+    """With the accelerator compute dtype (float32) _epoch_summary runs
+    ops/quantile.py's counting bisection on f32-cast samples; on identical
+    input chains it must match the f64-sort path inside the f32-integrand
+    budget (same 1e-5 budget as the host-record parity above)."""
+    from lightcurve_fitting_tpu.parallel.batched import _epoch_summary
+    from lightcurve_fitting_tpu.bolometric import _pseudo_grid
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(17)
+    S = 16 * 40
+    flat = jnp.asarray(np.column_stack([rng.uniform(4.0, 20.0, S),
+                                        rng.uniform(1.0, 30.0, S)]))
+    nu = _pseudo_grid()
+    trap_w = np.gradient(nu)
+    summ64 = np.asarray(_epoch_summary(flat, jnp.float64, None,
+                                       jnp.asarray(nu), jnp.asarray(trap_w),
+                                       800.0, 16))
+    summ32 = np.asarray(_epoch_summary(flat, jnp.float64, jnp.float32,
+                                       jnp.asarray(nu), jnp.asarray(trap_w),
+                                       800.0, 16))
+    assert summ64.shape == summ32.shape == (4, 3)
+    # dt also controls the Planck integrand dtype, so the pseudobolometric
+    # row carries f32 integration error; T/R/R^2T^4 percentiles only f32
+    # sample rounding
+    np.testing.assert_allclose(summ32[:3], summ64[:3], rtol=2e-6)
+    np.testing.assert_allclose(summ32[3], summ64[3], rtol=1e-4)
+
+
 def test_calculate_bolometric_summaries_only_matches_chain_path(tmp_path):
     """With save_corners=False/save_chains=False the batch path never reads
     chains back; its MCMC columns must equal the chain-returning run (same
