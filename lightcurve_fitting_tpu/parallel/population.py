@@ -34,6 +34,7 @@ __all__ = ["pack_population", "fit_population",
 from .evidence import _LRUCache as _EvLRUCache  # noqa: E402
 _COMPILED_CACHE = _EvLRUCache(32)
 _POP_GOF_CACHE = _EvLRUCache(16)
+_PACK_SHIP_CACHE = _EvLRUCache(4)
 
 
 def _array_digest(a):
@@ -95,6 +96,11 @@ def pack_population(models, lcs, use_sigma=False):
     -------
     dict of stacked arrays: t (S, N), y, dy, mask (S, N), and each quad entry
     stacked over transients; plus 'yscale' (S,).
+
+    Repeat packs of identical content reuse the shipped device buffers via a
+    small content-keyed LRU (sha1 of the stacked host arrays): a
+    fit -> goodness_of_fit -> IC workflow or a seed sweep over one population
+    skips the device_put, which dominates pack cost on remote devices.
     """
     S = len(lcs)
     N = max(len(lc) for lc in lcs)
@@ -144,19 +150,41 @@ def pack_population(models, lcs, use_sigma=False):
     from ..core import config
     _dt = config.get_compute_dtype()
     _castable = {"bb_coeffs", "bb_s_a", "bb_s_b", "nodes", "weights", "k_ext"}
-
-    def _ship(k, arrs):
-        out = np.stack(arrs)
+    stacked_host = {}
+    for k in quads[0]:
+        out = np.stack([q[k] for q in quads])
         if _dt is not None and k in _castable and out.dtype.kind == "f":
             out = out.astype(_dt)
-        return jnp.asarray(out)
-
-    stacked_quad = {k: _ship(k, [q[k] for q in quads]) for k in quads[0]}
+        stacked_host[k] = out
     yscale = np.array([np.median(np.abs(yy[mm])) if mm.any() else 1.0
                        for yy, mm in zip(y, mask)])
-    return {"t": jnp.asarray(t), "y": jnp.asarray(y), "dy": jnp.asarray(dy),
-            "mask": jnp.asarray(mask), "quad": stacked_quad,
-            "yscale": jnp.asarray(yscale)}
+
+    # Content-keyed shipment cache: a fit -> goodness-of-fit -> IC workflow
+    # (and any seed/step sweep over the same population) packs identical
+    # data several times, and on remote devices the device_put of the
+    # stacked payload (~15 MB at S=512) dominates pack cost. Host stacking
+    # above always runs (it IS the key); only the transfer is skipped.
+    # sha1 digests make hits content-exact — an in-place edit of a light
+    # curve re-ships. Entries pin device memory (~15-30 MB each at survey
+    # scale), hence the small LRU. No kernel donates its data arguments,
+    # so cached buffers are never invalidated by a call.
+    key = (jax.default_backend(),
+           tuple(d.id for d in jax.devices()),
+           str(getattr(jax.config, "jax_default_device", None)),
+           bool(jax.config.jax_enable_x64),
+           _array_digest(t), _array_digest(y), _array_digest(dy),
+           _array_digest(mask), _array_digest(yscale),
+           tuple(sorted((k, _array_digest(v)) for k, v in stacked_host.items())))
+    hit = _PACK_SHIP_CACHE.get(key)
+    if hit is not None:
+        return {**hit, "quad": dict(hit["quad"])}
+    out = {"t": jnp.asarray(t), "y": jnp.asarray(y), "dy": jnp.asarray(dy),
+           "mask": jnp.asarray(mask),
+           "quad": {k: jnp.asarray(v) for k, v in stacked_host.items()},
+           "yscale": jnp.asarray(yscale)}
+    _PACK_SHIP_CACHE[key] = out
+    # shallow copies keep cached entries immutable to callers that add keys
+    return {**out, "quad": dict(out["quad"])}
 
 
 def _map_seeded_guesses(make_logpost, packed, priors, p_lo, p_up, S, nwalkers,

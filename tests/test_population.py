@@ -475,3 +475,32 @@ def test_population_compare_elpd():
     with pytest.raises(ValueError):
         population_compare_elpd([ic_a, {"pointwise": [base[0]]}], ["A", "B"],
                                 quiet=True)
+
+
+def test_pack_population_shipment_cache(population):
+    """Repeat packs of identical data reuse the device buffers (the
+    device_put of the stacked payload dominates pack cost on remote
+    devices); any content change re-ships; callers can add keys to the
+    returned dicts without corrupting the cache."""
+    from lightcurve_fitting_tpu.parallel.population import pack_population
+
+    lcs, models, _ = population
+    a = pack_population(models, lcs)
+    b = pack_population(models, lcs)
+    # same device buffers on a content hit (shallow copies of the entry)
+    assert b["t"] is a["t"] and b["quad"]["bb_coeffs"] is a["quad"]["bb_coeffs"]
+    assert b is not a and b["quad"] is not a["quad"]
+    b["extra"] = 1
+    b["quad"]["extra"] = 1
+    c = pack_population(models, lcs)
+    assert "extra" not in c and "extra" not in c["quad"]
+
+    # content change -> miss (fresh buffers, correct values)
+    lcs2 = [lc.copy() for lc in lcs]
+    lcs2[0]["lum"] = np.asarray(lcs2[0]["lum"], float) * 1.5
+    models2 = [m.clone_for(lc) for m, lc in zip(models, lcs2)]
+    d = pack_population(models2, lcs2)
+    assert d["y"] is not a["y"]
+    np.testing.assert_allclose(np.asarray(d["y"][0]),
+                               1.5 * np.asarray(a["y"][0]))
+    np.testing.assert_allclose(np.asarray(d["y"][1]), np.asarray(a["y"][1]))
