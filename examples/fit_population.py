@@ -82,3 +82,28 @@ for s in range(S):
     if abs(summ[s, 0, 1] - truths[s][0]) < 0.2 * truths[s][0]:
         ok += 1
 print(f"T1 recovered within 20% for {ok}/{S} transients")
+
+# ------------------------------------------------- survey-level diagnostics
+# Per-transient goodness of fit and information criteria, each ONE padded
+# device call over the whole survey (not a Python loop). These need the raw
+# chains, so refit a subset with return_chains=True; pack_population's
+# content-keyed cache means re-packing the same transients re-uses the
+# already-shipped device buffers.
+from lightcurve_fitting_tpu.parallel.population import (
+    population_goodness_of_fit, population_information_criteria)
+
+S_diag = min(S, 8)
+flat, _ = fit_population(models[:S_diag], lcs[:S_diag], priors,
+                         p_lo=[5.0, 0.5, 20.0], p_up=[25.0, 5.0, 60.0],
+                         nwalkers=16 if FAST else 64,
+                         nsteps=40 if FAST else 500,
+                         nsteps_burnin=20 if FAST else 100,
+                         seed=1, init="map", summaries=False)
+gof = population_goodness_of_fit(models[:S_diag], lcs[:S_diag],
+                                 np.asarray(flat), seed=0, quiet=True)
+ic = population_information_criteria(models[:S_diag], lcs[:S_diag],
+                                     np.asarray(flat), seed=0, quiet=True)
+for s in range(S_diag):
+    print(f"transient {s:3d}: chi2/nu = {gof['chi2_nu'][s]:6.2f} "
+          f"(p = {gof['p_value'][s]:.3f})  elpd_loo = {ic['elpd_loo'][s]:8.2f} "
+          f"(max pareto_k {np.max(ic['pareto_k'][s]):.2f})")
