@@ -631,3 +631,40 @@ def test_batch_mode_pads_odd_nwalkers(tmp_path):
     assert len(t0) >= 1
     assert np.isfinite(np.asarray(t0["temp_mcmc"], float)).any()
     plt.close("all")
+
+
+def test_plot_chain_axes():
+    """plot_chain: one trace panel per parameter (reference bolometric.py:62-84)."""
+    from lightcurve_fitting_tpu.bolometric import plot_chain
+
+    rng = np.random.default_rng(0)
+    chain = rng.normal(size=(8, 30, 3))      # (nwalkers, nsteps, ndim)
+    fig = plot_chain(chain, labels=["T", "R", "sigma"])
+    assert len(fig.axes) == 3
+    assert fig.axes[0].get_ylabel() == "T"
+    import matplotlib.pyplot as plt
+    plt.close(fig)
+
+
+def test_spectrum_corner_smoke(tmp_path):
+    """spectrum_corner: corner + SED inset with posterior-draw spectra over
+    the observed points (behavioral spec: reference bolometric.py:193-287)."""
+    from lightcurve_fitting_tpu.bolometric import spectrum_corner
+    from lightcurve_fitting_tpu.models import planck_fast
+    from lightcurve_fitting_tpu.filters import filtdict
+    from lightcurve_fitting_tpu.lightcurve import LC
+
+    rng = np.random.default_rng(1)
+    filters = [filtdict[n] for n in ["B", "V", "r"]]
+    freq = np.array([f.freq_eff.value for f in filters])
+    T, R = 9.0, 10.0
+    lum = planck_fast(freq, T, R)
+    epoch1 = LC([np.full(3, 57500.0), filters, lum, 0.05 * lum, freq],
+                names=("MJD", "filter", "lum", "dlum", "freq"))
+    flat = np.column_stack([rng.normal(T, 0.1, 300), rng.normal(R, 0.2, 300)])
+    out = str(tmp_path / "sc.png")
+    fig = spectrum_corner(planck_fast, epoch1, flat, labels=["T", "R"],
+                          save_plot_as=out)
+    assert os.path.exists(out)
+    import matplotlib.pyplot as plt
+    plt.close(fig)

@@ -279,3 +279,10 @@ def test_empty_shard_placeholder_is_shape_compatible():
         process_count=2, nwalkers=8, nsteps=5, summaries=True,
         return_chains=False)
     assert flat2 is None and summ.shape == (0, 3, 3) and acc2.shape == (0,)
+
+
+def test_process_info_single_process():
+    from lightcurve_fitting_tpu.parallel.distributed import process_info
+
+    idx, count = process_info()
+    assert (idx, count) == (0, 1)

@@ -267,3 +267,52 @@ def test_fits_header_escaped_quotes_and_comment_apostrophes():
     assert hdr.comments["OBJECT"] == "note"
     assert hdr["EXPTIME"] == 30.0
     assert hdr.comments["EXPTIME"] == "King's exposure"
+
+
+def test_create_wiserep_tsv(tmp_path, monkeypatch):
+    """WISeREP upload prep (behavioral spec: reference speccal.py:442-590):
+    FITS spectra are converted to ascii alongside a copied original, the TSV
+    carries one row per spectrum in the fixed column order, and the returned
+    Table mirrors it. Interactive prompts (bibcode, group IDs, instrument
+    IDs) are scripted."""
+    from lightcurve_fitting_tpu.utils.table import Table  # noqa: F401 (return type)
+
+    wl = 3500.0 + 2.0 * np.arange(500)
+    flam = 1e-15 * np.exp(-0.5 * ((wl - 5000) / 800.0) ** 2)
+    fits_path = str(tmp_path / "spec_fast.fits")
+    _write_fits_spectrum(fits_path, 3500.0, 2.0, flam[:500])
+    ascii_path = str(tmp_path / "sn2016bkv_57480.txt")
+    np.savetxt(ascii_path, np.array([wl, flam]).T)
+
+    answers = iter([
+        "2018MNRAS.000.000X",  # bibcode
+        "5",                   # group IDs for spectrum 1 (FITS, inst FAST)
+        "41",                  # instrument ID for FAST
+        "5",                   # group IDs for spectrum 2 (ascii, inst unknown)
+        "",                    # unknown instrument id left blank
+    ])
+    monkeypatch.setattr("builtins.input", lambda prompt="": next(answers))
+
+    wdir = str(tmp_path / "wiserep")
+    out = speccal.create_wiserep_tsv([(fits_path, 3), ascii_path], wdir,
+                                     verbose=True)
+
+    assert os.path.exists(wdir + ".tsv")
+    with open(wdir + ".tsv") as f:
+        lines = f.read().splitlines()
+    assert lines[0] == "TSV-type:\tspectra"
+    assert lines[1].split("\t")[0] == "Ascii-filename*"
+    assert len(lines) == 5  # type line + header + defaults + 2 records
+    rec1 = lines[3].split("\t")
+    assert rec1[0] == "spec_fast.txt" and rec1[1] == "spec_fast.fits"
+    assert rec1[3] == "41"
+    # converted ascii + copied original for the FITS input
+    assert os.path.exists(os.path.join(wdir, "spec_fast.txt"))
+    assert os.path.exists(os.path.join(wdir, "spec_fast.fits"))
+    conv = np.loadtxt(os.path.join(wdir, "spec_fast.txt"))
+    np.testing.assert_allclose(conv[:, 0], wl[:500])
+    # returned table mirrors the TSV records
+    assert len(out) == 2
+    assert list(out["Publish (bibcode)"]) == ["2018MNRAS.000.000X"] * 2
+    # quality given as a tuple is clamped into [1, 3]
+    assert str(out["Spec Quality-Id"][0]) == "3"
