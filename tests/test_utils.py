@@ -235,22 +235,3 @@ def test_unit_ndarray_arithmetic_yields_array_quantity():
     np.testing.assert_allclose((u.s / a).value, 1.0 / a)
     np.testing.assert_allclose((a * u.m).to(u.cm).value, [100.0, 200.0])
 
-
-def test_json2txt_curve_conversion(tmp_path):
-    """tools/json2txt.py: SVO-style JSON curve -> two-column txt (behavioral
-    spec: reference filters/json2txt.py:1-9)."""
-    import json as _json
-    import subprocess, sys, os
-
-    data = [["TEST_filt.X"], [4000.0, 0.1], [4100.0, 0.52], [4200.0, 0.0]]
-    p = tmp_path / "curve.json"
-    p.write_text(_json.dumps(data))
-    r = subprocess.run([sys.executable,
-                        os.path.join(os.path.dirname(__file__), "..", "tools", "json2txt.py"),
-                        str(p), "-o", str(tmp_path)],
-                       capture_output=True, text=True)
-    assert r.returncode == 0, r.stderr
-    out = tmp_path / "TEST_filt.X.txt"
-    assert out.exists()
-    arr = np.loadtxt(out)
-    np.testing.assert_allclose(arr, np.asarray(data[1:], float), atol=0.05)

@@ -1,51 +1,59 @@
-#!/usr/bin/env python
-"""Convert filter transmission curves from SVO-style JSON to the two-column
-text format the filter registry reads (behavioral spec: reference
-lightcurve_fitting/filters/json2txt.py:1-9).
+"""Convert JSON filter-curve exports to two-column transmission text files.
 
-Each input JSON file holds ``[[name], [wl, trans], [wl, trans], ...]``; the
-output is ``<name>.txt`` with one ``wavelength transmission`` pair per line
-(wavelength to 0.1 Angstrom, transmission to 1e-9 — the precision the
-packed curves in data/filter_curves.npz were built from).
+Reference parity (reference lightcurve_fitting/filters/json2txt.py:1-9): the
+reference ships a cwd-glob loop that reads JSON files of the form
 
-Usage: python tools/json2txt.py curve1.json [curve2.json ...] [-o OUTDIR]
+    [["<filter name>", ...meta...], [wl_angstrom, transmission], ...]
 
-This exists for registry-extension workflows (drop a new instrument's SVO
-JSON next to this script, convert, then repack with tools/build_data.py);
-the shipped curves are already packed and golden-guarded (docs/goldens.md).
+and writes ``<filter name>.txt`` with one ``%.1f %.9f`` row per sample —
+the format its (and our) filter registry ingests. This is the same
+converter as a proper CLI: explicit file arguments (globs still work via
+the shell), an ``--outdir``, and validation errors instead of silent
+garbage. New filter curves produced by observatory pipelines in that JSON
+shape drop straight into ``lightcurve_fitting_tpu/data/filters/`` (then
+re-pack with ``tools/build_data.py``).
+
+Usage: python tools/json2txt.py curve1.json [curve2.json ...] [--outdir DIR]
 """
 
 import argparse
 import json
 import os
+import sys
 
 import numpy as np
 
 
-def json_curve_to_txt(json_path, outdir="."):
-    """Convert one JSON curve file; returns the written path."""
-    with open(json_path) as f:
-        data = json.load(f)
-    if not data or not isinstance(data[0], (list, tuple)) or not data[0]:
-        raise ValueError(f"{json_path}: expected [[name], [wl, trans], ...]")
-    name = str(data[0][0])
-    pairs = np.asarray(data[1:], float)
-    if pairs.ndim != 2 or pairs.shape[1] != 2:
-        raise ValueError(f"{json_path}: curve rows must be [wl, trans] pairs")
+def convert(path, outdir="."):
+    """Convert one JSON curve file; returns the written txt path."""
+    with open(path) as fh:
+        data = json.load(fh)
+    if (not isinstance(data, list) or len(data) < 2
+            or not isinstance(data[0], list) or not data[0]
+            or not isinstance(data[0][0], str)):
+        raise ValueError(f"{path}: expected [[name, ...], [wl, trans], ...]")
+    name = data[0][0]
+    samples = np.asarray(data[1:], float)
+    if samples.ndim != 2 or samples.shape[1] != 2:
+        raise ValueError(f"{path}: curve rows must be [wavelength, "
+                         f"transmission] pairs (got shape {samples.shape})")
+    if np.any(~np.isfinite(samples)):
+        raise ValueError(f"{path}: non-finite curve samples")
     out = os.path.join(outdir, name + ".txt")
-    np.savetxt(out, pairs, "%.1f %.9f")
+    np.savetxt(out, samples, "%.1f %.9f")
     return out
 
 
 def main(argv=None):
-    parser = argparse.ArgumentParser(description=__doc__.splitlines()[0])
-    parser.add_argument("json_files", nargs="+")
-    parser.add_argument("-o", "--outdir", default=".")
-    args = parser.parse_args(argv)
-    os.makedirs(args.outdir, exist_ok=True)
-    for path in args.json_files:
-        print(json_curve_to_txt(path, args.outdir))
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("files", nargs="+", help="JSON curve files to convert")
+    ap.add_argument("--outdir", default=".", help="output directory")
+    cli = ap.parse_args(argv)
+    os.makedirs(cli.outdir, exist_ok=True)
+    for path in cli.files:
+        print(convert(path, cli.outdir))
+    return 0
 
 
 if __name__ == "__main__":
-    main()
+    sys.exit(main())
