@@ -77,6 +77,8 @@ SECTIONS = [
     ("Simulation-based calibration", "lightcurve_fitting_tpu.parallel.sbc",
      ["simulation_based_calibration", "rank_statistic", "plot_sbc"]),
     ("Diagnostics", "lightcurve_fitting_tpu.parallel.diagnostics", None),
+    ("Profiling & observability", "lightcurve_fitting_tpu.utils.profiling",
+     ["trace", "Throughput"]),
     ("Configuration", "lightcurve_fitting_tpu.core.config", None),
 ]
 
